@@ -1,38 +1,72 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` / ``oracle_sql()`` — the declared oracle query set; the
+implementation registry lives in ``vamana_spark.plans.declared``
+(SURVEY.md §2c maps each query to the reference operator it covers).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+_SHIPPED = False
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``vamana_spark`` importable on Python workers regardless of the
+    driver's cwd: zip the package and addPyFile it (idempotent)."""
+    global _SHIPPED
+    if _SHIPPED:
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "vamana_spark")
+    tmp = tempfile.mkdtemp(prefix="vamana_spark_pyfiles_")
+    base = os.path.join(tmp, "vamana_spark_pkg")
+    shutil.make_archive(base, "zip", root_dir=os.path.dirname(pkg_dir),
+                        base_dir="vamana_spark")
+    spark.sparkContext.addPyFile(base + ".zip")
+    _SHIPPED = True
+
+
+def _configure(spark: SparkSession) -> SparkSession:
+    """Session conf the engine relies on (idempotent, driver-safe)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # may be static in some sessions; events loader also copes
+    _ship_package(spark)
+    return spark
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: exact kNN (R14) over sf0.001 embeddings — crossJoin +
+    per-query window top-k, fully Catalyst-planned."""
+    from vamana_spark.plans.declared import q_knn_exact
+
+    return q_knn_exact(_configure(spark), "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from vamana_spark.plans.declared import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        name: (lambda spark, sf_dir, _fn=fn: _fn(_configure(spark), sf_dir))
+        for name, fn in QUERIES.items()
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from vamana_spark.plans.declared import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

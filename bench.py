@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "total_sec", "value": N, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": ..., "extra": {...}}
+
+Headline set mirrors the reference's own measurements (build wall-time,
+batch ANN search latency/qps, recall@10 — main.cpp:58-162) plus the
+engine's pipeline workloads (exact kNN, dedup, text stats, rollups,
+TPC-H joins).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from vamana_spark import VamanaIndex, VamanaParams, exact, quality
+    from vamana_spark.plans import declared as D
+    from vamana_spark.session import get_session
+
+    spark = get_session("vamana_spark_bench")
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    emb = D._emb(spark, SF_DIR)
+    n_vec = emb.count()
+    queries = D._fixed_queries(emb, 25)
+    n_q = queries.count()
+
+    # --- index build (R8): the reference's headline cost
+    params = VamanaParams(dim=64, alpha=1.2, R=32, L=64, ef_search=100, seed=42)
+    idx = timed("build_index", lambda: VamanaIndex.build(spark, emb, params))
+
+    # --- batch ANN search (R10) + recall (R15)
+    approx = timed("ann_search", lambda: idx.search(queries, k=10).cache())
+    approx.count()
+    truth = timed("knn_exact", lambda: exact.exact_knn(emb, queries, k=10).cache())
+    truth.count()
+    extra["recall_at_10"] = round(quality.avg_recall(approx, truth, k=10), 4)
+    extra["ann_qps"] = round(n_q / timings["ann_search"], 2) if timings["ann_search"] else 0.0
+    extra["n_vectors"] = n_vec
+    extra["n_queries"] = n_q
+
+    # --- scale-path exact kNN (two-stage partial top-k)
+    timed("knn_batch", lambda: exact.exact_knn_batch(emb, queries, k=10).count())
+
+    # --- pipeline workloads
+    timed("minhash_near_dups", lambda: D.q_minhash_pairs(spark, SF_DIR).count())
+    timed("exact_dedup", lambda: D.q_dedup_exact(spark, SF_DIR).count())
+    timed("text_stats", lambda: D.q_text_stats(spark, SF_DIR).count())
+    timed("events_hourly", lambda: D.q_events_hourly(spark, SF_DIR).count())
+    timed("sessionize", lambda: D.q_session_stats(spark, SF_DIR).count())
+    timed("tpch_pricing", lambda: D.q_tpch_pricing(spark, SF_DIR).count())
+    timed("tpch_join_agg", lambda: D.q_tpch_join_agg(spark, SF_DIR).count())
+    timed("top_customers", lambda: D.q_top_customers(spark, SF_DIR).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extra": extra,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Vamana index build/search/persist — the reference's E2E pattern:
+build → search → recall vs brute force ≥ 0.8 (main.go:125-130), plus the
+invariant suite (degree ≤ R, k results, ascending dists, round-trip)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vamana_spark import VamanaIndex, VamanaParams, exact, quality
+
+
+@pytest.fixture(scope="module")
+def built(spark, embeddings):
+    params = VamanaParams(dim=64, alpha=1.2, R=32, L=64, ef_search=64, seed=42)
+    return VamanaIndex.build(spark, embeddings, params)
+
+
+@pytest.fixture(scope="module")
+def queries(embeddings):
+    return embeddings.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def test_degree_bound(built):
+    hc = built.health_check()
+    assert hc["ok"], hc
+    assert hc["n"] == built.data_size
+
+
+def test_search_invariants(built, queries):
+    res = built.search(queries, k=10).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append(r)
+    nq = queries.count()
+    assert len(by_q) == nq
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert len(rows) == 10
+        ds = [r.dist for r in rows]
+        assert ds == sorted(ds)
+        assert rows[0].hops > 0 and rows[0].dist_comps > 0
+
+
+def test_recall_vs_exact(built, queries, embeddings):
+    approx = built.search(queries, k=10)
+    truth = exact.exact_knn(embeddings, queries, k=10)
+    r = quality.avg_recall(approx, truth, k=10)
+    assert r >= 0.8, f"avg recall@10 = {r}"
+
+
+def test_query_point_found_first(built, embeddings):
+    # searching for a dataset point should surface it at rank 1 (dist 0)
+    q = embeddings.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = built.search(q, k=3).where(F.col("rank") == 1).collect()
+    hit = sum(1 for r in res if r.vec_id == r.query_id)
+    assert hit >= 4  # allow duplicates-at-zero ties
+
+
+def test_save_load_roundtrip(tmp_path, spark, built, queries):
+    path = str(tmp_path / "idx")
+    built.save(path)
+    loaded = VamanaIndex.load(spark, path)
+    assert loaded.describe() == built.describe()
+    a = built.search(queries, k=5).collect()
+    b = loaded.search(queries, k=5).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted((r.query_id, r.rank, r.vec_id) for r in a) == sorted(
+        (r.query_id, r.rank, r.vec_id) for r in b
+    )
+
+
+def test_search_with_start(built, embeddings, spark):
+    q = embeddings.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    starts = embeddings.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("start_vec")
+    )
+    res = built.search_with_start(q, starts, k=5).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        assert len(rows) == 5
+        # start == query point → rank-1 hit is the point itself
+        top = min(rows, key=lambda r: r.rank)
+        assert top.dist == 0.0
+
+
+def test_sharded_build_recall(spark, embeddings, queries):
+    params = VamanaParams(
+        dim=64, alpha=1.2, R=32, L=64, ef_search=96, seed=42, num_shards=4
+    )
+    idx = VamanaIndex.build(spark, embeddings, params)
+    hc = idx.health_check()
+    assert hc["ok"], hc
+    truth = exact.exact_knn(embeddings, queries, k=10)
+    r = quality.avg_recall(idx.search(queries, k=10), truth, k=10)
+    assert r >= 0.8, f"sharded avg recall@10 = {r}"
+
+
+def test_get_point(built):
+    row = built.get_point(7).first()
+    assert row is not None and row.vec_id == 7 and len(row.embedding) == 64

@@ -1,0 +1,238 @@
+"""Pipeline operators: dedup / text / events / relational / similarity."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vamana_spark.operators import dedup, events, relational, similarity, text
+
+
+# ----------------------------------------------------------------- dedup
+
+def test_exact_dedup_removes_exact_copies(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello  world"), (3, "different doc")],
+        "doc_id long, text string",
+    )
+    out = dedup.exact_dedup(df).collect()
+    ids = sorted(r.doc_id for r in out)
+    assert ids == [1, 3]  # 2 collapses onto 1 after whitespace normalization
+
+
+def test_duplicate_groups(documents):
+    groups = dedup.duplicate_groups(documents).collect()
+    for g in groups:
+        assert g.n_members > 1 and g.canonical_id == min(g.member_ids)
+
+
+def test_minhash_candidates_superset_of_high_jaccard(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again today"),
+        (2, "the quick brown fox jumps over the lazy dog again and again tonight"),
+        (3, "completely unrelated text about spark query engines and shuffles"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.minhash_near_dups(df, threshold=0.5).collect()
+    assert any((p.a_id, p.b_id) == (1, 2) for p in pairs)
+    assert not any(3 in (p.a_id, p.b_id) for p in pairs)
+
+
+def test_simhash_signature_locality(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa x"),
+        (3, "orbits of saturn moons resonate weirdly under tidal forces"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash_signatures(df).collect()}
+    mask = (1 << 64) - 1
+    ham12 = bin((sigs[1] ^ sigs[2]) & mask).count("1")
+    ham13 = bin((sigs[1] ^ sigs[3]) & mask).count("1")
+    assert ham12 < ham13
+
+
+def test_simhash_near_dups_blocking(spark):
+    # identical docs (hamming 0) must pair via band blocking; the unrelated
+    # doc must not pass the hamming<=3 verification
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (3, "orbits of saturn moons resonate weirdly under tidal forces"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.simhash_near_dups(df, max_hamming=3).collect()
+    assert [(p.a_id, p.b_id, p.hamming) for p in pairs] == [(1, 2, 0)]
+
+
+def test_ngram_jaccard_join(spark):
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g x"),
+        (3, "q r s t u v w z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.ngram_jaccard_join(df, n=2, threshold=0.5).collect()
+    assert [(p.a_id, p.b_id) for p in pairs] == [(1, 2)]
+
+
+def test_embedding_near_dups(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.99, 0.01, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = dedup.embedding_near_dups(df, threshold=0.95).collect()
+    assert [(p.a_id, p.b_id) for p in pairs] == [(1, 2)]
+
+
+# ------------------------------------------------------------------ text
+
+def test_text_stats_basics(spark):
+    df = spark.createDataFrame([(1, "Hello, world 42!")], "doc_id long, text string")
+    r = text.text_stats(df).first()
+    assert r.n_chars == 16
+    assert r.n_tokens == 3
+    assert r.n_pieces == 5  # Hello , world 42 !
+    assert r.digit_ratio == pytest.approx(2 / 16, abs=1e-4)
+
+
+def test_text_stats_matches_documents_n_chars(documents):
+    joined = (
+        text.text_stats(documents)
+        .join(documents.select("doc_id", F.col("n_chars").alias("want")), "doc_id")
+        .where(F.col("n_chars") != F.col("want"))
+    )
+    assert joined.count() == 0
+
+
+def test_language_id_hits_profiles(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "el perro y la casa de los gatos"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.pred_lang for r in text.language_id(df).collect()}
+    assert out == {1: "en", 2: "es"}
+
+
+def test_fingerprint_stable_and_normalizing(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello World"), (2, "hello world"), (3, "other")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.fingerprint for r in text.fingerprint(df).collect()}
+    assert out[1] == out[2] != out[3]
+
+
+def test_quality_score_range(documents):
+    rows = text.quality_score(documents).collect()
+    assert all(0.0 <= r.quality_score <= 1.0 for r in rows)
+
+
+# ----------------------------------------------------------------- events
+
+def test_sessionize_gap(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 7, "a", 1.0, "{}"),
+            (2, "2024-01-01 00:10:00", 7, "a", 1.0, "{}"),
+            (3, "2024-01-01 02:00:00", 7, "a", 1.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r.event_id: r.session_seq for r in events.sessionize(df, 30).collect()}
+    assert out == {1: 1, 2: 1, 3: 2}
+
+
+def test_hourly_rollup(events):
+    from vamana_spark.operators.events import hourly_rollup
+
+    roll = hourly_rollup(events)
+    total = roll.agg(F.sum("n_events")).first()[0]
+    assert total == events.count()
+
+
+def test_session_stats_counts(events):
+    from vamana_spark.operators.events import session_stats
+
+    s = session_stats(events, 30)
+    assert s.agg(F.sum("n_events")).first()[0] == events.count()
+
+
+# -------------------------------------------------------------- relational
+
+def test_pricing_summary(spark, sf_dir):
+    t = relational.load_tables(spark, sf_dir)
+    rows = relational.pricing_summary(t["lineitem"]).collect()
+    assert len(rows) >= 1
+    li = t["lineitem"].where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    assert sum(r.count_order for r in rows) == li.count()
+
+
+def test_revenue_by_nation_consistency(spark, sf_dir):
+    t = relational.load_tables(spark, sf_dir)
+    out = relational.revenue_by_nation(
+        t["customer"], t["orders"], t["lineitem"], t["nation"]
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    total = sum(r.n_items for r in rows)
+    assert total == t["lineitem"].count()  # every lineitem maps to one nation
+
+
+def test_top_customers_rank(spark, sf_dir):
+    t = relational.load_tables(spark, sf_dir)
+    rows = relational.top_customers(t["customer"], t["orders"], t["lineitem"], k=5).collect()
+    rows.sort(key=lambda r: r.rank)
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True) and len(rows) == 5
+
+
+# -------------------------------------------------------------- similarity
+
+def test_normalize_embeddings(embeddings):
+    out = similarity.normalize_embeddings(embeddings).limit(5).collect()
+    for r in out:
+        n = float(np.linalg.norm(np.array(r.unit_vec)))
+        assert n == pytest.approx(1.0, abs=1e-6)
+
+
+def test_knn_self_join_excludes_self(embeddings):
+    out = similarity.knn_self_join(
+        embeddings, k=3, where=F.col("vec_id") % 100 == 0
+    ).collect()
+    assert all(r.query_id != r.vec_id for r in out)
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert all(len(v) == 3 for v in per_q.values())
+
+
+def test_ivf_recall_vs_exact(spark, embeddings):
+    queries = embeddings.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    from vamana_spark import exact, quality
+
+    approx = similarity.ivf_topk(embeddings, queries, k=10, num_lists=8, nprobe=4)
+    truth = exact.exact_knn(embeddings, queries, k=10)
+    r = quality.avg_recall(approx, truth, k=10)
+    assert r >= 0.7, f"IVF recall {r}"
+
+
+def test_lsh_similarity_join_finds_dups(spark):
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((20, 16)).astype("float32")
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # near-duplicate of row 0
+    rows.append((100, [float(x) for x in (base[0] + 0.01 * rng.standard_normal(16))]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = similarity.lsh_similarity_join(df, max_cosine_dist=0.05).collect()
+    assert any({p.a_id, p.b_id} == {0, 100} for p in pairs)

@@ -1,0 +1,99 @@
+"""Vector distance/similarity column expressions — the JVM-side fast path.
+
+The reference's only scalar function is squared L2 (``ComputeDistance``,
+vamana.h:694-702, sqrt intentionally omitted) with inner-product declared
+as a TODO (vamana.h:695, readme.md:76). Here every metric is a pure
+Catalyst expression built from ``zip_with``/``aggregate`` — whole-stage
+codegen'd, no Python in the loop. NumPy equivalents for the UDF kernels
+live in ``vamana_spark.index.kernels``.
+
+Determinism convention (FIXTURES.md §C): all arithmetic in float64 —
+components are cast to double *before* any subtraction/multiplication so
+Spark and the DuckDB oracle run bit-identical IEEE-754 double math.
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ColumnOrName = Union[Column, str]
+
+
+def _col(c: ColumnOrName) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def as_double_array(c: ColumnOrName) -> Column:
+    """array<float> -> array<double>, element-wise exact widening."""
+    return F.transform(_col(c), lambda x: x.cast("double"))
+
+
+def squared_l2(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Squared L2 distance  Σ (a_i - b_i)^2  as a double.
+
+    Canonical distance of the engine (reference omits the sqrt;
+    vamana.h:694-702). Left-to-right accumulation matches the scalar
+    loop semantics, so results are deterministic for a given input.
+    """
+    return F.aggregate(
+        F.zip_with(
+            _col(a),
+            _col(b),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """sqrt-L2, presentation-edge variant (rank-equivalent to squared_l2)."""
+    return F.sqrt(squared_l2(a, b))
+
+
+def dot_product(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Inner product Σ a_i * b_i as a double."""
+    return F.aggregate(
+        F.zip_with(_col(a), _col(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: ColumnOrName) -> Column:
+    """Euclidean norm of a vector column."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(_col(a), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """1 - cos(a, b). Zero-norm inputs yield NULL (guarded division)."""
+    num = dot_product(a, b)
+    den = l2_norm(a) * l2_norm(b)
+    return F.when(den != 0.0, F.lit(1.0) - num / den)
+
+
+_METRICS = {
+    "l2sq": squared_l2,
+    "l2": l2_distance,
+    "cosine": cosine_distance,
+    "ip": lambda a, b: -dot_product(a, b),  # negated: smaller = closer, like others
+}
+
+
+def pairwise_distance(a: ColumnOrName, b: ColumnOrName, metric: str = "l2sq") -> Column:
+    """Metric-dispatched distance where smaller is always closer."""
+    try:
+        fn = _METRICS[metric]
+    except KeyError:
+        raise ValueError(f"unknown metric {metric!r}; one of {sorted(_METRICS)}")
+    return fn(a, b)

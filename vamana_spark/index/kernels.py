@@ -1,0 +1,293 @@
+"""NumPy kernels for Vamana graph build and beam search.
+
+These are the only imperative, per-partition pieces of the engine (they
+run inside Arrow-batched pandas UDFs — SURVEY.md §4.2). Everything here
+is an original implementation of the published DiskANN/Vamana algorithm
+(Subramanya et al., NeurIPS'19), written against the paper:
+
+- ``greedy_search``  — beam search (reference analogue: greedySearch,
+  vamana.h:559-629) with hop / distance-computation counters (the
+  reference Go API stubs these, go_api/vamana_go_api.go:163-171).
+- ``robust_prune``   — the *paper-correct iterative* RobustPrune (the
+  reference ships a simplified non-iterative variant, vamana.h:722-760;
+  SURVEY.md §2 R7 records the deliberate semantics decision).
+- ``build_vamana``   — two-pass build (pass 1 α=1.0, pass 2 α=α) with
+  bidirectional fix-up, matching BuildIndex semantics (vamana.h:221-332)
+  sequentially within a shard; cross-shard parallelism happens at the
+  Spark layer (sharded build, vamana.py).
+
+Vectors are float32 at rest; all distance math is float32 matrix ops
+(BLAS) — recall tolerances dwarf fp error here, unlike the exact-oracle
+path which uses float64 (exact.py).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+def dists_to(P: np.ndarray, ids: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Squared L2 from query q to P[ids] — one vectorized BLAS-ish op."""
+    diff = P[ids] - q
+    return np.einsum("ij,ij->i", diff, diff)
+
+
+def medoid_of(P: np.ndarray) -> int:
+    """Nearest point to the centroid — O(n), the DiskANN-style entry point."""
+    c = P.mean(axis=0)
+    diff = P - c
+    return int(np.argmin(np.einsum("ij,ij->i", diff, diff)))
+
+
+def greedy_search(
+    P: np.ndarray,
+    indptr: np.ndarray,
+    nbrs: np.ndarray,
+    start: int,
+    q: np.ndarray,
+    beam_width: int,
+) -> Tuple[np.ndarray, np.ndarray, int, int]:
+    """Beam search over a CSR adjacency from ``start`` toward ``q``.
+
+    Returns (visited_ids, visited_dists, hops, dist_comps). The beam
+    holds the ``beam_width`` best candidates seen; each round expands the
+    nearest unvisited beam member. Terminates when the beam is fully
+    visited — same fixpoint as the reference loop (vamana.h:580-600).
+    """
+    n = P.shape[0]
+    visited = np.zeros(n, dtype=bool)
+    in_beam = np.zeros(n, dtype=bool)
+
+    beam_ids = np.array([start], dtype=np.int64)
+    beam_d = dists_to(P, beam_ids, q)
+    in_beam[start] = True
+    visited_ids: List[int] = []
+    visited_d: List[float] = []
+    hops = 0
+    dist_comps = 1
+
+    while True:
+        unv = ~visited[beam_ids]
+        if not unv.any():
+            break
+        sub = np.flatnonzero(unv)
+        cur_pos = sub[np.argmin(beam_d[sub])]
+        cur = beam_ids[cur_pos]
+        visited[cur] = True
+        visited_ids.append(int(cur))
+        visited_d.append(float(beam_d[cur_pos]))
+        hops += 1
+
+        neigh = nbrs[indptr[cur] : indptr[cur + 1]]
+        fresh = neigh[~in_beam[neigh]]
+        if fresh.size:
+            fresh = np.unique(fresh)
+            fd = dists_to(P, fresh, q)
+            dist_comps += fresh.size
+            beam_ids = np.concatenate([beam_ids, fresh])
+            beam_d = np.concatenate([beam_d, fd])
+            in_beam[fresh] = True
+            if beam_ids.size > beam_width:
+                # keep the best beam_width; evicted nodes may re-enter later
+                keep = np.argpartition(beam_d, beam_width - 1)[:beam_width]
+                drop_mask = np.ones(beam_ids.size, dtype=bool)
+                drop_mask[keep] = False
+                in_beam[beam_ids[drop_mask]] = False
+                beam_ids = beam_ids[keep]
+                beam_d = beam_d[keep]
+
+    return (
+        np.asarray(visited_ids, dtype=np.int64),
+        np.asarray(visited_d, dtype=np.float64),
+        hops,
+        dist_comps,
+    )
+
+
+def robust_prune(
+    P: np.ndarray,
+    p: int,
+    cand: np.ndarray,
+    cand_d: Optional[np.ndarray],
+    alpha: float,
+    R: int,
+) -> np.ndarray:
+    """Paper-correct iterative RobustPrune.
+
+    Repeatedly admit the nearest surviving candidate p*, then discard every
+    candidate c with alpha * d(p*, c) <= d(p, c) — each admitted neighbor
+    dominates a cone of directions, yielding a sparse navigable graph.
+    """
+    cand = np.unique(cand)
+    cand = cand[cand != p]
+    if cand.size == 0:
+        return cand
+    d_p = dists_to(P, cand, P[p]) if cand_d is None else cand_d
+    order = np.argsort(d_p, kind="stable")
+    cand = cand[order]
+    d_p = d_p[order]
+
+    alive = np.ones(cand.size, dtype=bool)
+    out: List[int] = []
+    while alive.any() and len(out) < R:
+        i = int(np.flatnonzero(alive)[0])  # nearest survivor (cand sorted)
+        star = cand[i]
+        out.append(int(star))
+        alive[i] = False
+        live = np.flatnonzero(alive)
+        if live.size:
+            d_star = dists_to(P, cand[live], P[star])
+            alive[live[alpha * d_star <= d_p[live]]] = False
+    return np.asarray(out, dtype=np.int64)
+
+
+def init_random_graph(n: int, R: int, rng: np.random.Generator) -> List[np.ndarray]:
+    """Seeded random out-degree-R digraph (reference: InitializeGraph,
+    vamana.h:335-387 — WITHOUT its O(n^2) connectivity bitmap)."""
+    R_eff = min(R, max(n - 1, 0))
+    graph: List[np.ndarray] = []
+    for i in range(n):
+        # sample R_eff distinct neighbors != i
+        choice = rng.choice(n - 1, size=R_eff, replace=False) if n > 1 else np.array([], dtype=np.int64)
+        choice = np.where(choice >= i, choice + 1, choice).astype(np.int64)
+        graph.append(choice)
+    return graph
+
+
+def _to_csr(graph: List[np.ndarray], n: int) -> Tuple[np.ndarray, np.ndarray]:
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    for i in range(n):
+        indptr[i + 1] = indptr[i] + len(graph[i])
+    nbrs = np.empty(indptr[-1], dtype=np.int64)
+    for i in range(n):
+        nbrs[indptr[i] : indptr[i + 1]] = graph[i]
+    return indptr, nbrs
+
+
+def build_vamana(
+    P: np.ndarray,
+    R: int,
+    L: int,
+    alpha: float,
+    seed: int = 42,
+) -> Tuple[List[np.ndarray], int]:
+    """Two-pass Vamana build over an (n, dim) float32 matrix.
+
+    Semantics follow BuildIndex (vamana.h:221-332): random init graph →
+    medoid → for each pass (α=1.0 then α=alpha), visit nodes in a seeded
+    random permutation; per node: beam-search from the medoid, prune the
+    (visited ∪ current-neighbors) candidate set, install, then fix up
+    reverse edges (append, or re-prune the target if over degree R).
+    Mutations are applied eagerly (within-shard sequential), which is the
+    reference's semantics minus the OpenMP lock.
+    """
+    n = P.shape[0]
+    if n == 0:
+        return [], -1
+    if n == 1:
+        return [np.array([], dtype=np.int64)], 0
+    rng = np.random.default_rng(seed)
+    graph = init_random_graph(n, R, rng)
+    medoid = medoid_of(P)
+
+    for a in (1.0, float(alpha)):
+        for i in rng.permutation(n):
+            i = int(i)
+            visited_ids, _, _, _ = _greedy_search_adj(
+                P, graph, medoid, P[i], L
+            )
+            cand = np.concatenate([visited_ids, graph[i]])
+            graph[i] = robust_prune(P, i, cand, None, a, R)
+            for j in graph[i]:
+                j = int(j)
+                if i in graph[j]:
+                    continue
+                if len(graph[j]) + 1 > R:
+                    graph[j] = robust_prune(
+                        P, j, np.append(graph[j], i), None, a, R
+                    )
+                else:
+                    graph[j] = np.append(graph[j], i)
+    return graph, medoid
+
+
+def _greedy_search_adj(
+    P: np.ndarray,
+    graph: List[np.ndarray],
+    start: int,
+    q: np.ndarray,
+    beam_width: int,
+) -> Tuple[np.ndarray, np.ndarray, int, int]:
+    """greedy_search over a mutable list-of-arrays adjacency (build path)."""
+    n = P.shape[0]
+    visited = np.zeros(n, dtype=bool)
+    in_beam = np.zeros(n, dtype=bool)
+    beam_ids = np.array([start], dtype=np.int64)
+    beam_d = dists_to(P, beam_ids, q)
+    in_beam[start] = True
+    visited_ids: List[int] = []
+    visited_d: List[float] = []
+    hops = 0
+    comps = 1
+    while True:
+        unv = ~visited[beam_ids]
+        if not unv.any():
+            break
+        sub = np.flatnonzero(unv)
+        cur_pos = sub[np.argmin(beam_d[sub])]
+        cur = int(beam_ids[cur_pos])
+        visited[cur] = True
+        visited_ids.append(cur)
+        visited_d.append(float(beam_d[cur_pos]))
+        hops += 1
+        neigh = graph[cur]
+        fresh = neigh[~in_beam[neigh]] if len(neigh) else neigh
+        if len(fresh):
+            fresh = np.unique(fresh)
+            fd = dists_to(P, fresh, q)
+            comps += fresh.size
+            beam_ids = np.concatenate([beam_ids, fresh])
+            beam_d = np.concatenate([beam_d, fd])
+            in_beam[fresh] = True
+            if beam_ids.size > beam_width:
+                keep = np.argpartition(beam_d, beam_width - 1)[:beam_width]
+                drop = np.ones(beam_ids.size, dtype=bool)
+                drop[keep] = False
+                in_beam[beam_ids[drop]] = False
+                beam_ids = beam_ids[keep]
+                beam_d = beam_d[keep]
+    return (
+        np.asarray(visited_ids, dtype=np.int64),
+        np.asarray(visited_d, dtype=np.float64),
+        hops,
+        comps,
+    )
+
+
+def search_topk(
+    P: np.ndarray,
+    indptr: np.ndarray,
+    nbrs: np.ndarray,
+    medoid: int,
+    q: np.ndarray,
+    k: int,
+    ef_search: int,
+    start: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray, int, int]:
+    """Top-k ANN for one query (reference: Search, vamana.h:492-546).
+
+    ef = max(ef_search, k); beam-search from the entry point, then take
+    the k nearest *visited* nodes. Returns (ids, dists, hops, comps),
+    ascending by distance with index tie-break.
+    """
+    n = P.shape[0]
+    k = min(k, n)
+    ef = max(ef_search, k)
+    entry = medoid if start is None else start
+    visited_ids, visited_d, hops, comps = greedy_search(P, indptr, nbrs, entry, q, ef)
+    if visited_ids.size == 0:
+        return visited_ids, visited_d, hops, comps
+    order = np.lexsort((visited_ids, visited_d))[:k]
+    return visited_ids[order], visited_d[order], hops, comps

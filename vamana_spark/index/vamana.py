@@ -1,0 +1,404 @@
+"""VamanaIndex — Spark-native Vamana (DiskANN-style) ANN index.
+
+Public method surface mirrors the reference C API 1:1 (SURVEY.md §2 R21,
+c_api/vamana_c_api.h:14-47): build / search / search_with_start /
+get_point / save / load / describe / data_size — re-expressed for batch
+DataFrames instead of per-row FFI calls.
+
+Physical design
+---------------
+* **Index layout**: directory-of-Parquet (SURVEY.md §1.3) —
+  ``points/`` (vec_id, ordinal, embedding), ``graph/`` (ordinal,
+  neighbors array<long>), ``_meta.json`` (params + medoid + n). Columnar,
+  splittable, schema-evolvable — vs the reference's opaque binary blob
+  (vamana.h:390-424).
+* **Build**: ``num_shards=1`` → single NumPy kernel run (fits to ~1e6
+  x 128 f32 ≈ 512 MB on the driver). ``num_shards>1`` → sharded DiskANN
+  recipe: k-means-style centers, each point assigned to its
+  ``shard_overlap`` nearest centers, per-shard Vamana builds run in
+  parallel via ``applyInPandas`` (one Arrow group per shard), edge union,
+  then a distributed degree-capped re-prune. No stage ever materializes
+  an O(n^2) structure.
+* **Search**: broadcast (points matrix, CSR graph, medoid) to executors
+  once; ``mapInPandas`` over the *queries* DataFrame runs the beam-search
+  kernel per query — queries scale out, the index is read-only shared
+  state. Per-query hop/distance counters are emitted as columns (the
+  reference's Go API left these as TODO stubs,
+  go_api/vamana_go_api.go:163-171).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vamana_spark import exact
+from vamana_spark.index import kernels
+from vamana_spark.params import VamanaParams
+
+SEARCH_SCHEMA = (
+    "query_id long, vec_id long, dist double, rank int, hops int, dist_comps int"
+)
+
+
+class VamanaIndex:
+    """A built Vamana graph index over a DataFrame of (vec_id, embedding)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        params: VamanaParams,
+        points_df: DataFrame,
+        graph_df: DataFrame,
+    ):
+        self.spark = spark
+        self.params = params
+        self.points_df = points_df  # vec_id long, ordinal long, embedding array<float>
+        self.graph_df = graph_df    # ordinal long, neighbors array<long>
+        self._local: Optional[Tuple[np.ndarray, ...]] = None
+
+    # ------------------------------------------------------------------ build
+
+    @staticmethod
+    def build(
+        spark: SparkSession,
+        df: DataFrame,
+        params: VamanaParams,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "VamanaIndex":
+        """Build the index (reference: BuildIndex, vamana.h:221-332).
+
+        Ordinals are assigned deterministically by ascending vec_id; all
+        randomness flows from ``params.seed``.
+        """
+        params.validate()
+        pts = df.select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+        ).where(F.size(vec_col) == params.dim)  # dimension validation (§1.2)
+        if params.max_points:
+            pts = pts.limit(params.max_points)
+        w = Window.orderBy("vec_id")
+        pts = pts.withColumn("ordinal", F.row_number().over(w) - 1)
+
+        if params.num_shards <= 1:
+            return VamanaIndex._build_single(spark, pts, params)
+        return VamanaIndex._build_sharded(spark, pts, params)
+
+    @staticmethod
+    def _build_single(spark, pts: DataFrame, params: VamanaParams) -> "VamanaIndex":
+        pdf = pts.orderBy("ordinal").toPandas()
+        P = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+        P = _metric_transform(P, params.metric)
+        graph, medoid = kernels.build_vamana(
+            P, params.R, params.L, params.alpha, params.seed
+        )
+        params.n = int(P.shape[0])
+        params.medoid = int(medoid)
+        # plain-Python values: robust whether or not Arrow conversion is on
+        graph_rows = [(i, [int(x) for x in g]) for i, g in enumerate(graph)]
+        graph_df = spark.createDataFrame(graph_rows, "ordinal long, neighbors array<long>")
+        points_df = pts.select("vec_id", "ordinal", "embedding")
+        return VamanaIndex(spark, params, points_df, graph_df)
+
+    @staticmethod
+    def _build_sharded(spark, pts: DataFrame, params: VamanaParams) -> "VamanaIndex":
+        """Sharded build (DiskANN §4 recipe, SURVEY.md §7 M3 scale path).
+
+        1. Pick ``num_shards`` centers from a seeded sample.
+        2. Assign every point to its 2 nearest centers (overlap stitches
+           the shards into one navigable graph).
+        3. ``applyInPandas`` per shard: local Vamana build over the
+           shard's points, emitting GLOBAL-ordinal adjacency.
+        4. Union shard edges; degree-cap re-prune per node with the
+           paper's RobustPrune inside one more ``applyInPandas``.
+        """
+        S = params.num_shards
+        centers_pdf = (
+            pts.select("ordinal", "embedding")
+            .orderBy(F.xxhash64(F.col("ordinal") + F.lit(params.seed)))
+            .limit(S)
+            .toPandas()
+        )
+        C = np.stack(centers_pdf["embedding"].to_numpy()).astype(np.float32)
+        C = _metric_transform(C, params.metric)
+        bc = spark.sparkContext.broadcast(C)
+
+        assign_schema = "ordinal long, shard int"
+
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            Cv = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+                X = _metric_transform(X, params.metric)
+                d = exact._dist_matrix(X, Cv, "l2sq")
+                near2 = np.argsort(d, axis=1)[:, :2]
+                out = pd.DataFrame(
+                    {
+                        "ordinal": np.repeat(pdf["ordinal"].to_numpy(), 2),
+                        "shard": near2.ravel().astype(np.int32),
+                    }
+                )
+                yield out
+
+        assignments = pts.select("ordinal", "embedding").mapInPandas(
+            assign, schema=assign_schema
+        )
+        sharded = assignments.join(pts, "ordinal")  # ordinal, shard, vec_id, embedding
+
+        edge_schema = "src long, dst long"
+        R, L, alpha, seed, metric = params.R, params.L, params.alpha, params.seed, params.metric
+
+        def build_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("ordinal").reset_index(drop=True)
+            P = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+            P = _metric_transform(P, metric)
+            ords = pdf["ordinal"].to_numpy(dtype=np.int64)
+            graph, _ = kernels.build_vamana(P, R, L, alpha, seed + int(key[0]))
+            src = np.concatenate(
+                [np.full(len(g), ords[i], dtype=np.int64) for i, g in enumerate(graph)]
+            ) if graph else np.array([], dtype=np.int64)
+            dst = (
+                np.concatenate([ords[np.asarray(g, dtype=np.int64)] for g in graph])
+                if graph
+                else np.array([], dtype=np.int64)
+            )
+            return pd.DataFrame({"src": src, "dst": dst})
+
+        edges = sharded.groupBy("shard").applyInPandas(build_shard, schema=edge_schema)
+        edges = edges.dropDuplicates(["src", "dst"])
+
+        # Degree-cap re-prune: nodes over R (union of 2 shard builds) get the
+        # paper prune over their merged candidate set. Needs src + dst vectors
+        # co-located: join dst vector, group by src.
+        dstv = pts.select(
+            F.col("ordinal").alias("dst"), F.col("embedding").alias("dst_vec")
+        )
+        srcv = pts.select(
+            F.col("ordinal").alias("src"), F.col("embedding").alias("src_vec")
+        )
+        cand = edges.join(dstv, "dst").join(srcv, "src")
+
+        prune_schema = "ordinal long, neighbors array<long>"
+        alpha_f = float(params.alpha)
+
+        def prune_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            src = int(key[0])
+            dsts = pdf["dst"].to_numpy(dtype=np.int64)
+            if dsts.size <= R:
+                return pd.DataFrame({"ordinal": [src], "neighbors": [dsts]})
+            V = np.stack(pdf["dst_vec"].to_numpy()).astype(np.float32)
+            V = _metric_transform(V, metric)
+            sv = np.asarray(pdf["src_vec"].iloc[0], dtype=np.float32)
+            sv = _metric_transform(sv[None, :], metric)[0]
+            diff = V - sv
+            d = np.einsum("ij,ij->i", diff, diff)
+            # local prune over the candidate set: reuse robust_prune on a
+            # compact sub-matrix (src appended as the query point).
+            Psub = np.vstack([V, sv[None, :]])
+            local = kernels.robust_prune(
+                Psub, Psub.shape[0] - 1, np.arange(V.shape[0]), d, alpha_f, R
+            )
+            return pd.DataFrame({"ordinal": [src], "neighbors": [dsts[local]]})
+
+        graph_df = cand.groupBy("src").applyInPandas(prune_group, schema=prune_schema)
+
+        # nodes that somehow got no out-edges (singleton shards): empty adjacency
+        missing = pts.select("ordinal").join(
+            graph_df.select("ordinal"), "ordinal", "left_anti"
+        ).withColumn("neighbors", F.array().cast("array<long>"))
+        graph_df = graph_df.unionByName(missing)
+
+        params.n = pts.count()
+        params.medoid = int(
+            pts.where(F.col("vec_id") == exact.medoid_approx(pts)).first()["ordinal"]
+        ) if params.metric == "l2sq" else 0
+        points_df = pts.select("vec_id", "ordinal", "embedding")
+        return VamanaIndex(spark, params, points_df, graph_df)
+
+    # ----------------------------------------------------------------- search
+
+    def _load_local(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """(P, ids, indptr, nbrs) — the broadcastable in-memory form."""
+        if self._local is None:
+            pdf = self.points_df.select("ordinal", "vec_id", "embedding").orderBy(
+                "ordinal"
+            ).toPandas()
+            P = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+            P = _metric_transform(P, self.params.metric)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            gpdf = self.graph_df.orderBy("ordinal").toPandas()
+            graph = [np.asarray(g, dtype=np.int64) for g in gpdf["neighbors"]]
+            indptr, nbrs = kernels._to_csr(graph, len(graph))
+            self._local = (P, ids, indptr, nbrs)
+        return self._local
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int,
+        ef_search: Optional[int] = None,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+        starts: Optional[DataFrame] = None,
+    ) -> DataFrame:
+        """Batch top-k ANN search (reference: Search, vamana.h:492-546).
+
+        Returns (query_id, vec_id, dist, rank, hops, dist_comps). The
+        index is broadcast once; queries are partition-parallel.
+        """
+        ef = int(ef_search or self.params.ef_search)
+        metric = self.params.metric
+        medoid = int(self.params.medoid if self.params.medoid is not None else 0)
+        bidx = self.spark.sparkContext.broadcast(self._load_local())
+
+        qsel = queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+        )
+        if starts is not None:
+            qsel = qsel.join(starts, "query_id", "left")
+            has_start = True
+        else:
+            has_start = False
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            P, ids, indptr, nbrs = bidx.value
+            ord_of = None
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                out = {"query_id": [], "vec_id": [], "dist": [], "rank": [],
+                       "hops": [], "dist_comps": []}
+                for row in pdf.itertuples(index=False):
+                    q = np.asarray(row.qv, dtype=np.float32)
+                    q = _metric_transform(q[None, :], metric)[0]
+                    start = None
+                    if has_start and getattr(row, "start_ordinal", None) is not None:
+                        so = row.start_ordinal
+                        if so is not None and not (isinstance(so, float) and np.isnan(so)):
+                            start = int(so)
+                    rid, rd, hops, comps = kernels.search_topk(
+                        P, indptr, nbrs, medoid, q, k, ef, start=start
+                    )
+                    m = rid.size
+                    out["query_id"].extend([row.query_id] * m)
+                    out["vec_id"].extend(ids[rid].tolist())
+                    out["dist"].extend(rd.tolist())
+                    out["rank"].extend(range(1, m + 1))
+                    out["hops"].extend([hops] * m)
+                    out["dist_comps"].extend([comps] * m)
+                yield pd.DataFrame(out)
+
+        return qsel.mapInPandas(run, schema=SEARCH_SCHEMA)
+
+    def search_with_start(
+        self,
+        queries: DataFrame,
+        starts: DataFrame,
+        k: int,
+        ef_search: Optional[int] = None,
+        query_id_col: str = "query_id",
+        start_vec_col: str = "start_vec",
+    ) -> DataFrame:
+        """Reference: SearchWithStartPoint (vamana.h:426-489) — resolve each
+        start vector to the nearest dataset point (exact 1-NN scan,
+        vamana.h:441-449), then beam-search from there."""
+        resolved = exact.nearest_point(
+            self.points_df,
+            starts.select(query_id_col, F.col(start_vec_col).alias("query_vec")),
+            metric=self.params.metric,
+            exclude_self=False,
+        ).select("query_id", F.col("vec_id").alias("_start_vec_id"))
+        with_ord = resolved.join(
+            self.points_df.select(
+                F.col("vec_id").alias("_start_vec_id"),
+                F.col("ordinal").alias("start_ordinal"),
+            ),
+            "_start_vec_id",
+        ).select("query_id", "start_ordinal")
+        return self.search(
+            queries, k, ef_search, query_id_col=query_id_col, starts=with_ord
+        )
+
+    # ------------------------------------------------------------ point/meta
+
+    def get_point(self, vec_id: int) -> DataFrame:
+        """Reference: GetPoint (vamana.h:549-555) — keyed by vec_id (§1.4)."""
+        return self.points_df.where(F.col("vec_id") == vec_id).select(
+            "vec_id", "embedding"
+        )
+
+    @property
+    def data_size(self) -> int:
+        return self.params.n or self.points_df.count()
+
+    def describe(self) -> dict:
+        """Reference: PrintParams / getters (vamana.h:41-53)."""
+        return json.loads(self.params.to_json())
+
+    def degree_stats(self) -> DataFrame:
+        """Reference: healthCheck (vamana.h:705-720), as a real operator:
+        per-node out-degree plus global max/avg."""
+        return self.graph_df.select(
+            F.col("ordinal"), F.size("neighbors").alias("out_degree")
+        )
+
+    def health_check(self) -> dict:
+        row = (
+            self.degree_stats()
+            .agg(
+                F.max("out_degree").alias("max_deg"),
+                F.avg("out_degree").alias("avg_deg"),
+                F.count("*").alias("n"),
+            )
+            .first()
+        )
+        ok = row["max_deg"] is None or row["max_deg"] <= self.params.R
+        return {
+            "ok": bool(ok),
+            "max_degree": row["max_deg"],
+            "avg_degree": row["avg_deg"],
+            "n": row["n"],
+            "R": self.params.R,
+        }
+
+    # ------------------------------------------------------------- persist
+
+    def save(self, path: str) -> None:
+        """Directory-of-Parquet index format (SURVEY.md §1.3): points/,
+        graph/, _meta.json. Replaces the reference's binary blob
+        (SaveIndex, vamana.h:390-424) with a splittable layout."""
+        self.points_df.write.mode("overwrite").parquet(os.path.join(path, "points"))
+        self.graph_df.write.mode("overwrite").parquet(os.path.join(path, "graph"))
+        with open(os.path.join(path, "_meta.json"), "w") as f:
+            f.write(self.params.to_json())
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "VamanaIndex":
+        """Reference: file constructor (vamana.h:55-96)."""
+        with open(os.path.join(path, "_meta.json")) as f:
+            params = VamanaParams.from_json(f.read())
+        points_df = spark.read.parquet(os.path.join(path, "points"))
+        graph_df = spark.read.parquet(os.path.join(path, "graph"))
+        return cls(spark, params, points_df, graph_df)
+
+
+def _metric_transform(X: np.ndarray, metric: str) -> np.ndarray:
+    """Reduce cosine to L2-on-normalized-vectors so one kernel serves all
+    metrics; ip is handled at the kernel level via sign flip upstream
+    (for the graph-search path, ip uses raw vectors + l2 geometry, an
+    accepted MIPS-via-L2 approximation unless vectors are normalized)."""
+    if metric == "cosine":
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return (X / norms).astype(np.float32)
+    return X

@@ -1,0 +1,355 @@
+"""Deduplication operators (SURVEY.md §2b X1/X2) — exact, MinHash-LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale notes (the whole point of these):
+- Exact dedup is a hash-partitioned window — one shuffle on the content
+  hash, map-side combine-free but skew-safe (hashes are uniform).
+- MinHash-LSH is implemented as pure DataFrame ops (shingle → explode →
+  per-seed min-hash → band → band-bucket self-join) so candidate
+  generation is an equi-join on (band_id, band_hash) — shuffle-friendly,
+  no cross product ever materializes. Verification re-checks exact
+  Jaccard only on candidate pairs.
+- SimHash buckets by 16-bit bands of a 64-bit signature (Hamming-ball
+  blocking), same equi-join shape.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------- exact
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Keep one representative (lowest id) per exact text hash (X1).
+
+    sha2-256 content key → window rank. One shuffle; uniform keys.
+    """
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")) if normalize else F.col(text_col)
+    keyed = df.withColumn("_ck", F.sha2(norm, 256))
+    w = Window.partitionBy("_ck").orderBy(F.col(id_col).asc())
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_ck", "_rn")
+    )
+
+
+def duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-duplicate clusters: (content_hash, canonical_id, dup_ids, n_dups)."""
+    keyed = df.select(
+        F.col(id_col), F.sha2(F.col(text_col), 256).alias("content_hash")
+    )
+    return (
+        keyed.groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+            F.count("*").cast("long").alias("n_members"),
+        )
+        .where(F.col("n_members") > 1)
+    )
+
+
+# ------------------------------------------------------------------ shingles
+
+def char_shingles(text_col: str, n: int = 5, lowercase: bool = True) -> Column:
+    """Character n-gram shingles as an array<string> (distinct).
+
+    Built with sequence+transform+substring — pure Catalyst, no UDF.
+    """
+    t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    t = F.regexp_replace(t, r"\s+", " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(n))))
+
+
+def word_shingles(text_col: str, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct), whitespace tokenization."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    return F.array_distinct(
+        F.when(
+            cnt >= n,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+# -------------------------------------------------------------- exact Jaccard
+
+def ngram_jaccard_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    block_col: Optional[str] = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: pairs (a, b), a < b, with
+    jaccard >= threshold. ``block_col`` restricts comparisons to equal
+    blocking keys (turning the cross join into an equi-join); without it
+    this is quadratic and should only run on small/sampled data — the
+    scale path is ``minhash_lsh_candidates``.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(text_col, n).alias("_sh"),
+        *([F.col(block_col).alias("_blk")] if block_col else []),
+    )
+    a = sh.select(
+        F.col("_id").alias("a_id"), F.col("_sh").alias("a_sh"),
+        *([F.col("_blk").alias("_blk")] if block_col else []),
+    )
+    b = sh.select(
+        F.col("_id").alias("b_id"), F.col("_sh").alias("b_sh"),
+        *([F.col("_blk").alias("_blk2")] if block_col else []),
+    )
+    if block_col:
+        pairs = a.join(b, (F.col("_blk") == F.col("_blk2")) & (F.col("a_id") < F.col("b_id")))
+    else:
+        pairs = a.crossJoin(b).where(F.col("a_id") < F.col("b_id"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
+    union = F.size(F.array_union("a_sh", "b_sh")).cast("double")
+    return (
+        pairs.select(
+            "a_id",
+            "b_id",
+            F.round(inter / F.greatest(union, F.lit(1.0)), 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------------------------------- MinHash + LSH
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature as array<long>[num_hashes].
+
+    h_i(x) = xxhash64(shingle, seed=i); signature[i] = min over shingles.
+    Computed without explode: aggregate over the shingle array per seed —
+    map-side only, zero shuffle.
+    """
+    sh = df.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh")
+    )
+    def _minhash_seed(i: int):
+        return lambda acc, s: F.least(acc, F.xxhash64(s, F.lit(i)))
+
+    sig = F.array(
+        *[
+            F.aggregate(
+                F.col("_sh"),
+                F.lit(2**63 - 1).cast("long"),
+                _minhash_seed(i),
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return sh.select(F.col(id_col), sig.alias("minhash"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Banded-LSH candidate pairs (a_id < b_id, distinct).
+
+    Signature split into ``bands`` rows of ``num_hashes/bands``; docs
+    sharing any band hash become candidates. Equi-join on
+    (band_id, band_hash) — the 100-TB-safe shape.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("minhash")[b * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("a_id"), "band_id", "band_hash"
+    )
+    b = banded.select(
+        F.col(id_col).alias("b_id"), "band_id", "band_hash"
+    )
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs: LSH candidates re-verified with exact Jaccard
+    over shingle sets (joins shingles back onto the candidate pairs only).
+    Returns (a_id, b_id, jaccard >= threshold)."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
+    sh = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh"))
+    av = sh.select(F.col(id_col).alias("a_id"), F.col("_sh").alias("a_sh"))
+    bv = sh.select(F.col(id_col).alias("b_id"), F.col("_sh").alias("b_sh"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
+    union = F.size(F.array_union("a_sh", "b_sh")).cast("double")
+    return (
+        cands.join(av, "a_id")
+        .join(bv, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(inter / F.greatest(union, F.lit(1.0)), 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------------------------------------- SimHash
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens.
+
+    Per bit b: sum over tokens of (+1 if bit b of xxhash64(token) else -1);
+    signature bit = sign. Expressed as array-aggregate built-ins.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    def _bit_sum(b: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_sums = F.array(
+        *[
+            F.aggregate(hashes, F.lit(0).cast("long"), _bit_sum(b))
+            for b in range(bits)
+        ]
+    )
+    # fold bit b into the signature when its vote sum is positive; bit 63
+    # uses the sign bit of the signed long (two's-complement wrap)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        bit_val = (1 << b) if b < 63 else -(1 << 63)
+        sig = sig.bitwiseOR(
+            F.when(bit_sums[b] > 0, F.lit(bit_val).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return df.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Blocking: 4 bands of 16 bits — any pair within Hamming 3 of a 64-bit
+    signature must agree on at least one band (pigeonhole). Candidates
+    from band equi-joins, then exact popcount verification.
+    """
+    sigs = simhash_signatures(df, text_col, id_col)
+    banded = sigs.select(
+        F.col(id_col),
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * 16)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .cast("int")
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("a_id"), F.col("simhash").alias("a_sig"), "band_id", "band_val"
+    )
+    b = banded.select(
+        F.col(id_col).alias("b_id"), F.col("simhash").alias("b_sig"), "band_id", "band_val"
+    )
+    cand = (
+        a.join(b, ["band_id", "band_val"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sig", "b_sig")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig")))
+    return cand.select(
+        "a_id", "b_id", ham.cast("int").alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)
+
+
+# ------------------------------------------------- embedding cosine near-dup
+
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairs of vectors with cosine similarity >= threshold.
+
+    Exact all-pairs form (broadcast self-join) for modest n / oracle
+    parity; at scale, route through VamanaIndex.search or LSH blocking
+    (similarity.lsh_similarity_join) instead of the cross product.
+    """
+    from vamana_spark.functions.vector import cosine_distance
+
+    a = emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_v"))
+    b = emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_v"))
+    pairs = a.crossJoin(F.broadcast(b)).where(F.col("a_id") < F.col("b_id"))
+    sim = F.lit(1.0) - cosine_distance("a_v", "b_v")
+    return pairs.select(
+        "a_id", "b_id", F.round(sim, 4).alias("cosine_sim")
+    ).where(F.col("cosine_sim") >= threshold)

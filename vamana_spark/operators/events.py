@@ -1,0 +1,105 @@
+"""Event-stream operators over the ``events`` table (SURVEY.md §2b X7):
+time-window rollups and gap-based sessionization. Batch forms here;
+the Structured Streaming mirrors live in ``vamana_spark.streaming``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """Per-hour x event_type rollup: count, sum/avg value, distinct users.
+
+    ``date_trunc`` keeps the group key a plain timestamp (partition-prunable
+    on a date-partitioned 100-TB event store); output hour is formatted as
+    a string at the presentation edge for engine-portable comparison.
+    """
+    hour = F.date_trunc("hour", F.col("ts"))
+    return (
+        events.groupBy(hour.alias("_h"), F.col("event_type"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .select(
+            F.date_format("_h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+            "n_users",
+        )
+    )
+
+
+def tumbling_window_rollup(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Same rollup via ``F.window`` — the form that transfers 1:1 to
+    Structured Streaming (watermark + window)."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").cast("long").alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based session ids per user: a new session starts when the gap
+    from the previous event exceeds ``gap_minutes``.
+
+    Classic lag + cumulative-sum over a per-user window — one shuffle on
+    user_id; sessions never span partitions because user_id is the key.
+    Returns events + (session_seq, session_id).
+    """
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.col("ts").cast("double") - prev_ts.cast("double") > gap_minutes * 60),
+        1,
+    ).otherwise(0)
+    with_seq = events.withColumn("_new", is_new).withColumn(
+        "session_seq", F.sum("_new").over(w).cast("long")
+    )
+    return with_seq.drop("_new").withColumn(
+        "session_id",
+        F.concat_ws("-", F.col("user_id").cast("string"), F.col("session_seq").cast("string")),
+    )
+
+
+def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-session aggregates: span, event count, value sum."""
+    s = sessionize(events, gap_minutes)
+    return (
+        s.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(
+                (F.max(F.col("ts").cast("double")) - F.min(F.col("ts").cast("double"))),
+                3,
+            ).alias("duration_sec"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def top_users_by_value(events: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k users by total event value; dense ranking, deterministic ties."""
+    totals = events.groupBy("user_id").agg(
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    w = Window.orderBy(F.col("total_value").desc(), F.col("user_id").asc())
+    return (
+        totals.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )

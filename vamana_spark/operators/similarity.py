@@ -1,0 +1,263 @@
+"""Similarity-search operators over embedding columns (SURVEY.md §2b X3/X4).
+
+Three tiers, trading exactness for scale:
+  1. ``knn_self_join``      — exact top-k per point (brute force, the
+     baseline and oracle).
+  2. ``ivf_topk``           — IVF: k-means-style coarse quantizer, search
+     only the ``nprobe`` nearest inverted lists. The equi-join on
+     cluster id replaces the cross product: this is the 100-TB shape.
+  3. ``lsh_similarity_join``— random-hyperplane LSH bucketing for
+     radius-style cosine joins.
+Plus ``normalize_embeddings`` (X4) as a plain column expression.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vamana_spark import exact
+from vamana_spark.functions.vector import l2_norm
+
+
+def normalize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "unit_vec"
+) -> DataFrame:
+    """L2-normalize a vector column (cosine prep, X4). Zero vectors → null."""
+    norm = l2_norm(vec_col)
+    return df.withColumn(
+        out_col,
+        F.when(
+            norm > 0,
+            F.transform(F.col(vec_col), lambda x: x.cast("double") / norm),
+        ),
+    )
+
+
+def knn_self_join(
+    emb: DataFrame,
+    k: int = 3,
+    metric: str = "l2sq",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: Optional[int] = 4,
+    where=None,
+) -> DataFrame:
+    """Exact top-k neighbors for EVERY point (self-join kNN, X3 exact).
+
+    Uses the two-stage partial-top-k plan when the left side is large;
+    here the declarative broadcast plan (queries = the filtered set).
+    """
+    pts = emb
+    queries = emb.where(where) if where is not None else emb
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    return exact.exact_knn(
+        pts, q, k=k, metric=metric, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits, exclude_self=True,
+    )
+
+
+def ivf_build(
+    emb: DataFrame,
+    num_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    iters: int = 5,
+) -> DataFrame:
+    """IVF coarse quantizer: Lloyd's k-means (seeded, few iters) run as
+    repeated mapInPandas-assign + groupBy-centroid-update; returns the
+    assignment DataFrame (vec_id, list_id) and stashes centers in
+    ``.attrs``-style return (centers as a local ndarray on the driver).
+
+    The assignment join key (list_id) is what kills the cross product at
+    scale: probing c of C lists scans ~n*c/C vectors.
+    """
+    spark = emb.sparkSession
+    sample = (
+        emb.select(vec_col)
+        .orderBy(F.xxhash64(F.col(id_col) + F.lit(seed)))
+        .limit(num_lists)
+        .toPandas()
+    )
+    C = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(C)
+
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            Cv = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                d = exact._dist_matrix(X, Cv, "l2sq")
+                out = pd.DataFrame(
+                    {
+                        "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
+                        "list_id": d.argmin(axis=1).astype(np.int32),
+                    }
+                )
+                yield out
+
+        assigned = emb.select(id_col, vec_col).mapInPandas(
+            assign, schema="vec_id long, list_id int"
+        )
+        # centroid update: posexplode + groupBy(list_id, pos) — map-side partials
+        upd = (
+            assigned.join(
+                emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")),
+                "vec_id",
+            )
+            .select("list_id", F.posexplode("_v").alias("pos", "v"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .toPandas()
+        )
+        for lid, grp in upd.groupby("list_id"):
+            C[int(lid)] = grp.sort_values("pos")["m"].to_numpy()
+
+    bc = spark.sparkContext.broadcast(C)
+
+    def assign_final(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Cv = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d = exact._dist_matrix(X, Cv, "l2sq")
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "list_id": d.argmin(axis=1).astype(np.int32),
+                }
+            )
+
+    assignments = emb.select(id_col, vec_col).mapInPandas(
+        assign_final, schema="vec_id long, list_id int"
+    )
+    assignments._ivf_centers = C  # driver-side attachment for probing
+    return assignments
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_lists: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: probe the ``nprobe`` nearest IVF lists per query.
+
+    Plan: queries×lists assignment is computed driver-side against the
+    (tiny) center matrix; the candidate scan is an equi-join on list_id
+    followed by the same partial-top-k merge as exact_knn_batch — no
+    cross product, shuffle carries only candidate rows.
+    """
+    spark = emb.sparkSession
+    assignments = ivf_build(emb, num_lists, id_col, vec_col, seed)
+    C = assignments._ivf_centers
+
+    qrows = queries.select("query_id", "query_vec").toPandas()
+    Q = np.stack(qrows["query_vec"].to_numpy()).astype(np.float64)
+    qd = exact._dist_matrix(Q, C, "l2sq")
+    probe = np.argsort(qd, axis=1)[:, :nprobe]
+    probe_rows = [
+        (int(qid), int(lid))
+        for qid, lids in zip(qrows["query_id"].to_numpy(dtype=np.int64), probe)
+        for lid in lids
+    ]
+    probes = spark.createDataFrame(probe_rows, "query_id long, list_id int")
+
+    cands = (
+        assignments.join(F.broadcast(probes), "list_id")
+        .join(emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_pv")), "vec_id")
+        .join(
+            F.broadcast(
+                queries.select("query_id", F.col("query_vec").alias("_qv"))
+            ),
+            "query_id",
+        )
+    )
+    from vamana_spark.functions.vector import pairwise_distance
+
+    d = cands.select(
+        "query_id", "vec_id", pairwise_distance("_qv", "_pv", "l2sq").alias("dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("dist", 4).alias("dist"), F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def lsh_similarity_join(
+    emb: DataFrame,
+    num_planes: int = 16,
+    bands: int = 4,
+    max_cosine_dist: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Cosine radius join via random-hyperplane LSH.
+
+    Signature: sign pattern of dot(v, r_i) for ``num_planes`` seeded
+    Gaussian planes, banded for candidate generation (equi-join on band
+    value), then exact cosine verification on candidates only.
+    """
+    rng = np.random.default_rng(seed)
+    first = emb.select(F.size(vec_col).alias("d")).first()
+    dim = first["d"]
+    planes = rng.standard_normal((num_planes, dim))
+
+    plane_cols = []
+    for i in range(num_planes):
+        expr = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in planes[i]]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        plane_cols.append(F.when(expr > 0, 1).otherwise(0))
+
+    rows_per_band = num_planes // bands
+    band_vals = [
+        F.concat_ws("", *[c.cast("string") for c in plane_cols[b * rows_per_band : (b + 1) * rows_per_band]])
+        for b in range(bands)
+    ]
+    sig = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(F.array(*band_vals)).alias("band_id", "band_val"),
+    )
+    a = sig.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_v"), "band_id", "band_val"
+    )
+    b = sig.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_v"), "band_id", "band_val"
+    )
+    cand = (
+        a.join(b, ["band_id", "band_val"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_v", "b_v")
+        .distinct()
+    )
+    from vamana_spark.functions.vector import cosine_distance
+
+    return cand.select(
+        "a_id", "b_id", F.round(cosine_distance("a_v", "b_v"), 4).alias("cos_dist")
+    ).where(F.col("cos_dist") <= max_cosine_dist)

@@ -1,0 +1,175 @@
+"""Text analysis operators for LLM-data pipelines (SURVEY.md §2b X5/X6).
+
+All hot-path logic is built-in Catalyst expressions (split / regexp /
+aggregate / transform) — no Python UDFs — so these run whole-stage
+codegen'd over 100 TB of documents. Tokenization convention: a BPE-ish
+regex (word pieces + standalone punctuation) shared by every operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# word pieces or single non-space punctuation — the "BPE-ish" splitter
+TOKEN_PATTERN = r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"
+
+# tiny in-engine stopword profiles for the language-ID heuristic
+_LANG_PROFILES = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "as"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "las", "por"],
+    "de": ["der", "die", "und", "das", "von", "mit", "den", "für", "ist", "im"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "une", "que"],
+}
+
+_STOPWORDS = sorted({w for ws in _LANG_PROFILES.values() for w in ws})
+
+
+def tokens(text_col: str = "text") -> Column:
+    """Tokenize with the shared BPE-ish regex; empty strings dropped."""
+    return F.filter(
+        F.split(F.col(text_col), r"\s+"),
+        lambda t: t != "",
+    )
+
+
+def regex_tokens(text_col: str = "text") -> Column:
+    """Regex token extraction (word pieces + punctuation marks)."""
+    return F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_PATTERN), 0)
+
+
+def text_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document stats: chars, whitespace tokens, regex tokens, avg token
+    length, punctuation / digit / whitespace ratios. All built-ins."""
+    toks = tokens(text_col)
+    n_chars = F.length(text_col).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(regex_tokens(text_col)).cast("long").alias("n_pieces"),
+        F.round(
+            F.when(
+                F.size(toks) > 0,
+                F.aggregate(
+                    toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+                )
+                / F.size(toks),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("avg_token_len"),
+        F.round(
+            (n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", "")))
+            / F.greatest(n_chars, F.lit(1)).cast("double"),
+            4,
+        ).alias("punct_ratio"),
+        F.round(
+            (n_chars - F.length(F.regexp_replace(F.col(text_col), r"[0-9]", "")))
+            / F.greatest(n_chars, F.lit(1)).cast("double"),
+            4,
+        ).alias("digit_ratio"),
+    )
+
+
+def grouped_text_stats(
+    df: DataFrame, group_cols=("lang", "source"), text_col: str = "text"
+) -> DataFrame:
+    """Per-(lang, source) aggregates (SURVEY.md X6)."""
+    return (
+        df.groupBy(*group_cols)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.length(text_col)).cast("long").alias("total_chars"),
+            F.round(F.avg(F.length(text_col)), 4).alias("avg_chars"),
+            F.round(F.avg(F.size(tokens(text_col))), 4).alias("avg_tokens"),
+        )
+    )
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic quality score in [0,1] — the classic pretraining-data
+    filters (length band, stopword hit rate, punctuation sanity,
+    repetition). Deterministic, fully expression-based.
+    """
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    stop_hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in _STOPWORDS])))
+    uniq_ratio = F.when(
+        n_tok > 0, F.size(F.array_distinct(toks)) / n_tok.cast("double")
+    ).otherwise(F.lit(0.0))
+    len_ok = (n_tok >= 5) & (n_tok <= 100000)
+    punct = (
+        F.length(text_col)
+        - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    ) / F.greatest(F.length(text_col), F.lit(1)).cast("double")
+    score = (
+        F.when(len_ok, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(stop_hits > 0, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(punct < 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.least(uniq_ratio, F.lit(1.0)) * 0.2
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(uniq_ratio, 4).alias("uniq_token_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Stopword-profile language ID (n-gram-heuristic class, SURVEY.md §2b).
+
+    Scores each language by profile-word hits in the token set; argmax
+    with deterministic lexicographic tie-break. Pure built-ins
+    (array_intersect against broadcast literal arrays).
+    """
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    scores = [
+        F.struct(
+            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws]))).alias(
+                "hits"
+            ),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, ws in sorted(_LANG_PROFILES.items(), reverse=True)
+    ]
+    # array_max on structs: max by hits, then (reverse-sorted input) the
+    # lexicographically-smallest lang wins ties deterministically
+    best = F.array_max(F.array(*scores))
+    return df.select(
+        F.col(id_col),
+        best["lang"].alias("pred_lang"),
+        best["hits"].cast("long").alias("profile_hits"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic document fingerprint: md5 over the normalized token
+    stream (rolling-hash-class content identity; md5 exists in both Spark
+    and DuckDB so the oracle can replicate it exactly)."""
+    norm = F.concat_ws(
+        " ", F.transform(tokens(text_col), lambda t: F.lower(t))
+    )
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fingerprint"),
+        F.sha2(norm, 256).alias("sha256"),
+    )
+
+
+def token_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level token frequency (explode → count). The shuffle key is
+    the token itself; AQE handles the inevitable Zipf skew."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )

@@ -1,0 +1,890 @@
+"""Declared oracle query set (SURVEY.md §2c) — the correctness gate.
+
+Every entry in ``QUERIES`` is a callable ``(spark, sf_dir) -> DataFrame``;
+entries with a matching key in ``ORACLE_SQL`` are hash-compared against
+DuckDB running that SQL over the same parquet (views pre-registered by
+the driver). Entries without oracle SQL are rows-only checks (randomized
+or engine-specific-hash outputs: ANN search, LSH, xxhash-based sketches).
+
+Determinism conventions (FIXTURES.md §C):
+- double math everywhere (components cast before arithmetic);
+- money aggregates sum in DECIMAL(18,6) on BOTH engines → bit-exact,
+  then rounded at the presentation edge;
+- ranks break ties by id; fixed query sets are ``vec_id % k == 0``;
+- distances rounded to 4 decimals in the output only.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vamana_spark import exact
+from vamana_spark.functions.vector import l2_norm, pairwise_distance, squared_l2
+from vamana_spark.operators import dedup, events as ev, relational, similarity, text
+from vamana_spark.operators.text import _LANG_PROFILES, _STOPWORDS, TOKEN_PATTERN
+from vamana_spark.params import VamanaParams
+from vamana_spark.sources import load_table
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: Dict[str, str] = {}
+
+
+def declare(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+    return deco
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+# SQL fragment: squared L2 between two DOUBLE-cast float lists (DuckDB).
+def _sq_l2_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * "
+        f"(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+    )
+
+
+_TOKS_SQL = "list_filter(string_split_regex({t}, '\\s+'), x -> x <> '')"
+
+
+# ======================================================================
+# Vector / index queries (reference surface R4, R10-R14, R17-R18)
+# ======================================================================
+
+@declare(
+    "q_scan_embeddings",
+    "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, label FROM embeddings",
+)
+def q_scan_embeddings(spark, sf_dir):
+    """R17 source scan: project id, dimension, label."""
+    return _emb(spark, sf_dir).select(
+        "vec_id", F.size("embedding").cast("long").alias("dim"), "label"
+    )
+
+
+@declare(
+    "q_get_point",
+    """
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+           round(CAST(unnest(embedding) AS DOUBLE), 6) AS val
+    FROM embeddings WHERE vec_id = 7
+    """,
+)
+def q_get_point(spark, sf_dir):
+    """R12 point lookup, exploded to (pos, val)."""
+    return (
+        _emb(spark, sf_dir)
+        .where(F.col("vec_id") == 7)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .select(
+            "vec_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.round(F.col("val").cast("double"), 6).alias("val"),
+        )
+    )
+
+
+@declare(
+    "q_distance_pair",
+    f"""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round({_sq_l2_sql('a.embedding', 'b.embedding')}, 4) AS dist
+    FROM embeddings a, embeddings b WHERE a.vec_id = 0 AND b.vec_id = 1
+    """,
+)
+def q_distance_pair(spark, sf_dir):
+    """R13 squared-L2 between two fixed points."""
+    e = _emb(spark, sf_dir)
+    a = e.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("_a")
+    )
+    b = e.where(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("_b")
+    )
+    return a.crossJoin(b).select(
+        "a_id", "b_id", F.round(squared_l2("_a", "_b"), 4).alias("dist")
+    )
+
+
+_KNN_ORACLE = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 25 = 0),
+    d AS (
+      SELECT q.query_id, p.vec_id,
+             {_sq_l2_sql('q.embedding', 'p.embedding')} AS dist
+      FROM q, embeddings p
+    ),
+    r AS (
+      SELECT query_id, vec_id, dist,
+             row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+      FROM d
+    )
+    SELECT query_id, vec_id, round(dist, 4) AS dist, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 10
+"""
+
+
+def _fixed_queries(e: DataFrame, mod: int) -> DataFrame:
+    return e.where(F.col("vec_id") % mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+@declare("q_knn_exact", _KNN_ORACLE)
+def q_knn_exact(spark, sf_dir):
+    """R14 exact kNN oracle query — declarative broadcast+window plan."""
+    e = _emb(spark, sf_dir)
+    out = exact.exact_knn(e, _fixed_queries(e, 25), k=10, round_digits=4)
+    return out.select("query_id", "vec_id", "dist", "rank")
+
+
+@declare("q_knn_batch", _KNN_ORACLE)
+def q_knn_batch(spark, sf_dir):
+    """R14 via the two-stage partial-top-k plan (the 100-TB shape) —
+    must produce byte-identical results to q_knn_exact."""
+    e = _emb(spark, sf_dir)
+    out = exact.exact_knn_batch(e, _fixed_queries(e, 25), k=10, round_digits=4)
+    return out.select("query_id", "vec_id", "dist", "rank")
+
+
+@declare(
+    "q_1nn_start_resolution",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+    d AS (
+      SELECT q.query_id, p.vec_id,
+             {_sq_l2_sql('q.embedding', 'p.embedding')} AS dist
+      FROM q, embeddings p WHERE p.vec_id <> q.query_id
+    ),
+    r AS (
+      SELECT query_id, vec_id, dist,
+             row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+      FROM d
+    )
+    SELECT query_id, vec_id, round(dist, 4) AS dist FROM r WHERE rn = 1
+    """,
+)
+def q_1nn_start_resolution(spark, sf_dir):
+    """R11's start-point scan: nearest dataset point per query (self excluded)."""
+    e = _emb(spark, sf_dir)
+    return exact.nearest_point(e, _fixed_queries(e, 100), round_digits=4)
+
+
+@declare(
+    "q_medoid_exact",
+    f"""
+    WITH d AS (
+      SELECT a.vec_id, {_sq_l2_sql('a.embedding', 'b.embedding')} AS dd
+      FROM embeddings a, embeddings b
+    )
+    SELECT vec_id, round(sum(dd), 2) AS total_dist
+    FROM d GROUP BY vec_id ORDER BY sum(dd), vec_id LIMIT 1
+    """,
+)
+def q_medoid_exact(spark, sf_dir):
+    """R4 exact medoid (O(n^2), oracle parity; scale path = medoid_approx)."""
+    out = exact.medoid_exact(_emb(spark, sf_dir))
+    return out.select("vec_id", F.round("total_dist", 2).alias("total_dist"))
+
+
+_COS_SQL = (
+    "1.0 - list_sum(list_transform(list_zip(q.embedding, p.embedding),"
+    " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(p.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+)
+
+
+@declare(
+    "q_knn_cosine",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+    d AS (
+      SELECT q.query_id, p.vec_id, {_COS_SQL} AS dist
+      FROM q, embeddings p
+    ),
+    r AS (
+      SELECT query_id, vec_id, dist,
+             row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+      FROM d
+    )
+    SELECT query_id, vec_id, round(dist, 4) AS dist, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def q_knn_cosine(spark, sf_dir):
+    """R13's declared TODO (readme.md:76): cosine metric, exact top-5."""
+    e = _emb(spark, sf_dir)
+    out = exact.exact_knn(e, _fixed_queries(e, 50), k=5, metric="cosine", round_digits=4)
+    return out.select("query_id", "vec_id", "dist", "rank")
+
+
+@declare(
+    "q_vector_norms",
+    """
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm
+    FROM embeddings
+    """,
+)
+def q_vector_norms(spark, sf_dir):
+    """X4 normalization prep: L2 norm per vector."""
+    return _emb(spark, sf_dir).select(
+        "vec_id", F.round(l2_norm("embedding"), 4).alias("norm")
+    )
+
+
+# ----- randomized / engine-hash outputs: rows-only checks -----
+
+_INDEX_CACHE: dict = {}
+
+
+def _built_index(spark, sf_dir):
+    key = sf_dir
+    if key not in _INDEX_CACHE:
+        from vamana_spark.index import VamanaIndex
+
+        params = VamanaParams(dim=64, alpha=1.2, R=32, L=64, ef_search=100, seed=42)
+        _INDEX_CACHE[key] = VamanaIndex.build(spark, _emb(spark, sf_dir), params)
+    return _INDEX_CACHE[key]
+
+
+@declare("q_degree_stats")
+def q_degree_stats(spark, sf_dir):
+    """R18 healthCheck as an operator: per-node out-degree (rows-only;
+    build is seeded but graph content is engine-specific)."""
+    idx = _built_index(spark, sf_dir)
+    return idx.degree_stats().orderBy("ordinal")
+
+
+@declare("q_ann_search")
+def q_ann_search(spark, sf_dir):
+    """R8+R10: beam-search top-10 for the fixed query set (rows-only +
+    invariants; recall asserted by q_recall_at_k)."""
+    idx = _built_index(spark, sf_dir)
+    q = _fixed_queries(_emb(spark, sf_dir), 25)
+    return idx.search(q, k=10).select("query_id", "vec_id", "dist", "rank")
+
+
+@declare("q_recall_at_k")
+def q_recall_at_k(spark, sf_dir):
+    """R15: per-query recall@10 of ANN vs exact (avg asserted ≥ 0.8 in
+    tests, threshold from main.go:126)."""
+    from vamana_spark import quality
+
+    idx = _built_index(spark, sf_dir)
+    e = _emb(spark, sf_dir)
+    q = _fixed_queries(e, 25)
+    approx = idx.search(q, k=10)
+    truth = exact.exact_knn(e, q, k=10)
+    return quality.recall_at_k(approx, truth, k=10)
+
+
+@declare("q_ivf_topk")
+def q_ivf_topk(spark, sf_dir):
+    """X3 approx variant: IVF probe search (rows-only; kmeans is seeded
+    but float-order-sensitive)."""
+    e = _emb(spark, sf_dir)
+    return similarity.ivf_topk(e, _fixed_queries(e, 50), k=10, num_lists=8, nprobe=4)
+
+
+@declare("q_minhash_pairs")
+def q_minhash_pairs(spark, sf_dir):
+    """X2 MinHash-LSH near-dup pairs (xxhash64 signatures are
+    Spark-specific → rows-only; exact-Jaccard variant is the oracle)."""
+    return dedup.minhash_near_dups(
+        _docs(spark, sf_dir), threshold=0.5
+    ).orderBy("a_id", "b_id")
+
+
+@declare("q_simhash_near_dups")
+def q_simhash_near_dups(spark, sf_dir):
+    """X2 SimHash near-dup pairs (xxhash64-based → rows-only)."""
+    return dedup.simhash_near_dups(_docs(spark, sf_dir), max_hamming=3).orderBy(
+        "a_id", "b_id"
+    )
+
+
+# ======================================================================
+# Dedup / text queries (X1, X5, X6)
+# ======================================================================
+
+@declare(
+    "q_dedup_exact",
+    """
+    WITH k AS (
+      SELECT doc_id,
+             row_number() OVER (
+               PARTITION BY lower(regexp_replace(text, '\\s+', ' ', 'g'))
+               ORDER BY doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id FROM k WHERE rn = 1
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """X1: survivors of exact dedup (normalized text)."""
+    return dedup.exact_dedup(_docs(spark, sf_dir)).select("doc_id")
+
+
+@declare(
+    "q_dup_groups",
+    """
+    SELECT min(doc_id) AS canonical_id, CAST(count(*) AS BIGINT) AS n_members
+    FROM documents GROUP BY text HAVING count(*) > 1
+    """,
+)
+def q_dup_groups(spark, sf_dir):
+    """X1: exact-duplicate clusters (raw text identity)."""
+    return dedup.duplicate_groups(_docs(spark, sf_dir)).select(
+        "canonical_id", "n_members"
+    )
+
+
+_TOKS = _TOKS_SQL.format(t="text")
+_TOKS_LOWER = f"list_transform({_TOKS}, x -> lower(x))"
+
+@declare(
+    "q_text_stats",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS} AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT) AS n_pieces,
+           round(CASE WHEN len(toks) > 0
+                 THEN list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE))) / len(toks)
+                 ELSE 0.0 END, 4) AS avg_token_len,
+           round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                 / CAST(greatest(length(text), 1) AS DOUBLE), 4) AS punct_ratio,
+           round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                 / CAST(greatest(length(text), 1) AS DOUBLE), 4) AS digit_ratio
+    FROM t
+    """,
+)
+def q_text_stats(spark, sf_dir):
+    """X5 per-document text statistics."""
+    return text.text_stats(_docs(spark, sf_dir))
+
+
+@declare(
+    "q_grouped_text_stats",
+    f"""
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           round(avg(CAST(length(text) AS DOUBLE)), 4) AS avg_chars,
+           round(avg(CAST(len({_TOKS}) AS DOUBLE)), 4) AS avg_tokens
+    FROM documents GROUP BY lang, source
+    """,
+)
+def q_grouped_text_stats(spark, sf_dir):
+    """X6 per-(lang, source) aggregates."""
+    return text.grouped_text_stats(_docs(spark, sf_dir))
+
+
+def _lang_values_sql() -> str:
+    rows = []
+    for lang, ws in sorted(_LANG_PROFILES.items()):
+        arr = ", ".join(f"'{w}'" for w in ws)
+        rows.append(f"('{lang}', [{arr}])")
+    return ", ".join(rows)
+
+
+@declare(
+    "q_language_id",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents
+    ),
+    s AS (
+      SELECT t.doc_id, p.lang, len(list_intersect(t.toks, p.profile)) AS hits
+      FROM t, (VALUES {_lang_values_sql()}) AS p(lang, profile)
+    ),
+    r AS (
+      SELECT doc_id, lang, hits,
+             row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
+      FROM s
+    )
+    SELECT doc_id, lang AS pred_lang, CAST(hits AS BIGINT) AS profile_hits
+    FROM r WHERE rn = 1
+    """,
+)
+def q_language_id(spark, sf_dir):
+    """Stopword-profile language ID (ties → lexicographically largest lang,
+    matching Spark struct-max semantics)."""
+    return text.language_id(_docs(spark, sf_dir))
+
+
+@declare(
+    "q_fingerprint",
+    f"""
+    WITH t AS (
+      SELECT doc_id, array_to_string({_TOKS_LOWER}, ' ') AS norm FROM documents
+    )
+    SELECT doc_id, md5(norm) AS fingerprint, sha256(norm) AS sha256 FROM t
+    """,
+)
+def q_fingerprint(spark, sf_dir):
+    """Document fingerprinting over the normalized token stream."""
+    return text.fingerprint(_docs(spark, sf_dir))
+
+
+_STOP_ARR = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
+@declare(
+    "q_quality_score",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS} AS toks FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_tok,
+             len(list_intersect(toks, {_STOP_ARR})) AS stop_hits,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+                  ELSE 0.0 END AS uniq_ratio,
+             (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+               / CAST(greatest(length(text), 1) AS DOUBLE) AS punct
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           round(uniq_ratio, 4) AS uniq_token_ratio,
+           round(
+             (CASE WHEN n_tok BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END)
+             + (CASE WHEN stop_hits > 0 THEN 0.2 ELSE 0.0 END)
+             + (CASE WHEN punct < 0.2 THEN 0.2 ELSE 0.0 END)
+             + least(uniq_ratio, 1.0) * 0.2, 4) AS quality_score
+    FROM m
+    """,
+)
+def q_quality_score(spark, sf_dir):
+    """Pretraining-data quality heuristics."""
+    return text.quality_score(_docs(spark, sf_dir))
+
+
+@declare(
+    "q_token_histogram",
+    f"""
+    SELECT token, CAST(count(*) AS BIGINT) AS freq
+    FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+    GROUP BY token
+    """,
+)
+def q_token_histogram(spark, sf_dir):
+    """Corpus token frequency."""
+    return text.token_histogram(_docs(spark, sf_dir))
+
+
+@declare(
+    "q_ngram_jaccard",
+    """
+    WITH s AS (
+      SELECT doc_id, source,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+               ELSE [array_to_string(toks, ' ')] END) AS sh
+      FROM (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+        FROM documents
+      )
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           round(len(list_intersect(a.sh, b.sh))
+                 / CAST(greatest(len(list_distinct(a.sh || b.sh)), 1) AS DOUBLE), 4) AS jaccard
+    FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))
+          / CAST(greatest(len(list_distinct(a.sh || b.sh)), 1) AS DOUBLE) >= 0.5
+    """,
+)
+def q_ngram_jaccard(spark, sf_dir):
+    """X2 exact-Jaccard variant (source-blocked) — the dedup oracle."""
+    return dedup.ngram_jaccard_join(
+        _docs(spark, sf_dir), n=3, threshold=0.5, block_col="source"
+    )
+
+
+@declare(
+    "q_embedding_near_dups",
+    f"""
+    WITH p AS (SELECT vec_id, embedding FROM embeddings),
+    c AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             (1.0 - ({_COS_SQL.replace('q.embedding', 'a.embedding').replace('p.embedding', 'b.embedding')})) AS sim
+      FROM p a, p b WHERE a.vec_id < b.vec_id
+    )
+    SELECT a_id, b_id, round(sim, 4) AS cosine_sim
+    FROM c WHERE round(sim, 4) >= 0.9
+    """,
+)
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact all-pairs form)."""
+    return dedup.embedding_near_dups(_emb(spark, sf_dir), threshold=0.9)
+
+
+# ======================================================================
+# Events (X7)
+# ======================================================================
+
+@declare(
+    "q_events_hourly",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_value,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_hourly(spark, sf_dir):
+    """X7 hourly rollup (decimal-exact sums → deterministic rounding)."""
+    e = _events(spark, sf_dir)
+    hour = F.date_trunc("hour", F.col("ts"))
+    dec = F.col("value").cast("decimal(18,6)")
+    return (
+        e.groupBy(hour.alias("_h"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(dec).alias("_sv"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .select(
+            F.date_format("_h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            F.round(F.col("_sv").cast("double"), 4).alias("sum_value"),
+            F.round(F.col("_sv").cast("double") / F.col("n_events"), 4).alias("avg_value"),
+            "n_users",
+        )
+    )
+
+
+@declare(
+    "q_sessionize",
+    """
+    WITH s AS (
+      SELECT event_id, user_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id,
+           CAST(sum(is_new) OVER (PARTITION BY user_id
+                ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+    FROM s
+    """,
+)
+def q_sessionize(spark, sf_dir):
+    """X7 gap-based sessionization (30-min gap)."""
+    out = ev.sessionize(_events(spark, sf_dir), 30)
+    return out.select("event_id", "user_id", "session_seq")
+
+
+@declare(
+    "q_session_stats",
+    """
+    WITH s AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM s
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(max(epoch(ts)) - min(epoch(ts)), 3) AS duration_sec,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+    FROM g GROUP BY user_id, session_seq
+    """,
+)
+def q_session_stats(spark, sf_dir):
+    """X7 per-session aggregates."""
+    e = _events(spark, sf_dir)
+    s = ev.sessionize(e, 30)
+    return (
+        s.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(
+                F.max(F.col("ts").cast("double")) - F.min(F.col("ts").cast("double")),
+                3,
+            ).alias("duration_sec"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias(
+                "sum_value"
+            ),
+        )
+    )
+
+
+@declare(
+    "q_top_users",
+    """
+    WITH t AS (
+      SELECT user_id,
+             round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, total_value, n_events,
+           CAST(row_number() OVER (ORDER BY total_value DESC, user_id) AS BIGINT) AS rank
+    FROM t ORDER BY rank LIMIT 10
+    """,
+)
+def q_top_users(spark, sf_dir):
+    """X7 top-k users by total value."""
+    e = _events(spark, sf_dir)
+    totals = e.groupBy("user_id").agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias(
+            "total_value"
+        ),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    w = Window.orderBy(F.col("total_value").desc(), F.col("user_id").asc())
+    return totals.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= 10
+    )
+
+
+# ======================================================================
+# Relational (X8)
+# ======================================================================
+
+_DEC = "CAST({c} AS DECIMAL(18,6))"
+
+
+@declare(
+    "q_tpch_pricing",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum({_DEC.format(c='l_quantity')}) AS DOUBLE), 2) AS sum_qty,
+           round(CAST(sum({_DEC.format(c='l_extendedprice')}) AS DOUBLE), 2) AS sum_base_price,
+           round(CAST(sum({_DEC.format(c='l_extendedprice')} * (1 - {_DEC.format(c='l_discount')})) AS DOUBLE), 2) AS sum_disc_price,
+           round(CAST(sum({_DEC.format(c='l_extendedprice')} * (1 - {_DEC.format(c='l_discount')}) * (1 + {_DEC.format(c='l_tax')})) AS DOUBLE), 2) AS sum_charge,
+           round(CAST(sum({_DEC.format(c='l_quantity')}) AS DOUBLE) / count(*), 4) AS avg_qty,
+           round(CAST(sum({_DEC.format(c='l_extendedprice')}) AS DOUBLE) / count(*), 4) AS avg_price,
+           round(CAST(sum({_DEC.format(c='l_discount')}) AS DOUBLE) / count(*), 4) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_pricing(spark, sf_dir):
+    """X8 / TPC-H Q1 pricing summary. Money sums in DECIMAL(18,6) on both
+    engines — bit-exact before the presentation round."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,6)")
+    price = F.col("l_extendedprice").cast("decimal(18,6)")
+    disc = F.col("l_discount").cast("decimal(18,6)")
+    tax = F.col("l_tax").cast("decimal(18,6)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("_sq"),
+            F.sum(price).alias("_sp"),
+            F.sum(price * (F.lit(1).cast("decimal(18,6)") - disc)).alias("_sdp"),
+            F.sum(
+                price
+                * (F.lit(1).cast("decimal(18,6)") - disc)
+                * (F.lit(1).cast("decimal(18,6)") + tax)
+            ).alias("_sc"),
+            F.sum(disc).alias("_sd"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.round(F.col("_sq").cast("double"), 2).alias("sum_qty"),
+            F.round(F.col("_sp").cast("double"), 2).alias("sum_base_price"),
+            F.round(F.col("_sdp").cast("double"), 2).alias("sum_disc_price"),
+            F.round(F.col("_sc").cast("double"), 2).alias("sum_charge"),
+            F.round(F.col("_sq").cast("double") / F.col("count_order"), 4).alias("avg_qty"),
+            F.round(F.col("_sp").cast("double") / F.col("count_order"), 4).alias("avg_price"),
+            F.round(F.col("_sd").cast("double") / F.col("count_order"), 4).alias("avg_disc"),
+            "count_order",
+        )
+    )
+
+
+_REV_DEC = (
+    f"{_DEC.format(c='l_extendedprice')} * (1 - {_DEC.format(c='l_discount')})"
+)
+
+
+@declare(
+    "q_tpch_join_agg",
+    f"""
+    SELECT n_name,
+           round(CAST(sum({_REV_DEC}) AS DOUBLE), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_tpch_join_agg(spark, sf_dir):
+    """X8 revenue by nation — 4-way join, broadcast dims."""
+    t = relational.load_tables(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+@declare(
+    "q_top_customers",
+    f"""
+    WITH t AS (
+      SELECT c_custkey, c_name,
+             round(CAST(sum({_REV_DEC}) AS DOUBLE), 2) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_name
+    )
+    SELECT c_custkey, c_name, revenue,
+           CAST(row_number() OVER (ORDER BY revenue DESC, c_custkey) AS BIGINT) AS rank
+    FROM t ORDER BY rank LIMIT 10
+    """,
+)
+def q_top_customers(spark, sf_dir):
+    """X8 top-10 customers by revenue (join + agg + window rank)."""
+    t = relational.load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
+    )
+    totals = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return totals.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= 10
+    )
+
+
+@declare(
+    "q_order_priority",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '1995-06-01 00:00:00'
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_order_priority(spark, sf_dir):
+    """X8 / TPC-H Q4-flavored semi-join priority counts."""
+    t = relational.load_tables(spark, sf_dir, "orders", "lineitem")
+    return relational.order_priority_counts(t["orders"], t["lineitem"])
+
+
+@declare(
+    "q_part_supplier_volume",
+    f"""
+    SELECT p_brand, s_name,
+           round(CAST(sum({_DEC.format(c='l_quantity')}) AS DOUBLE), 2) AS total_qty,
+           round(CAST(sum({_DEC.format(c='l_extendedprice')}) AS DOUBLE), 2) AS total_price
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY p_brand, s_name
+    """,
+)
+def q_part_supplier_volume(spark, sf_dir):
+    """X8 volume by brand x supplier — double-broadcast dim joins."""
+    t = relational.load_tables(spark, sf_dir, "lineitem", "part", "supplier")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_brand", "s_name")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double"), 2).alias("total_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double"), 2).alias("total_price"),
+        )
+    )
+
+
+@declare(
+    "q_regional_revenue",
+    f"""
+    SELECT r_name, round(CAST(sum({_REV_DEC}) AS DOUBLE), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_regional_revenue(spark, sf_dir):
+    """X8 / TPC-H Q5-flavored regional revenue through the dim chain."""
+    t = relational.load_tables(
+        spark, sf_dir, "region", "nation", "customer", "orders", "lineitem"
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+    )
