@@ -106,3 +106,21 @@ def test_sharded_build_recall(spark, embeddings, queries):
 def test_get_point(built):
     row = built.get_point(7).first()
     assert row is not None and row.vec_id == 7 and len(row.embedding) == 64
+
+
+def test_bin_format_roundtrip(tmp_path, spark, built, queries):
+    """Reference .bin layout (SURVEY §1.3) survives a save→load cycle with
+    identical params, points, graph, and search results."""
+    from vamana_spark.sources import vamana_bin
+
+    path = str(tmp_path / "index.bin")
+    vamana_bin.save_bin(built, path)
+    loaded = vamana_bin.load_bin(spark, path)
+    assert loaded.params.R == built.params.R
+    assert loaded.params.medoid == built.params.medoid
+    assert loaded.data_size == built.data_size
+    a = built.search(queries, k=5).collect()
+    b = loaded.search(queries, k=5).collect()
+    assert sorted((r.query_id, r.rank, r.vec_id) for r in a) == sorted(
+        (r.query_id, r.rank, r.vec_id) for r in b
+    )

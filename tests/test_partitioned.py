@@ -1,0 +1,58 @@
+"""PartitionedVamanaIndex: beyond-broadcast sharded build + fan-out search."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vamana_spark import VamanaParams, exact, quality
+from vamana_spark.index.partitioned import PartitionedVamanaIndex
+
+
+@pytest.fixture(scope="module")
+def pidx(spark, embeddings):
+    params = VamanaParams(dim=64, alpha=1.2, R=24, L=48, ef_search=64, seed=42)
+    return PartitionedVamanaIndex.build(spark, embeddings, params, num_shards=4)
+
+
+@pytest.fixture(scope="module")
+def queries(embeddings):
+    return embeddings.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def test_build_covers_all_points(pidx, embeddings):
+    assert pidx.shards_df.count() == embeddings.count()
+    hc = pidx.health_check()
+    assert hc["ok"], hc
+
+
+def test_exhaustive_probe_recall(pidx, embeddings, queries):
+    truth = exact.exact_knn(embeddings, queries, k=10)
+    approx = pidx.search(queries, k=10)  # nprobe=all shards
+    r = quality.avg_recall(approx, truth, k=10)
+    assert r >= 0.8, f"partitioned recall@10 = {r}"
+
+
+def test_nprobe_tradeoff_runs(pidx, queries):
+    res = pidx.search(queries, k=5, nprobe=2).collect()
+    per_q = {}
+    for r in res:
+        per_q.setdefault(r.query_id, []).append(r.dist)
+    assert len(per_q) == queries.count()
+    for ds in per_q.values():
+        assert sorted(ds) == ds or ds == sorted(ds)
+        assert len(ds) == 5
+
+
+def test_save_load_roundtrip(tmp_path, spark, pidx, queries):
+    path = str(tmp_path / "pidx")
+    pidx.save(path)
+    loaded = PartitionedVamanaIndex.load(spark, path)
+    assert loaded.params.num_shards == pidx.params.num_shards
+    a = sorted(
+        (r.query_id, r.rank, r.vec_id) for r in pidx.search(queries, k=5).collect()
+    )
+    b = sorted(
+        (r.query_id, r.rank, r.vec_id) for r in loaded.search(queries, k=5).collect()
+    )
+    assert a == b

@@ -1,0 +1,57 @@
+"""Structured Streaming mirrors vs their batch counterparts on a closed
+input (AvailableNow trigger → results must match batch exactly)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vamana_spark.operators.events import hourly_rollup
+from vamana_spark.streaming import (
+    read_events_stream,
+    streaming_hourly_rollup,
+    streaming_session_stats,
+)
+from vamana_spark.streaming.rollup import run_to_completion
+
+
+@pytest.fixture(scope="module")
+def stream_source(tmp_path_factory, events):
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    # normalize ts to µs timestamps (stream schema), two files = two splits
+    events.select("event_id", "ts", "user_id", "event_type", "value", "props") \
+        .repartition(2).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_streaming_rollup_matches_batch(spark, events, stream_source):
+    stream = read_events_stream(spark, stream_source)
+    out = run_to_completion(
+        streaming_hourly_rollup(stream), "t_stream_rollup"
+    ).collect()
+    want = {
+        (r.hour, r.event_type): (r.n_events, r.sum_value)
+        for r in hourly_rollup(events)
+        .select("hour", "event_type", "n_events", "sum_value")
+        .collect()
+    }
+    got = {(r.hour, r.event_type): (r.n_events, r.sum_value) for r in out}
+    assert got == want
+
+
+def test_streaming_sessions_bounded_state(spark, events, stream_source):
+    stream = read_events_stream(spark, stream_source)
+    out = run_to_completion(
+        streaming_session_stats(stream), "t_stream_sessions"
+    ).collect()
+    assert sum(r.n_events for r in out) == events.count()
+    # session merging: no user may have two sessions starting <30min apart
+    from collections import defaultdict
+    from datetime import datetime
+
+    per_user = defaultdict(list)
+    for r in out:
+        per_user[r.user_id].append(datetime.fromisoformat(r.session_start))
+    for starts in per_user.values():
+        starts.sort()
+        # merged sessions are separated by AT LEAST the inactivity gap
+        # from the previous session's *start* (weak but deterministic bound)
+        assert all((b - a).total_seconds() > 0 for a, b in zip(starts, starts[1:]))

@@ -1,3 +1,10 @@
-from vamana_spark.operators import dedup, events, relational, similarity, text
+from vamana_spark.operators import (
+    dedup,
+    events,
+    multimodal,
+    relational,
+    similarity,
+    text,
+)
 
-__all__ = ["dedup", "events", "relational", "similarity", "text"]
+__all__ = ["dedup", "events", "multimodal", "relational", "similarity", "text"]

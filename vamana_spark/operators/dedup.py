@@ -144,26 +144,24 @@ def minhash_signatures(
     """Per-doc MinHash signature as array<long>[num_hashes].
 
     h_i(x) = xxhash64(shingle, seed=i); signature[i] = min over shingles.
-    Computed without explode: aggregate over the shingle array per seed —
-    map-side only, zero shuffle.
+    Physical plan: explode shingles once, project all num_hashes hashes
+    per shingle (whole-stage codegen'd), then one hash-partitioned
+    groupBy(doc) with map-side partial mins — the shuffle carries only
+    num_hashes longs per doc per partition.
     """
-    sh = df.select(
-        F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh")
-    )
-    def _minhash_seed(i: int):
-        return lambda acc, s: F.least(acc, F.xxhash64(s, F.lit(i)))
+    from vamana_spark.functions.util import ensure_parallelism
 
-    sig = F.array(
-        *[
-            F.aggregate(
-                F.col("_sh"),
-                F.lit(2**63 - 1).cast("long"),
-                _minhash_seed(i),
-            )
-            for i in range(num_hashes)
-        ]
+    ex = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("_s")
     )
-    return sh.select(F.col(id_col), sig.alias("minhash"))
+    hashed = ex.select(
+        id_col, *[F.xxhash64("_s", F.lit(i)).alias(f"_h{i}") for i in range(num_hashes)]
+    )
+    mins = hashed.groupBy(id_col).agg(
+        *[F.min(f"_h{i}").alias(f"_m{i}") for i in range(num_hashes)]
+    )
+    sig = F.array(*[F.col(f"_m{i}") for i in range(num_hashes)])
+    return mins.select(F.col(id_col), sig.alias("minhash"))
 
 
 def minhash_lsh_candidates(
@@ -228,8 +226,12 @@ def minhash_near_dups(
     """Near-duplicate pairs: LSH candidates re-verified with exact Jaccard
     over shingle sets (joins shingles back onto the candidate pairs only).
     Returns (a_id, b_id, jaccard >= threshold)."""
+    from vamana_spark.functions.util import ensure_parallelism
+
     cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
-    sh = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh"))
+    sh = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh")
+    )
     av = sh.select(F.col(id_col).alias("a_id"), F.col("_sh").alias("a_sh"))
     bv = sh.select(F.col(id_col).alias("b_id"), F.col("_sh").alias("b_sh"))
     inter = F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
@@ -257,20 +259,29 @@ def simhash_signatures(
     """64-bit SimHash over whitespace tokens.
 
     Per bit b: sum over tokens of (+1 if bit b of xxhash64(token) else -1);
-    signature bit = sign. Expressed as array-aggregate built-ins.
+    signature bit = sign. Physical plan: explode tokens -> one xxhash64 ->
+    64 flat sign projections -> groupBy(doc) with 64 map-side partial sums
+    — whole-stage codegen throughout (array higher-order functions run
+    interpreted in Spark, so the fold form is ~10x slower).
     """
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    def _bit_sum(b: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
+    from vamana_spark.functions.util import ensure_parallelism
 
-    bit_sums = F.array(
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    ex = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(toks).alias("_t")
+    )
+    h = F.xxhash64("_t")
+    votes = ex.select(
+        id_col,
         *[
-            F.aggregate(hashes, F.lit(0).cast("long"), _bit_sum(b))
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+            .alias(f"_v{b}")
             for b in range(bits)
-        ]
+        ],
+    )
+    sums = votes.groupBy(id_col).agg(
+        *[F.sum(f"_v{b}").alias(f"_s{b}") for b in range(bits)]
     )
     # fold bit b into the signature when its vote sum is positive; bit 63
     # uses the sign bit of the signed long (two's-complement wrap)
@@ -278,11 +289,11 @@ def simhash_signatures(
     for b in range(bits):
         bit_val = (1 << b) if b < 63 else -(1 << 63)
         sig = sig.bitwiseOR(
-            F.when(bit_sums[b] > 0, F.lit(bit_val).cast("long")).otherwise(
+            F.when(F.col(f"_s{b}") > 0, F.lit(bit_val).cast("long")).otherwise(
                 F.lit(0).cast("long")
             )
         )
-    return df.select(F.col(id_col), sig.alias("simhash"))
+    return sums.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_near_dups(

@@ -98,8 +98,8 @@ def top_users_by_value(events: DataFrame, k: int = 10) -> DataFrame:
         F.round(F.sum("value"), 4).alias("total_value"),
         F.count("*").cast("long").alias("n_events"),
     )
+    # global top-k via orderBy+limit → TakeOrderedAndProject (per-partition
+    # heaps + driver merge), NOT a single-partition window over all users
+    top = totals.orderBy(F.col("total_value").desc(), F.col("user_id").asc()).limit(k)
     w = Window.orderBy(F.col("total_value").desc(), F.col("user_id").asc())
-    return (
-        totals.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

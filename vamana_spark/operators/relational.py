@@ -79,10 +79,10 @@ def top_customers(
         .groupBy("c_custkey", "c_name")
         .agg(F.round(F.sum(rev), 2).alias("revenue"))
     )
+    # top-k via TakeOrderedAndProject, then rank the k survivors
+    top = totals.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(k)
     w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
-    return totals.withColumn("rank", F.row_number().over(w).cast("long")).where(
-        F.col("rank") <= k
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:

@@ -674,10 +674,9 @@ def q_top_users(spark, sf_dir):
         ),
         F.count("*").cast("long").alias("n_events"),
     )
+    top = totals.orderBy(F.col("total_value").desc(), F.col("user_id").asc()).limit(10)
     w = Window.orderBy(F.col("total_value").desc(), F.col("user_id").asc())
-    return totals.withColumn("rank", F.row_number().over(w).cast("long")).where(
-        F.col("rank") <= 10
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 # ======================================================================
@@ -808,10 +807,9 @@ def q_top_customers(spark, sf_dir):
         .groupBy("c_custkey", "c_name")
         .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
     )
+    top = totals.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(10)
     w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
-    return totals.withColumn("rank", F.row_number().over(w).cast("long")).where(
-        F.col("rank") <= 10
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 @declare(
@@ -888,3 +886,89 @@ def q_regional_revenue(spark, sf_dir):
         .groupBy("r_name")
         .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
     )
+
+
+# ======================================================================
+# Multimodal (extension surface; fake-decode is md5-derived → oracle-able)
+# ======================================================================
+
+def _hex4_sql(s: str, off: int) -> str:
+    """SQL for int(hexstr[off:off+4], 16), 1-based offset."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substring({s}, {off + i}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+
+
+def _fake_media(spark, sf_dir):
+    from vamana_spark.operators import multimodal
+
+    return multimodal.attach_fake_media(_docs(spark, sf_dir))
+
+
+@declare(
+    "q_media_meta",
+    """
+    SELECT doc_id AS media_id,
+           ['image', 'audio', 'video'][(doc_id % 3) + 1] AS kind,
+           CAST(length('media-' || doc_id) AS BIGINT) AS n_bytes,
+           md5('media-' || doc_id) AS content_md5
+    FROM documents
+    """,
+)
+def q_media_meta(spark, sf_dir):
+    """Multimodal: binary payload fingerprint + typed metadata."""
+    from vamana_spark.operators import multimodal
+
+    return multimodal.media_fingerprint(_fake_media(spark, sf_dir))
+
+
+@declare(
+    "q_media_decode",
+    f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, md5('media-' || doc_id) AS h
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT media_id,
+           CAST(16 + ({_hex4_sql('h', 1)}) % 2048 AS INTEGER) AS width,
+           CAST(16 + ({_hex4_sql('h', 5)}) % 2048 AS INTEGER) AS height,
+           round(({_hex4_sql('h', 9)}) / 65535.0, 6) AS mean_luma
+    FROM m
+    """,
+)
+def q_media_decode(spark, sf_dir):
+    """Multimodal: image 'decode' through the mapInPandas batch plumbing
+    (deterministic fake codec — oracle replicates it from md5)."""
+    from vamana_spark.operators import multimodal
+
+    return multimodal.decode_image_meta(_fake_media(spark, sf_dir))
+
+
+@declare(
+    "q_media_frames",
+    f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, 'media-' || doc_id AS payload,
+             md5('media-' || doc_id) AS h
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    n AS (SELECT media_id, payload, 30 + ({_hex4_sql('h', 1)}) % 300 AS n_frames FROM m)
+    SELECT media_id, CAST(unnest(range(0, n_frames, 30)) AS INTEGER) AS frame_idx,
+           md5(payload || '-' || CAST(unnest(range(0, n_frames, 30)) AS VARCHAR)) AS frame_md5
+    FROM n
+    """,
+)
+def q_media_frames(spark, sf_dir):
+    """Multimodal: video frame sampling (1→N mapInPandas expansion)."""
+    from vamana_spark.operators import multimodal
+
+    return multimodal.sample_video_frames(_fake_media(spark, sf_dir), every_n=30)
+
+
+@declare("q_media_features")
+def q_media_features(spark, sf_dir):
+    """Multimodal: fake feature extraction (rows-only; numpy RNG)."""
+    from vamana_spark.operators import multimodal
+
+    return multimodal.extract_image_features(_fake_media(spark, sf_dir))
