@@ -42,24 +42,53 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         return out
 
-    emb = D._emb(spark, SF_DIR)
+    emb = D._emb(spark, SF_DIR).cache()
     n_vec = emb.count()
     queries = D._fixed_queries(emb, 25)
     n_q = queries.count()
+    # full-load query set for throughput (amortizes fixed job overhead the
+    # way a production batch would)
+    allq = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).cache()
+    allq.count()
 
     # --- index build (R8): the reference's headline cost
     params = VamanaParams(dim=64, alpha=1.2, R=32, L=64, ef_search=100, seed=42)
     idx = timed("build_index", lambda: VamanaIndex.build(spark, emb, params))
+    sharded_params = VamanaParams(
+        dim=64, alpha=1.2, R=32, L=64, ef_search=100, seed=42, num_shards=8
+    )
+    timed("build_index_sharded", lambda: VamanaIndex.build(spark, emb, sharded_params))
 
     # --- batch ANN search (R10) + recall (R15)
-    approx = timed("ann_search", lambda: idx.search(queries, k=10).cache())
-    approx.count()
+    idx.search(allq.limit(5), k=10).count()  # warm broadcast + workers
+    timed("ann_search_full", lambda: idx.search(allq, k=10).count())
+    approx = idx.search(queries, k=10).cache()
+    timed("ann_search_fixed", lambda: approx.count())
     truth = timed("knn_exact", lambda: exact.exact_knn(emb, queries, k=10).cache())
     truth.count()
     extra["recall_at_10"] = round(quality.avg_recall(approx, truth, k=10), 4)
-    extra["ann_qps"] = round(n_q / timings["ann_search"], 2) if timings["ann_search"] else 0.0
+    extra["ann_qps"] = (
+        round(n_vec / timings["ann_search_full"], 2)
+        if timings["ann_search_full"]
+        else 0.0
+    )
     extra["n_vectors"] = n_vec
-    extra["n_queries"] = n_q
+    extra["n_queries_fixed"] = n_q
+
+    # reference baseline at identical scale/params (tools/run_ref_baseline.py)
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BASELINE_LOCAL.json")
+    if os.path.exists(base_path):
+        with open(base_path) as bf:
+            ref = json.load(bf)
+        if ref.get("sf_dir") == SF_DIR:
+            extra["reference"] = {
+                "build_sec": ref["build_sec"],
+                "qps": ref["qps"],
+                "recall_at_k": ref["recall_at_k"],
+            }
 
     # --- scale-path exact kNN (two-stage partial top-k)
     timed("knn_batch", lambda: exact.exact_knn_batch(emb, queries, k=10).count())

@@ -1,0 +1,98 @@
+"""Physical-plan audits: the shapes that matter at 100 TB, asserted on
+``explain`` output so regressions in pushdown/broadcast/top-k strategy
+fail loudly.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from vamana_spark import exact
+from vamana_spark.operators import dedup, relational
+from vamana_spark.plans import declared as D
+
+
+def plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_scan_projection_prunes_columns(spark, sf_dir):
+    """A 2-column projection must not read the embedding column."""
+    df = D._emb(spark, sf_dir).select("vec_id", "label")
+    p = plan(df)
+    m = re.search(r"ReadSchema: (.*)", p)
+    assert m and "embedding" not in m.group(1), p
+
+
+def test_filter_pushdown_to_parquet(spark, sf_dir):
+    df = D._emb(spark, sf_dir).where(F.col("vec_id") == 7).select("vec_id")
+    p = plan(df)
+    assert "PushedFilters: [IsNotNull(vec_id), EqualTo(vec_id,7)]" in p, p
+
+
+def test_tpch_pricing_filter_pushed(spark, sf_dir):
+    p = plan(D.q_tpch_pricing(spark, sf_dir))
+    assert "PushedFilters" in p and "l_shipdate" in p.split("PushedFilters", 1)[1][:200], p
+
+
+def test_revenue_by_nation_broadcasts_dim(spark, sf_dir):
+    p = plan(D.q_tpch_join_agg(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_exact_knn_broadcasts_queries(spark, sf_dir):
+    e = D._emb(spark, sf_dir)
+    q = D._fixed_queries(e, 25)
+    p = plan(exact.exact_knn(e, q, k=10))
+    # queries side must broadcast: nested-loop join with BuildRight broadcast
+    assert "BroadcastNestedLoopJoin" in p, p
+
+
+def test_exact_knn_batch_no_cross_product(spark, sf_dir):
+    e = D._emb(spark, sf_dir)
+    q = D._fixed_queries(e, 25)
+    p = plan(exact.exact_knn_batch(e, q, k=10))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_lsh_candidates_equijoin_not_cross(spark, documents):
+    p = plan(dedup.minhash_lsh_candidates(documents))
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p, p
+
+
+def test_global_topk_uses_take_ordered(spark, sf_dir):
+    t = relational.load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    p = plan(relational.top_customers(t["customer"], t["orders"], t["lineitem"], k=5))
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_groupby_has_partial_aggregation(spark, sf_dir):
+    p = plan(D.q_grouped_text_stats(spark, sf_dir))
+    # two HashAggregate nodes (partial + final) around the shuffle
+    assert len(re.findall(r"HashAggregate", p)) >= 2, p
+
+
+def test_whole_stage_codegen_on_relational(spark, sf_dir):
+    import contextlib
+    import io
+
+    # AQE defers codegen planning until execution; disable it to inspect
+    # the static plan's codegen stages
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            D.q_tpch_pricing(spark, sf_dir).explain("codegen")
+        p = buf.getvalue()
+        m = re.search(r"Found (\d+) WholeStageCodegen subtrees", p)
+        assert m and int(m.group(1)) >= 1, p[:500]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

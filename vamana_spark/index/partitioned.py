@@ -100,10 +100,15 @@ class PartitionedVamanaIndex:
         )
 
         def build_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            from vamana_spark.index.vamana import DENSE_BUILD_MAX
+
             shard = int(key[0])
             pdf = pdf.sort_values("vec_id").reset_index(drop=True)
             P = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
-            graph, _ = kernels.build_vamana(P, R, L, alpha, seed + shard)
+            if P.shape[0] <= DENSE_BUILD_MAX:
+                graph, _ = kernels.build_vamana_dense(P, R, alpha, seed + shard)
+            else:
+                graph, _ = kernels.build_vamana(P, R, L, alpha, seed + shard)
             return pd.DataFrame(
                 {
                     "shard": shard,

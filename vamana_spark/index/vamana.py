@@ -46,6 +46,18 @@ SEARCH_SCHEMA = (
     "query_id long, vec_id long, dist double, rank int, hops int, dist_comps int"
 )
 
+# below this point count the dense build kernel (exact candidate sets from
+# one n^2 gemm) beats the beam-search build by ~10x; the n^2 f32 matrix at
+# the ceiling is ~1.6 GB — well inside an executor. Sharded builds keep
+# per-shard n under this, so the dense kernel is the common case.
+DENSE_BUILD_MAX = 20_000
+
+
+def _build_graph_kernel(P, params: VamanaParams):
+    if P.shape[0] <= DENSE_BUILD_MAX:
+        return kernels.build_vamana_dense(P, params.R, params.alpha, params.seed)
+    return kernels.build_vamana(P, params.R, params.L, params.alpha, params.seed)
+
 
 class VamanaIndex:
     """A built Vamana graph index over a DataFrame of (vec_id, embedding)."""
@@ -97,9 +109,7 @@ class VamanaIndex:
         pdf = pts.orderBy("ordinal").toPandas()
         P = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
         P = _metric_transform(P, params.metric)
-        graph, medoid = kernels.build_vamana(
-            P, params.R, params.L, params.alpha, params.seed
-        )
+        graph, medoid = _build_graph_kernel(P, params)
         params.n = int(P.shape[0])
         params.medoid = int(medoid)
         # plain-Python values: robust whether or not Arrow conversion is on
@@ -163,7 +173,10 @@ class VamanaIndex:
             P = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
             P = _metric_transform(P, metric)
             ords = pdf["ordinal"].to_numpy(dtype=np.int64)
-            graph, _ = kernels.build_vamana(P, R, L, alpha, seed + int(key[0]))
+            if P.shape[0] <= DENSE_BUILD_MAX:
+                graph, _ = kernels.build_vamana_dense(P, R, alpha, seed + int(key[0]))
+            else:
+                graph, _ = kernels.build_vamana(P, R, L, alpha, seed + int(key[0]))
             src = np.concatenate(
                 [np.full(len(g), ords[i], dtype=np.int64) for i, g in enumerate(graph)]
             ) if graph else np.array([], dtype=np.int64)
@@ -261,8 +274,14 @@ class VamanaIndex:
         medoid = int(self.params.medoid if self.params.medoid is not None else 0)
         bidx = self.spark.sparkContext.broadcast(self._load_local())
 
-        qsel = queries.select(
-            F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+        from vamana_spark.functions.util import ensure_parallelism
+
+        # queries scale out across cores/executors — a single-split query
+        # file must not serialize the whole batch onto one task
+        qsel = ensure_parallelism(
+            queries.select(
+                F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+            )
         )
         if starts is not None:
             qsel = qsel.join(starts, "query_id", "left")
@@ -272,31 +291,41 @@ class VamanaIndex:
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             P, ids, indptr, nbrs = bidx.value
-            ord_of = None
+            nbr_mat = kernels.pad_adjacency(indptr, nbrs, P.shape[0])
             for pdf in batches:
                 if pdf.empty:
                     continue
-                out = {"query_id": [], "vec_id": [], "dist": [], "rank": [],
-                       "hops": [], "dist_comps": []}
-                for row in pdf.itertuples(index=False):
-                    q = np.asarray(row.qv, dtype=np.float32)
-                    q = _metric_transform(q[None, :], metric)[0]
-                    start = None
-                    if has_start and getattr(row, "start_ordinal", None) is not None:
-                        so = row.start_ordinal
-                        if so is not None and not (isinstance(so, float) and np.isnan(so)):
-                            start = int(so)
-                    rid, rd, hops, comps = kernels.search_topk(
-                        P, indptr, nbrs, medoid, q, k, ef, start=start
-                    )
-                    m = rid.size
-                    out["query_id"].extend([row.query_id] * m)
-                    out["vec_id"].extend(ids[rid].tolist())
-                    out["dist"].extend(rd.tolist())
-                    out["rank"].extend(range(1, m + 1))
-                    out["hops"].extend([hops] * m)
-                    out["dist_comps"].extend([comps] * m)
-                yield pd.DataFrame(out)
+                Q = np.stack(pdf["qv"].to_numpy()).astype(np.float32)
+                Q = _metric_transform(Q, metric)
+                qids = pdf["query_id"].to_numpy(dtype=np.int64)
+                starts = None
+                if has_start and "start_ordinal" in pdf.columns:
+                    so = pdf["start_ordinal"].to_numpy()
+                    starts = np.where(
+                        pd.isna(so), medoid, np.nan_to_num(so, nan=medoid)
+                    ).astype(np.int64)
+                rq, rid, rd, hops, comps = kernels.search_topk_batch(
+                    P, nbr_mat, medoid, Q, k, ef, starts=starts
+                )
+                # ranks ascend within each query's contiguous result block
+                rank = np.ones(rq.size, dtype=np.int32)
+                if rq.size:
+                    new_block = np.concatenate([[True], rq[1:] != rq[:-1]])
+                    rank = (
+                        np.arange(rq.size) -
+                        np.maximum.accumulate(np.where(new_block, np.arange(rq.size), 0))
+                        + 1
+                    ).astype(np.int32)
+                yield pd.DataFrame(
+                    {
+                        "query_id": qids[rq],
+                        "vec_id": ids[rid],
+                        "dist": rd,
+                        "rank": rank,
+                        "hops": hops[rq],
+                        "dist_comps": comps[rq],
+                    }
+                )
 
         return qsel.mapInPandas(run, schema=SEARCH_SCHEMA)
 

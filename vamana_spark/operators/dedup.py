@@ -74,9 +74,14 @@ def char_shingles(text_col: str, n: int = 5, lowercase: bool = True) -> Column:
     return F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(n))))
 
 
-def word_shingles(text_col: str, n: int = 3) -> Column:
-    """Word n-gram shingles (distinct), whitespace tokenization."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+def word_shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct) over a MATERIALIZED token array.
+
+    Important: pass a real column, not the tokenization expression —
+    interpreted higher-order functions don't common-subexpression-eliminate,
+    so an inline `split()` would re-tokenize the document once per shingle
+    (observed ~30x slowdown).
+    """
     cnt = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
     return F.array_distinct(
@@ -85,6 +90,17 @@ def word_shingles(text_col: str, n: int = 3) -> Column:
             F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
         ).otherwise(F.array(F.concat_ws(" ", toks)))
     )
+
+
+def word_shingles(text_col: str, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct), whitespace tokenization.
+
+    Single-expression form for ad-hoc use; hot paths should go through
+    ``shingle_sets`` (tokens staged as a column first — see
+    ``word_shingles_from_tokens``).
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    return word_shingles_from_tokens(toks, n)
 
 
 # -------------------------------------------------------------- exact Jaccard
@@ -103,11 +119,13 @@ def ngram_jaccard_join(
     this is quadratic and should only run on small/sampled data — the
     scale path is ``minhash_lsh_candidates``.
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        word_shingles(text_col, n).alias("_sh"),
-        *([F.col(block_col).alias("_blk")] if block_col else []),
-    )
+    sets = shingle_sets(df, text_col, id_col, n)
+    sh = sets.select(F.col(id_col).alias("_id"), F.col("_sh"))
+    if block_col:
+        sh = sh.join(
+            df.select(F.col(id_col).alias("_id"), F.col(block_col).alias("_blk")),
+            "_id",
+        )
     a = sh.select(
         F.col("_id").alias("a_id"), F.col("_sh").alias("a_sh"),
         *([F.col("_blk").alias("_blk")] if block_col else []),
@@ -134,12 +152,70 @@ def ngram_jaccard_join(
 
 # ------------------------------------------------------------- MinHash + LSH
 
+def shingle_sets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, _sh: array<string>) distinct word shingles per doc.
+
+    Shingling runs through interpreted higher-order functions (the one
+    non-codegen expression in this module) — callers that need it twice
+    (signatures + verification) persist THIS DataFrame, not the text.
+    """
+    rows = shingle_rows(df, text_col, id_col, shingle_n)
+    return rows.groupBy(id_col).agg(F.collect_set("_s").alias("_sh"))
+
+
+def shingle_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, _s) one row per word-shingle occurrence — the codegen-fast
+    shingler: posexplode tokens, stitch n-grams with window ``lead`` over
+    (doc, pos). The array-expression form (``word_shingles``) re-evaluates
+    its tokenizer per slice under interpreted HOF evaluation (and Catalyst
+    collapses any staging projection right back in), costing ~30x; this
+    form is flat projections + one partition-local window.
+
+    Docs with fewer than n tokens contribute their full token join as a
+    single shingle (same convention as ``word_shingles``).
+    """
+    from vamana_spark.functions.util import ensure_parallelism
+
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    staged = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col), toks.alias("_toks")
+    )
+    ex = staged.select(
+        id_col,
+        F.size("_toks").alias("_cnt"),
+        F.posexplode("_toks").alias("_pos", "_t"),
+    )
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    grams = [F.col("_t")] + [F.lead("_t", i).over(w) for i in range(1, shingle_n)]
+    full = (
+        ex.withColumn("_s", F.concat_ws(" ", *grams))
+        .where((F.col("_cnt") >= shingle_n) & (F.col("_pos") <= F.col("_cnt") - shingle_n))
+        .select(id_col, "_s")
+    )
+    short = (
+        staged.where(F.size("_toks") < shingle_n)
+        .select(id_col, F.concat_ws(" ", "_toks").alias("_s"))
+    )
+    return full.unionByName(short)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature as array<long>[num_hashes].
 
@@ -149,11 +225,13 @@ def minhash_signatures(
     groupBy(doc) with map-side partial mins — the shuffle carries only
     num_hashes longs per doc per partition.
     """
-    from vamana_spark.functions.util import ensure_parallelism
-
-    ex = ensure_parallelism(df.select(id_col, text_col)).select(
-        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("_s")
-    )
+    if shingles is not None:
+        ex = shingles.select(F.col(id_col), F.explode("_sh").alias("_s"))
+    else:
+        # distinct per doc (MinHash is set-semantics; dup shingles can't
+        # change a min but would inflate the shuffle)
+        ex = shingle_rows(df, text_col, id_col, shingle_n).distinct()
+        ex = ex.select(F.col(id_col), F.col("_s"))
     hashed = ex.select(
         id_col, *[F.xxhash64("_s", F.lit(i)).alias(f"_h{i}") for i in range(num_hashes)]
     )
@@ -171,6 +249,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs (a_id < b_id, distinct).
 
@@ -180,7 +259,9 @@ def minhash_lsh_candidates(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n, shingles=shingles
+    )
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
@@ -226,11 +307,11 @@ def minhash_near_dups(
     """Near-duplicate pairs: LSH candidates re-verified with exact Jaccard
     over shingle sets (joins shingles back onto the candidate pairs only).
     Returns (a_id, b_id, jaccard >= threshold)."""
-    from vamana_spark.functions.util import ensure_parallelism
-
-    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
-    sh = ensure_parallelism(df.select(id_col, text_col)).select(
-        F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh")
+    # shingling is the expensive (interpreted) step and both the
+    # signature and verification paths need it -> compute once, persist
+    sh = shingle_sets(df, text_col, id_col, shingle_n).persist()
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_n, shingles=sh
     )
     av = sh.select(F.col(id_col).alias("a_id"), F.col("_sh").alias("a_sh"))
     bv = sh.select(F.col(id_col).alias("b_id"), F.col("_sh").alias("b_sh"))
