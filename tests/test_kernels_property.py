@@ -1,0 +1,107 @@
+"""Property-based invariants for the NumPy kernels (no Spark session —
+these run in milliseconds and fuzz the pure-algorithm layer)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from vamana_spark.index import kernels
+
+
+def _points(draw, n_min=2, n_max=60, dim_min=2, dim_max=8):
+    n = draw(st.integers(n_min, n_max))
+    dim = draw(st.integers(dim_min, dim_max))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n, dim)).astype(np.float32)
+
+
+points_strategy = st.builds(
+    lambda args: args,
+    st.tuples(
+        st.integers(2, 60), st.integers(2, 8), st.integers(0, 2**31 - 1)
+    ).map(
+        lambda t: np.random.default_rng(t[2]).standard_normal((t[0], t[1])).astype(
+            np.float32
+        )
+    ),
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(P=points_strategy, R=st.integers(2, 12), alpha=st.floats(1.0, 2.0))
+def test_dense_build_invariants(P, R, alpha):
+    graph, medoid = kernels.build_vamana_dense(P, R, alpha)
+    n = P.shape[0]
+    assert len(graph) == n
+    assert 0 <= medoid < n
+    for i, g in enumerate(graph):
+        assert len(g) <= R                      # degree bound
+        assert i not in g                       # no self loops
+        assert len(set(g.tolist())) == len(g)   # no duplicate edges
+        assert all(0 <= j < n for j in g)       # in range
+        assert len(g) >= 1 or n == 1            # connected-ish: ≥1 out-edge
+
+
+@settings(max_examples=30, deadline=None)
+@given(P=points_strategy, R=st.integers(2, 12), alpha=st.floats(1.0, 1.6))
+def test_robust_prune_nearest_always_admitted(P, R, alpha):
+    n = P.shape[0]
+    p = 0
+    cand = np.arange(n)
+    out = kernels.robust_prune(P, p, cand, None, alpha, R)
+    if n > 1:
+        d = ((P - P[p]).astype(np.float64) ** 2).sum(axis=1)
+        d[p] = np.inf
+        nearest = int(np.lexsort((np.arange(n), d))[0])
+        assert out.size >= 1
+        assert out[0] == nearest  # the nearest candidate always survives
+
+
+@settings(max_examples=20, deadline=None)
+@given(P=points_strategy, k=st.integers(1, 8), ef=st.integers(8, 64))
+def test_batched_search_invariants(P, k, ef):
+    n = P.shape[0]
+    graph, medoid = kernels.build_vamana_dense(P, 8, 1.2)
+    indptr, nbrs = kernels._to_csr(graph, n)
+    nbr_mat = kernels.pad_adjacency(indptr, nbrs, n)
+    Q = P[: min(5, n)]
+    rq, rid, rd, hops, comps = kernels.search_topk_batch(
+        P, nbr_mat, medoid, Q, k, ef
+    )
+    kk = min(k, n)
+    for r in range(Q.shape[0]):
+        ds = rd[rq == r]
+        ids = rid[rq == r]
+        assert len(ds) == kk                      # exactly k results
+        assert (np.diff(ds) >= 0).all()           # ascending distances
+        assert len(set(ids.tolist())) == kk       # distinct
+        # the query point itself is rank 1 (distance 0, it's in the set)
+        assert ids[0] == r and ds[0] == 0.0
+
+
+@settings(max_examples=20, deadline=None)
+@given(P=points_strategy)
+def test_batched_matches_scalar_topk(P):
+    """Batched and scalar kernels agree on the result SET for ef >= n
+    (both degenerate to exact search when the beam covers everything)."""
+    n = P.shape[0]
+    graph, medoid = kernels.build_vamana_dense(P, 8, 1.2)
+    indptr, nbrs = kernels._to_csr(graph, n)
+    nbr_mat = kernels.pad_adjacency(indptr, nbrs, n)
+    k = min(3, n)
+    Q = P[:2]
+    rq, rid, rd, _, _ = kernels.search_topk_batch(P, nbr_mat, medoid, Q, k, n + 8)
+    for r in range(Q.shape[0]):
+        sid, sd, _, _ = kernels.search_topk(P, indptr, nbrs, medoid, Q[r], k, n + 8)
+        assert rid[rq == r].tolist() == sid.tolist()
+
+
+@settings(max_examples=15, deadline=None)
+@given(P=points_strategy)
+def test_medoid_of_matches_centroid_argmin(P):
+    m = kernels.medoid_of(P)
+    c = P.mean(axis=0)
+    d = ((P - c) ** 2).sum(axis=1)
+    assert m == int(np.argmin(d))

@@ -56,3 +56,41 @@ def test_save_load_roundtrip(tmp_path, spark, pidx, queries):
         (r.query_id, r.rank, r.vec_id) for r in loaded.search(queries, k=5).collect()
     )
     assert a == b
+
+
+def test_add_points_rebuilds_only_touched_shards(spark, embeddings):
+    from pyspark.sql import functions as F
+
+    from vamana_spark.index.partitioned import add_points
+
+    base = embeddings.where(F.col("vec_id") < 400)
+    delta = embeddings.where(F.col("vec_id") >= 400)
+    params = VamanaParams(dim=64, alpha=1.2, R=16, L=32, ef_search=64, seed=42)
+    idx = PartitionedVamanaIndex.build(spark, base, params, num_shards=4)
+    idx.shards_df = idx.shards_df.cache()
+    before = {
+        (r.shard, r.vec_id): tuple(r.neighbors)
+        for r in idx.shards_df.select("shard", "vec_id", "neighbors").collect()
+    }
+
+    grown = add_points(idx, delta)
+    assert grown.shards_df.count() == embeddings.count()
+    hc = grown.health_check()
+    assert hc["ok"], hc
+
+    after = {
+        (r.shard, r.vec_id): tuple(r.neighbors)
+        for r in grown.shards_df.select("shard", "vec_id", "neighbors").collect()
+    }
+    touched = {s for (s, v) in after if v >= 400}
+    untouched = set(r.shard for r in idx.shards_df.select("shard").distinct().collect()) - touched
+    # untouched shards preserved exactly
+    for key, nb in before.items():
+        if key[0] in untouched:
+            assert after[key] == nb
+    # new points searchable
+    q = delta.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = grown.search(q, k=1).collect()
+    assert all(r.vec_id == r.query_id and r.dist == 0.0 for r in res)

@@ -242,3 +242,93 @@ class PartitionedVamanaIndex:
             "n": row["n"],
             "R": self.params.R,
         }
+
+
+def add_points(
+    index: PartitionedVamanaIndex,
+    new_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> PartitionedVamanaIndex:
+    """Incremental maintenance: append new vectors by rebuilding ONLY the
+    shards they route to.
+
+    The reference's AddPoint after BuildIndex leaves new nodes unwired
+    (SURVEY.md §1.4 — capacity check is the only guard); here the
+    center-routed layout localizes the damage: untouched shards keep
+    their subgraphs byte-for-byte, touched shards re-run the (dense)
+    build kernel over old+new points. At 100 TB this is the difference
+    between re-indexing a petabyte and re-indexing the few shards a
+    daily delta lands in.
+    """
+    import pandas as pd
+
+    from vamana_spark import exact as _exact
+    from vamana_spark.index import kernels as _k
+    from vamana_spark.index.vamana import DENSE_BUILD_MAX
+
+    spark = index.spark
+    params = index.params
+    C = index.centers
+    bc = spark.sparkContext.broadcast(C)
+
+    pts = new_df.select(
+        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("embedding")
+    ).where(F.size(vec_col) == params.dim)
+
+    def assign(batches):
+        Cv = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            d = _exact._dist_matrix(X, Cv.astype(np.float64), "l2sq")
+            pdf = pdf[["vec_id", "embedding"]].copy()
+            pdf["shard"] = d.argmin(axis=1).astype(np.int32)
+            yield pdf
+
+    assigned = pts.mapInPandas(
+        assign, schema="vec_id long, embedding array<float>, shard int"
+    )
+    touched = [r["shard"] for r in assigned.select("shard").distinct().collect()]
+    if not touched:
+        return index
+
+    old_touched = index.shards_df.where(F.col("shard").isin(touched)).select(
+        "shard", "vec_id", "embedding"
+    )
+    rebuild_input = old_touched.unionByName(assigned.select("shard", "vec_id", "embedding"))
+
+    R, L, alpha, seed = params.R, params.L, params.alpha, params.seed
+    out_schema = (
+        "shard int, vec_id long, local_ord int, "
+        "embedding array<float>, neighbors array<int>"
+    )
+
+    def build_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(key[0])
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        P = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+        if P.shape[0] <= DENSE_BUILD_MAX:
+            graph, _ = _k.build_vamana_dense(P, R, alpha, seed + shard)
+        else:
+            graph, _ = _k.build_vamana(P, R, L, alpha, seed + shard)
+        return pd.DataFrame(
+            {
+                "shard": shard,
+                "vec_id": pdf["vec_id"].astype("int64"),
+                "local_ord": np.arange(len(pdf), dtype=np.int32),
+                "embedding": pdf["embedding"],
+                "neighbors": [[int(x) for x in g] for g in graph],
+            }
+        )
+
+    rebuilt = rebuild_input.groupBy("shard").applyInPandas(build_shard, schema=out_schema)
+    untouched = index.shards_df.where(~F.col("shard").isin(touched))
+    new_shards = untouched.unionByName(rebuilt)
+
+    import dataclasses
+
+    new_params = dataclasses.replace(params)
+    new_params.n = params.n + pts.count()
+    return PartitionedVamanaIndex(spark, new_params, new_shards, C)

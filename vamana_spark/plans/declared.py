@@ -972,3 +972,7 @@ def q_media_features(spark, sf_dir):
     from vamana_spark.operators import multimodal
 
     return multimodal.extract_image_features(_fake_media(spark, sf_dir))
+
+
+# extended relational surface registers into the same gate
+from vamana_spark.plans import relational_ext  # noqa: E402,F401  (registration import)

@@ -1,0 +1,278 @@
+"""Extended relational surface — breadth queries over the star schema
+(rollup/cube, set ops, semi/anti joins, string/date functions, pivot,
+window functions, JSON extraction). All DuckDB-oracle-able; registered
+into the same declared-query gate as plans.declared.
+
+These go beyond the reference surface (which has no SQL at all) to make
+the engine a complete relational layer for pipeline work — SURVEY.md §2b
+X8's "the DataFrame layer the pipeline sits on".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from vamana_spark.operators import relational
+from vamana_spark.plans.declared import _events, declare
+from vamana_spark.sources import load_table
+
+
+@declare(
+    "q_rollup_revenue",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS total,
+           CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def q_rollup_revenue(spark, sf_dir):
+    """ROLLUP hierarchy totals (subtotal + grand-total rows)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("total"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+@declare(
+    "q_cube_counts",
+    """
+    SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_counts(spark, sf_dir):
+    """CUBE over two dimensions (all 2^2 grouping sets)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+
+@declare(
+    "q_anti_join",
+    """
+    SELECT c_custkey FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_anti_join(spark, sf_dir):
+    """Customers with no orders — left_anti join (NOT EXISTS)."""
+    t = relational.load_tables(spark, sf_dir, "customer", "orders")
+    return t["customer"].join(
+        t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey")
+
+
+@declare(
+    "q_semi_join",
+    """
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_suppkey = s_suppkey AND l_quantity > 45
+    )
+    """,
+)
+def q_semi_join(spark, sf_dir):
+    """Suppliers with any high-quantity lineitem — left_semi (EXISTS)."""
+    t = relational.load_tables(spark, sf_dir, "supplier", "lineitem")
+    big = t["lineitem"].where(F.col("l_quantity") > 45)
+    return t["supplier"].join(
+        big, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@declare(
+    "q_intersect_buyers",
+    """
+    SELECT o_custkey FROM orders WHERE o_totalprice > 50000
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def q_intersect_buyers(spark, sf_dir):
+    """INTERSECT of two customer sets."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_totalprice") > 50000).select("o_custkey")
+    b = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return a.intersect(b)
+
+
+@declare(
+    "q_except_buyers",
+    """
+    SELECT o_custkey FROM orders
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_except_buyers(spark, sf_dir):
+    """EXCEPT: customers who never have a finished order."""
+    o = load_table(spark, sf_dir, "orders")
+    # subtract = EXCEPT DISTINCT (set semantics, matching the SQL oracle);
+    # exceptAll would be bag semantics and keep multi-order customers
+    return o.select("o_custkey").subtract(
+        o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    )
+
+
+@declare(
+    "q_string_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           replace(p_brand, 'Brand', 'B') AS brand_short,
+           substr(p_type, 1, 5) AS type_prefix,
+           concat_ws('|', p_brand, p_type) AS brand_type
+    FROM part
+    """,
+)
+def q_string_funcs(spark, sf_dir):
+    """String scalar functions over part."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.replace(F.col("p_brand"), F.lit("Brand"), F.lit("B")).alias("brand_short"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@declare(
+    "q_date_funcs",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS total
+    FROM orders GROUP BY 1, 2, 3
+    """,
+)
+def q_date_funcs(spark, sf_dir):
+    """Date extraction + per-month aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("total"),
+        )
+    )
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@declare(
+    "q_pivot_priority",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS p_urgent,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT) AS p_high,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT) AS p_medium,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS p_notspec,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS p_low
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_pivot_priority(spark, sf_dir):
+    """Pivot order priorities into columns (fixed value list)."""
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return piv.toDF(
+        "o_orderstatus", "p_urgent", "p_high", "p_medium", "p_notspec", "p_low"
+    ).select(
+        "o_orderstatus",
+        *[F.col(c).cast("long").alias(c)
+          for c in ("p_urgent", "p_high", "p_medium", "p_notspec", "p_low")],
+    )
+
+
+@declare(
+    "q_window_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           round(CAST(lag(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE), 2) AS prev_price,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                 OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey
+                       ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2) AS running_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_funcs(spark, sf_dir):
+    """Window functions: row_number, lag, running sum (decimal-exact)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    dec = F.col("o_totalprice").cast("decimal(18,6)")
+    return o.select(
+        "o_orderkey",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.round(F.lag(dec).over(w).cast("double"), 2).alias("prev_price"),
+        F.round(
+            F.sum(dec).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"),
+            2,
+        ).alias("running_total"),
+    )
+
+
+@declare(
+    "q_json_extract",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+)
+def q_json_extract(spark, sf_dir):
+    """JSON field extraction from the events props payload."""
+    e = _events(spark, sf_dir)
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+    )
+
+
+@declare(
+    "q_distinct_users",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def q_distinct_users(spark, sf_dir):
+    """Distinct aggregation per group."""
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count("*").cast("long").alias("n_events"),
+    )
