@@ -55,3 +55,38 @@ def test_streaming_sessions_bounded_state(spark, events, stream_source):
         # merged sessions are separated by AT LEAST the inactivity gap
         # from the previous session's *start* (weak but deterministic bound)
         assert all((b - a).total_seconds() > 0 for a, b in zip(starts, starts[1:]))
+
+
+def test_stateful_running_totals(spark, events, stream_source, tmp_path):
+    """applyInPandasWithState accumulates across micro-batches; final
+    per-user totals equal the batch aggregate."""
+    from pyspark.sql import functions as F
+
+    from vamana_spark.streaming.stateful import running_user_totals
+
+    stream = read_events_stream(spark, stream_source)
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("t_state_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("t_state_totals").collect()
+    # update mode may emit a row per user per batch: keep the LAST snapshot
+    # (largest n_events) per user
+    last = {}
+    for r in out:
+        if r.user_id not in last or r.n_events > last[r.user_id].n_events:
+            last[r.user_id] = r
+    want = {
+        r.user_id: (r.n, round(r.s, 4))
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    got = {u: (r.n_events, round(r.sum_value, 4)) for u, r in last.items()}
+    assert got == want

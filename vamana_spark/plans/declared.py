@@ -976,3 +976,39 @@ def q_media_features(spark, sf_dir):
 
 # extended relational surface registers into the same gate
 from vamana_spark.plans import relational_ext  # noqa: E402,F401  (registration import)
+
+
+_PIDX_CACHE: dict = {}
+
+
+def _built_partitioned(spark, sf_dir):
+    if sf_dir not in _PIDX_CACHE:
+        from vamana_spark.index.partitioned import PartitionedVamanaIndex
+
+        params = VamanaParams(dim=64, alpha=1.2, R=32, L=64, ef_search=100, seed=42)
+        _PIDX_CACHE[sf_dir] = PartitionedVamanaIndex.build(
+            spark, _emb(spark, sf_dir), params, num_shards=4
+        )
+        _PIDX_CACHE[sf_dir].shards_df = _PIDX_CACHE[sf_dir].shards_df.cache()
+    return _PIDX_CACHE[sf_dir]
+
+
+@declare("q_partitioned_ann")
+def q_partitioned_ann(spark, sf_dir):
+    """Beyond-broadcast tier: per-shard subindex fan-out search with
+    global top-k merge (rows-only; recall gated by q_partitioned_recall)."""
+    pidx = _built_partitioned(spark, sf_dir)
+    q = _fixed_queries(_emb(spark, sf_dir), 25)
+    return pidx.search(q, k=10)
+
+
+@declare("q_partitioned_recall")
+def q_partitioned_recall(spark, sf_dir):
+    """Per-query recall@10 of the partitioned (exhaustive-probe) search
+    vs exact kNN."""
+    from vamana_spark import quality
+
+    pidx = _built_partitioned(spark, sf_dir)
+    e = _emb(spark, sf_dir)
+    q = _fixed_queries(e, 25)
+    return quality.recall_at_k(pidx.search(q, k=10), exact.exact_knn(e, q, k=10), k=10)
