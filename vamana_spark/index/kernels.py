@@ -434,9 +434,18 @@ def search_topk_batch(
     beam_ids = np.full((nq, ef), -1, dtype=np.int64)
     beam_d = np.full((nq, ef), np.inf, dtype=np.float64)
     beam_vis = np.zeros((nq, ef), dtype=bool)
-    hist = np.full((nq, max_hops), -1, dtype=np.int64)
     hops = np.zeros(nq, dtype=np.int64)
     comps = np.ones(nq, dtype=np.int64)
+
+    # visited history: an O(1)-lookup (nq, n) bitmap when it fits (~shard
+    # scale: 64 queries x 20k nodes = 1.3 MB), else a growing id list with
+    # broadcast-compare (memory-safe for broadcast-tier n in the millions,
+    # at O(hop) compare cost per hop)
+    use_bitmap = nq * n <= 256_000_000
+    if use_bitmap:
+        visited_map = np.zeros((nq, n), dtype=bool)
+    else:
+        hist = np.full((nq, max_hops), -1, dtype=np.int64)
 
     start_nodes = (
         np.full(nq, medoid, dtype=np.int64) if starts is None
@@ -457,13 +466,19 @@ def search_topk_batch(
         rp = pos[rows]
         cur = beam_ids[rows, rp]
         beam_vis[rows, rp] = True
-        hist[rows, hop] = cur
+        if use_bitmap:
+            visited_map[rows, cur] = True
+        else:
+            hist[rows, hop] = cur
         hops[rows] += 1
 
         cand = nbr_mat[cur]                                   # (ra, Rmax)
         valid = cand >= 0
         in_beam = (cand[:, :, None] == beam_ids[rows][:, None, :]).any(axis=2)
-        in_hist = (cand[:, :, None] == hist[rows][:, None, : hop + 1]).any(axis=2)
+        if use_bitmap:
+            in_hist = visited_map[rows[:, None], np.clip(cand, 0, n - 1)]
+        else:
+            in_hist = (cand[:, :, None] == hist[rows][:, None, : hop + 1]).any(axis=2)
         new = valid & ~in_beam & ~in_hist
         comps[rows] += new.sum(axis=1)
 
