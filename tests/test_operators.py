@@ -236,3 +236,40 @@ def test_lsh_similarity_join_finds_dups(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     pairs = similarity.lsh_similarity_join(df, max_cosine_dist=0.05).collect()
     assert any({p.a_id, p.b_id} == {0, 100} for p in pairs)
+
+
+def test_approx_distinct_accuracy(spark, events):
+    from pyspark.sql import functions as F
+
+    exact_counts = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r.event_type: r.approx_users
+        for r in events.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .collect()
+    }
+    for k, n in exact_counts.items():
+        assert abs(approx[k] - n) <= max(1, 0.05 * n), (k, approx[k], n)
+
+
+def test_empty_build_raises(spark):
+    from vamana_spark import VamanaIndex, VamanaParams
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="no input rows"):
+        VamanaIndex.build(spark, empty, VamanaParams(dim=64))
+
+
+def test_search_empty_queries(spark, embeddings):
+    from vamana_spark import VamanaIndex, VamanaParams
+
+    idx = VamanaIndex.build(
+        spark, embeddings.limit(50), VamanaParams(dim=64, R=8, L=16, ef_search=16)
+    )
+    q = spark.createDataFrame([], "query_id long, query_vec array<float>")
+    assert idx.search(q, k=3).count() == 0

@@ -107,6 +107,11 @@ class VamanaIndex:
     @staticmethod
     def _build_single(spark, pts: DataFrame, params: VamanaParams) -> "VamanaIndex":
         pdf = pts.orderBy("ordinal").toPandas()
+        if pdf.empty:
+            raise ValueError(
+                "VamanaIndex.build: no input rows (after dimension filter "
+                f"size(embedding) == {params.dim})"
+            )
         P = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
         P = _metric_transform(P, params.metric)
         graph, medoid = _build_graph_kernel(P, params)

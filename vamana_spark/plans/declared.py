@@ -258,7 +258,8 @@ _INDEX_CACHE: dict = {}
 
 
 def _built_index(spark, sf_dir):
-    key = sf_dir
+    # key by application id too: cached DataFrames die with their session
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _INDEX_CACHE:
         from vamana_spark.index import VamanaIndex
 
@@ -982,15 +983,16 @@ _PIDX_CACHE: dict = {}
 
 
 def _built_partitioned(spark, sf_dir):
-    if sf_dir not in _PIDX_CACHE:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PIDX_CACHE:
         from vamana_spark.index.partitioned import PartitionedVamanaIndex
 
         params = VamanaParams(dim=64, alpha=1.2, R=32, L=64, ef_search=100, seed=42)
-        _PIDX_CACHE[sf_dir] = PartitionedVamanaIndex.build(
+        _PIDX_CACHE[key] = PartitionedVamanaIndex.build(
             spark, _emb(spark, sf_dir), params, num_shards=4
         )
-        _PIDX_CACHE[sf_dir].shards_df = _PIDX_CACHE[sf_dir].shards_df.cache()
-    return _PIDX_CACHE[sf_dir]
+        _PIDX_CACHE[key].shards_df = _PIDX_CACHE[key].shards_df.cache()
+    return _PIDX_CACHE[key]
 
 
 @declare("q_partitioned_ann")
@@ -1012,3 +1014,63 @@ def q_partitioned_recall(spark, sf_dir):
     e = _emb(spark, sf_dir)
     q = _fixed_queries(e, 25)
     return quality.recall_at_k(pidx.search(q, k=10), exact.exact_knn(e, q, k=10), k=10)
+
+
+@declare(
+    "q_knn_join_topk",
+    f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0),
+    d AS (
+      SELECT q.vec_id AS query_id, p.vec_id,
+             {_sq_l2_sql('q.embedding', 'p.embedding')} AS dist
+      FROM q, embeddings p WHERE p.vec_id <> q.vec_id
+    ),
+    r AS (
+      SELECT query_id, vec_id, dist,
+             row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+      FROM d
+    )
+    SELECT query_id, vec_id, round(dist, 4) AS dist, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 3
+    """,
+)
+def q_knn_join_topk(spark, sf_dir):
+    """X3 exact variant (SURVEY §2c): top-3 neighbors for every point
+    with a label filter — the kNN self-join."""
+    out = similarity.knn_self_join(
+        _emb(spark, sf_dir), k=3, where=F.col("label") == 0, round_digits=4
+    )
+    return out.select("query_id", "vec_id", "dist", "rank")
+
+
+@declare(
+    "q_events_window",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_window(spark, sf_dir):
+    """X7 (SURVEY §2c name): hourly rollup via F.window — the tumbling
+    form that transfers 1:1 to Structured Streaming."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

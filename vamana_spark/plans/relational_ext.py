@@ -276,3 +276,17 @@ def q_distinct_users(spark, sf_dir):
         F.countDistinct("user_id").cast("long").alias("n_users"),
         F.count("*").cast("long").alias("n_events"),
     )
+
+
+@declare("q_approx_distinct")
+def q_approx_distinct(spark, sf_dir):
+    """Approximate aggregates (HLL): approx_count_distinct per event_type.
+
+    Rows-only: HLL sketches are engine-specific; the accuracy bound
+    (within 5% of exact) is asserted in tests instead.
+    """
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count("*").cast("long").alias("n_events"),
+    )
