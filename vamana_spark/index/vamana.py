@@ -245,9 +245,21 @@ class VamanaIndex:
 
     # ----------------------------------------------------------------- search
 
+    # soft ceiling for the broadcast tier: past this, loading the matrix on
+    # the driver / broadcasting per-executor stops being the right design
+    BROADCAST_TIER_MAX_BYTES = 2 * 1024**3
+
     def _load_local(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         """(P, ids, indptr, nbrs) — the broadcastable in-memory form."""
         if self._local is None:
+            est = (self.params.n or 0) * self.params.dim * 4
+            if est > self.BROADCAST_TIER_MAX_BYTES:
+                raise MemoryError(
+                    f"index ~{est/1e9:.1f} GB exceeds the broadcast tier "
+                    f"ceiling ({self.BROADCAST_TIER_MAX_BYTES/1e9:.0f} GB); "
+                    "build a PartitionedVamanaIndex instead "
+                    "(vamana_spark.index.partitioned)"
+                )
             pdf = self.points_df.select("ordinal", "vec_id", "embedding").orderBy(
                 "ordinal"
             ).toPandas()

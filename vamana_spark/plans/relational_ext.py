@@ -290,3 +290,26 @@ def q_approx_distinct(spark, sf_dir):
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count("*").cast("long").alias("n_events"),
     )
+
+
+@declare(
+    "q_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+           round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95), 4) AS p95_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (Spark `percentile` == SQL
+    quantile_cont linear interpolation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90_qty"),
+        F.round(
+            F.percentile(F.col("l_extendedprice").cast("double"), F.lit(0.95)), 4
+        ).alias("p95_price"),
+    )
