@@ -124,3 +124,16 @@ def test_bin_format_roundtrip(tmp_path, spark, built, queries):
     assert sorted((r.query_id, r.rank, r.vec_id) for r in a) == sorted(
         (r.query_id, r.rank, r.vec_id) for r in b
     )
+
+
+def test_cosine_metric_index_recall(spark, embeddings, queries):
+    """Cosine-metric build + search: recall vs exact cosine kNN."""
+    from vamana_spark import quality
+
+    params = VamanaParams(
+        dim=64, alpha=1.2, R=32, L=64, ef_search=96, seed=42, metric="cosine"
+    )
+    idx = VamanaIndex.build(spark, embeddings, params)
+    truth = exact.exact_knn(embeddings, queries, k=10, metric="cosine")
+    r = quality.avg_recall(idx.search(queries, k=10), truth, k=10)
+    assert r >= 0.8, f"cosine recall@10 = {r}"

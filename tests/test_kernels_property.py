@@ -100,8 +100,10 @@ def test_batched_matches_scalar_topk(P):
 
 @settings(max_examples=15, deadline=None)
 @given(P=points_strategy)
-def test_medoid_of_matches_centroid_argmin(P):
+def test_medoid_of_is_near_optimal(P):
+    """medoid_of picks a centroid-nearest point up to fp32 summation-order
+    ties (hypothesis found two points equidistant to within 2e-7)."""
     m = kernels.medoid_of(P)
     c = P.mean(axis=0)
-    d = ((P - c) ** 2).sum(axis=1)
-    assert m == int(np.argmin(d))
+    d = ((P.astype(np.float64) - c.astype(np.float64)) ** 2).sum(axis=1)
+    assert d[m] <= d.min() * (1 + 1e-5) + 1e-9

@@ -96,3 +96,32 @@ def test_whole_stage_codegen_on_relational(spark, sf_dir):
         assert m and int(m.group(1)) >= 1, p[:500]
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Bucketing both fact tables on the join key eliminates the shuffle:
+    SortMergeJoin with zero Exchange nodes."""
+    from vamana_spark.sources import load_table
+    from vamana_spark.sources.bucketing import read_bucketed, write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        write_bucketed(li, "t_li_bucketed", "l_orderkey", 8)
+        write_bucketed(o, "t_o_bucketed", "o_orderkey", 8)
+        joined = read_bucketed(spark, "t_li_bucketed").join(
+            read_bucketed(spark, "t_o_bucketed"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        p = plan(joined)
+        assert "SortMergeJoin" in p, p
+        assert "Exchange" not in p, p
+        # sanity: the join actually runs
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_o_bucketed")

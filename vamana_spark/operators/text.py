@@ -8,7 +8,7 @@ regex (word pieces + standalone punctuation) shared by every operator.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # word pieces or single non-space punctuation — the "BPE-ish" splitter

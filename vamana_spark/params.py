@@ -8,7 +8,7 @@ dataclass persisted to ``_meta.json`` next to the index Parquet dirs.
 from __future__ import annotations
 
 import json
-from dataclasses import asdict, dataclass, field
+from dataclasses import asdict, dataclass
 from typing import Optional
 
 

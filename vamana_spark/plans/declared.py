@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vamana_spark import exact
-from vamana_spark.functions.vector import l2_norm, pairwise_distance, squared_l2
+from vamana_spark.functions.vector import l2_norm, squared_l2
 from vamana_spark.operators import dedup, events as ev, relational, similarity, text
 from vamana_spark.operators.text import _LANG_PROFILES, _STOPWORDS, TOKEN_PATTERN
 from vamana_spark.params import VamanaParams

@@ -313,3 +313,40 @@ def q_percentiles(spark, sf_dir):
             F.percentile(F.col("l_extendedprice").cast("double"), F.lit(0.95)), 4
         ).alias("p95_price"),
     )
+
+
+@declare(
+    "q_array_funcs",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+           round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_val,
+           round(CAST(list_min(embedding) AS DOUBLE), 4) AS min_val,
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS sum_val,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive
+    FROM embeddings
+    """,
+)
+def q_array_funcs(spark, sf_dir):
+    """Array scalar functions over the embedding column — the array-ops
+    layer every vector operator builds on."""
+    from vamana_spark.plans.declared import _emb
+
+    e = _emb(spark, sf_dir)
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("max_val"),
+        F.round(F.array_min("embedding").cast("double"), 4).alias("min_val"),
+        F.round(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            4,
+        ).alias("sum_val"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_positive"),
+    )

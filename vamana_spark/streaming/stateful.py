@@ -25,7 +25,6 @@ from pyspark.sql.types import (
     LongType,
     StructField,
     StructType,
-    TimestampType,
 )
 
 STATE_SCHEMA = StructType(
