@@ -60,6 +60,10 @@ def main() -> None:
         dim=64, alpha=1.2, R=32, L=64, ef_search=100, seed=42, num_shards=8
     )
     timed("build_index_sharded", lambda: VamanaIndex.build(spark, emb, sharded_params))
+    from vamana_spark.index.bsp import build_bsp
+
+    bsp_params = VamanaParams(dim=64, alpha=1.2, R=32, L=64, ef_search=100, seed=42)
+    timed("build_index_bsp", lambda: build_bsp(spark, emb, bsp_params))
 
     # --- batch ANN search (R10) + recall (R15)
     idx.search(allq.limit(5), k=10).count()  # warm broadcast + workers
