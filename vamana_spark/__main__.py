@@ -1,0 +1,161 @@
+"""CLI for the engine: ``python -m vamana_spark <command>``.
+
+Commands mirror the reference's driver workflow (build → save → load →
+search → recall, main.cpp:33-168) plus the pipeline operators:
+
+  build   --input emb.parquet --output idx_dir [--R --L --alpha --shards]
+  search  --index idx_dir --queries q.parquet --output out.parquet [--k]
+  knn     --input emb.parquet --queries q.parquet --output out.parquet [--k]
+  recall  --approx a.parquet --truth t.parquet [--k]
+  dedup   --input docs.parquet --output out.parquet [--mode exact|minhash]
+  bench   (same as bench.py)
+
+Query parquet schema: (query_id long, query_vec array<float>).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(app: str):
+    from vamana_spark.session import get_session
+
+    return get_session(app)
+
+
+def cmd_build(args) -> int:
+    from vamana_spark import VamanaIndex, VamanaParams
+
+    spark = _spark("vamana-build")
+    df = spark.read.parquet(args.input)
+    dim = df.selectExpr(f"size({args.vec_col}) d").first()["d"]
+    params = VamanaParams(
+        dim=dim, alpha=args.alpha, R=args.R, L=args.L,
+        ef_search=args.ef_search, seed=args.seed, num_shards=args.shards,
+    )
+    idx = VamanaIndex.build(spark, df, params, id_col=args.id_col, vec_col=args.vec_col)
+    idx.save(args.output)
+    print(json.dumps({"built": idx.describe(), "health": idx.health_check()}))
+    return 0
+
+
+def cmd_search(args) -> int:
+    from vamana_spark import VamanaIndex
+
+    spark = _spark("vamana-search")
+    idx = VamanaIndex.load(spark, args.index)
+    q = spark.read.parquet(args.queries)
+    out = idx.search(q, k=args.k)
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"queries": q.count(), "result_rows": out.count(), "k": args.k}))
+    return 0
+
+
+def cmd_knn(args) -> int:
+    from vamana_spark import exact
+
+    spark = _spark("vamana-knn")
+    pts = spark.read.parquet(args.input)
+    q = spark.read.parquet(args.queries)
+    out = exact.exact_knn_batch(pts, q, k=args.k, id_col=args.id_col, vec_col=args.vec_col)
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"queries": q.count(), "result_rows": out.count(), "k": args.k}))
+    return 0
+
+
+def cmd_recall(args) -> int:
+    from vamana_spark import quality
+
+    spark = _spark("vamana-recall")
+    a = spark.read.parquet(args.approx)
+    t = spark.read.parquet(args.truth)
+    r = quality.avg_recall(a, t, k=args.k)
+    print(json.dumps({"avg_recall": round(r, 4), "k": args.k}))
+    return 0 if r >= args.threshold else 1
+
+
+def cmd_dedup(args) -> int:
+    from vamana_spark.operators import dedup
+
+    spark = _spark("vamana-dedup")
+    docs = spark.read.parquet(args.input)
+    if args.mode == "exact":
+        out = dedup.exact_dedup(docs, text_col=args.text_col, id_col=args.id_col)
+    else:
+        out = dedup.minhash_near_dups(
+            docs, text_col=args.text_col, id_col=args.id_col, threshold=args.threshold
+        )
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"input_rows": docs.count(), "output_rows": out.count(),
+                      "mode": args.mode}))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench
+
+    bench.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="vamana_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True)
+    b.add_argument("--output", required=True)
+    b.add_argument("--id-col", dest="id_col", default="vec_id")
+    b.add_argument("--vec-col", dest="vec_col", default="embedding")
+    b.add_argument("--R", type=int, default=32)
+    b.add_argument("--L", type=int, default=64)
+    b.add_argument("--alpha", type=float, default=1.2)
+    b.add_argument("--ef-search", dest="ef_search", type=int, default=100)
+    b.add_argument("--seed", type=int, default=42)
+    b.add_argument("--shards", type=int, default=1)
+    b.set_defaults(fn=cmd_build)
+
+    s = sub.add_parser("search")
+    s.add_argument("--index", required=True)
+    s.add_argument("--queries", required=True)
+    s.add_argument("--output", required=True)
+    s.add_argument("--k", type=int, default=10)
+    s.set_defaults(fn=cmd_search)
+
+    kn = sub.add_parser("knn")
+    kn.add_argument("--input", required=True)
+    kn.add_argument("--queries", required=True)
+    kn.add_argument("--output", required=True)
+    kn.add_argument("--id-col", dest="id_col", default="vec_id")
+    kn.add_argument("--vec-col", dest="vec_col", default="embedding")
+    kn.add_argument("--k", type=int, default=10)
+    kn.set_defaults(fn=cmd_knn)
+
+    r = sub.add_parser("recall")
+    r.add_argument("--approx", required=True)
+    r.add_argument("--truth", required=True)
+    r.add_argument("--k", type=int, default=10)
+    r.add_argument("--threshold", type=float, default=0.8)
+    r.set_defaults(fn=cmd_recall)
+
+    d = sub.add_parser("dedup")
+    d.add_argument("--input", required=True)
+    d.add_argument("--output", required=True)
+    d.add_argument("--mode", choices=["exact", "minhash"], default="exact")
+    d.add_argument("--text-col", dest="text_col", default="text")
+    d.add_argument("--id-col", dest="id_col", default="doc_id")
+    d.add_argument("--threshold", type=float, default=0.7)
+    d.set_defaults(fn=cmd_dedup)
+
+    be = sub.add_parser("bench")
+    be.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
