@@ -107,3 +107,34 @@ def test_medoid_of_is_near_optimal(P):
     c = P.mean(axis=0)
     d = ((P.astype(np.float64) - c.astype(np.float64)) ** 2).sum(axis=1)
     assert d[m] <= d.min() * (1 + 1e-5) + 1e-9
+
+
+@settings(max_examples=10, deadline=None)
+@given(P=points_strategy, R=st.integers(3, 8))
+def test_beam_build_invariants(P, R):
+    """The beam-search build kernel (used above the dense ceiling) obeys
+    the same structural invariants as the dense build."""
+    n = P.shape[0]
+    graph, medoid = kernels.build_vamana(P, R, L=16, alpha=1.2, seed=7)
+    assert len(graph) == n and 0 <= medoid < n
+    for i, g in enumerate(graph):
+        assert len(g) <= R and i not in g
+        assert len(set(g.tolist())) == len(g)
+
+
+def test_beam_build_recall_small():
+    """Beam build achieves the reference's recall bar on random data."""
+    rng = np.random.default_rng(3)
+    P = rng.uniform(-1, 1, (400, 16)).astype(np.float32)
+    graph, medoid = kernels.build_vamana(P, R=16, L=32, alpha=1.2, seed=3)
+    indptr, nbrs = kernels._to_csr(graph, len(graph))
+    nbr_mat = kernels.pad_adjacency(indptr, nbrs, len(graph))
+    Q = P[::20]
+    rq, rid, _, _, _ = kernels.search_topk_batch(P, nbr_mat, medoid, Q, 10, 48)
+    hits = 0
+    for r, qi in enumerate(range(0, len(P), 20)):
+        d = ((P.astype(np.float64) - P[qi]) ** 2).sum(axis=1)
+        truth = set(np.lexsort((np.arange(len(P)), d))[:10].tolist())
+        hits += len(set(rid[rq == r].tolist()) & truth)
+    recall = hits / (len(Q) * 10)
+    assert recall >= 0.8, recall
