@@ -308,3 +308,62 @@ def test_mllib_kmeans_centers_shape(spark, embeddings):
 
     C = ml_bridge.mllib_kmeans_centers(embeddings, k=4)
     assert C.shape == (4, 64)
+
+
+# --------------------------------------------------------------- temporal
+
+def test_asof_join_basic(spark):
+    from vamana_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 100), (1, "2024-01-01 12:00:00", 101),
+         (2, "2024-01-01 11:00:00", 200)],
+        "user_id long, ts string, event_id long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", 7.0), (1, "2024-01-01 11:30:00", 8.0),
+         (2, "2024-01-01 11:30:00", 9.0)],
+        "user_id long, ts string, price double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r.event_id: r.asof_price
+        for r in asof_join(
+            left, right, ["user_id"], "ts", "ts", ["price"]
+        ).collect()
+    }
+    assert out == {100: 7.0, 101: 8.0, 200: None}
+
+
+def test_asof_join_tolerance(spark):
+    from vamana_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 100)], "user_id long, ts string, event_id long"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 08:00:00", 7.0)], "user_id long, ts string, price double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    within = asof_join(left, right, ["user_id"], "ts", "ts", ["price"],
+                       tolerance_seconds=3 * 3600).first()
+    beyond = asof_join(left, right, ["user_id"], "ts", "ts", ["price"],
+                       tolerance_seconds=3600).first()
+    assert within.asof_price == 7.0 and beyond.asof_price is None
+
+
+def test_interval_join(spark):
+    from vamana_spark.operators.temporal import interval_join
+
+    points = spark.createDataFrame(
+        [(1, "2024-01-01 10:15:00", 100), (1, "2024-01-01 13:00:00", 101)],
+        "user_id long, ts string, event_id long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    intervals = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "2024-01-01 11:00:00", "w1")],
+        "user_id long, start_ts string, end_ts string, name string",
+    ).withColumn("start_ts", F.to_timestamp("start_ts")).withColumn(
+        "end_ts", F.to_timestamp("end_ts")
+    )
+    out = interval_join(
+        points, intervals, ["user_id"], "ts", "start_ts", "end_ts"
+    ).collect()
+    assert [(r.event_id, r.name) for r in out] == [(100, "w1")]

@@ -350,3 +350,39 @@ def q_array_funcs(spark, sf_dir):
         ).alias("sum_val"),
         F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_positive"),
     )
+
+
+@declare(
+    "q_asof_join",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ),
+    signups AS (
+      SELECT user_id, ts, event_id AS signup_event FROM events
+      WHERE event_type = 'signup'
+    )
+    SELECT c.event_id, c.user_id, s.signup_event AS asof_signup_event
+    FROM clicks c ASOF LEFT JOIN signups s
+      ON c.user_id = s.user_id AND c.ts >= s.ts
+    """,
+)
+def q_asof_join(spark, sf_dir):
+    """As-of join (an operator Spark lacks natively): each click matched
+    to the user's latest prior signup. Union-tag-window encoding vs
+    DuckDB's native ASOF JOIN as the oracle."""
+    from vamana_spark.operators.temporal import asof_join
+
+    e = _events(spark, sf_dir)
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    signups = e.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_event")
+    )
+    out = asof_join(
+        clicks, signups,
+        key_cols=["user_id"], left_ts="ts", right_ts="ts",
+        right_payload=["signup_event"],
+    )
+    return out.select("event_id", "user_id", "asof_signup_event")
