@@ -152,3 +152,27 @@ def test_bsp_build_recall(spark, embeddings, queries):
     truth = exact.exact_knn(embeddings, queries, k=10)
     r = quality.avg_recall(idx.search(queries, k=10), truth, k=10)
     assert r >= 0.8, f"BSP build recall@10 = {r}"
+
+
+def test_graph_fully_reachable_from_medoid(spark, built):
+    """Navigability invariant: every node reachable from the entry point
+    (distributed BFS over the adjacency DataFrame)."""
+    from vamana_spark.index.diagnostics import degree_histogram, reachability
+
+    rep = reachability(built.graph_df, built.params.medoid)
+    assert rep["reachable_fraction"] == 1.0, rep
+    hist = degree_histogram(built.graph_df).collect()
+    assert sum(r.n_nodes for r in hist) == built.data_size
+    assert max(r.out_degree for r in hist) <= built.params.R
+
+
+def test_build_is_deterministic(spark, embeddings):
+    """Same seed, same input → byte-identical graph (the reference is
+    unseeded, vamana.h:121; determinism is a port guarantee)."""
+    params = lambda: VamanaParams(dim=64, alpha=1.2, R=16, L=32, ef_search=32, seed=42)
+    a = VamanaIndex.build(spark, embeddings, params())
+    b = VamanaIndex.build(spark, embeddings, params())
+    ga = {r.ordinal: tuple(r.neighbors) for r in a.graph_df.collect()}
+    gb = {r.ordinal: tuple(r.neighbors) for r in b.graph_df.collect()}
+    assert ga == gb
+    assert a.params.medoid == b.params.medoid
