@@ -90,3 +90,23 @@ def test_stateful_running_totals(spark, events, stream_source, tmp_path):
     }
     got = {u: (r.n_events, round(r.sum_value, 4)) for u, r in last.items()}
     assert got == want
+
+
+def test_streaming_dedup_drops_repeats(spark, events, stream_source, tmp_path):
+    from vamana_spark.streaming.dedup import streaming_exact_dedup
+
+    stream = read_events_stream(spark, stream_source)
+    q = (
+        streaming_exact_dedup(stream, key_cols=("user_id", "event_type"), watermark="365 days")
+        .writeStream.format("memory")
+        .queryName("t_stream_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("t_stream_dedup")
+    n_distinct = events.select("user_id", "event_type").distinct().count()
+    assert out.count() == n_distinct
+    assert out.select("user_id", "event_type").distinct().count() == n_distinct

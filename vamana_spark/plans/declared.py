@@ -1074,3 +1074,48 @@ def q_events_window(spark, sf_dir):
             "sum_value",
         )
     )
+
+
+_IP_SQL = (
+    "-list_sum(list_transform(list_zip(q.embedding, p.embedding),"
+    " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+)
+
+
+@declare(
+    "q_knn_ip",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+    d AS (
+      SELECT q.query_id, p.vec_id, {_IP_SQL} AS dist
+      FROM q, embeddings p
+    ),
+    r AS (
+      SELECT query_id, vec_id, dist,
+             row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+      FROM d
+    )
+    SELECT query_id, vec_id, round(dist, 4) AS dist, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def q_knn_ip(spark, sf_dir):
+    """Inner-product top-k (the reference's declared TODO, readme.md:76 /
+    vamana.h:695): negated dot product so smaller = closer."""
+    e = _emb(spark, sf_dir)
+    out = exact.exact_knn(e, _fixed_queries(e, 50), k=5, metric="ip", round_digits=4)
+    return out.select("query_id", "vec_id", "dist", "rank")
+
+
+@declare("q_graph_reachability")
+def q_graph_reachability(spark, sf_dir):
+    """R18-class invariant as a first-class operator: BFS reachability of
+    the built graph from its medoid (rows-only; one summary row)."""
+    from vamana_spark.index.diagnostics import reachability
+
+    idx = _built_index(spark, sf_dir)
+    rep = reachability(idx.graph_df, int(idx.params.medoid or 0))
+    return spark.createDataFrame(
+        [(rep["reachable"], rep["total"], float(rep["reachable_fraction"]), rep["rounds"])],
+        "reachable long, total long, reachable_fraction double, rounds long",
+    )
