@@ -327,6 +327,53 @@ def robust_prune_presorted(
     return np.asarray(out, dtype=np.int64)
 
 
+
+
+def robust_prune_batch(
+    D: np.ndarray,
+    cand: np.ndarray,
+    alpha: float,
+    R: int,
+    nodes: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Lockstep RobustPrune over MANY nodes at once.
+
+    ``cand`` is (n_rows, C) candidate ids per row, ascending by distance
+    to that row's node, padded with -1; ``D`` the full distance matrix.
+    Per-row prunes are independent, so all rows advance one admission per
+    Python iteration — ~R iterations of flat (n_rows, C) ops instead of
+    n_rows sequential prune loops. Exact same output as
+    ``robust_prune_presorted`` row by row.
+
+    Returns (n_rows, R) admitted ids padded with -1.
+    """
+    n_rows, Cw = cand.shape
+    # nodes[t] = the graph node row t prunes for (defaults to t itself)
+    node_idx = np.arange(n_rows) if nodes is None else np.asarray(nodes)
+    alive = cand >= 0
+    d_p = np.where(
+        alive, D[np.repeat(node_idx, Cw), np.clip(cand, 0, D.shape[0] - 1).ravel()]
+        .reshape(n_rows, Cw), np.inf,
+    )
+    out = np.full((n_rows, R), -1, dtype=np.int64)
+    counts = np.zeros(n_rows, dtype=np.int64)
+    for _ in range(R):
+        has = alive.any(axis=1)
+        active = np.flatnonzero(has & (counts < R))
+        if active.size == 0:
+            break
+        first = alive[active].argmax(axis=1)  # first alive (cand sorted)
+        star = cand[active, first]
+        out[active, counts[active]] = star
+        counts[active] += 1
+        alive[active, first] = False
+        # kill dominated: alpha * d(star, c) <= d(p, c)
+        d_star = D[star[:, None], np.clip(cand[active], 0, D.shape[0] - 1)]
+        kill = (alpha * d_star <= d_p[active]) & alive[active]
+        alive[active] &= ~kill
+    return out
+
+
 def build_vamana_dense(
     P: np.ndarray,
     R: int,
@@ -363,11 +410,15 @@ def build_vamana_dense(
     loc = np.argsort(part_d, axis=1, kind="stable")
     order = np.take_along_axis(part, loc, axis=1)
 
-    graph: List[np.ndarray] = []
+    # drop self from each row, keep C candidates, lockstep-prune all nodes
+    cand_rows = np.where(order == np.arange(n)[:, None], -1, order)
+    packed = np.full((n, C), -1, dtype=np.int64)
     for i in range(n):
-        cand = order[i]
-        cand = cand[cand != i][:C]
-        graph.append(robust_prune_presorted(D[i], cand, D, float(alpha), R))
+        row = cand_rows[i]
+        row = row[row >= 0][:C]
+        packed[i, : row.size] = row
+    pruned = robust_prune_batch(D, packed, float(alpha), R)
+    graph: List[np.ndarray] = [row[row >= 0] for row in pruned]
 
     # reverse-edge fix-up: ensure j sees i for every edge i->j; re-prune
     # any node pushed over R (vamana.h:270-287 semantics, batched)
@@ -375,15 +426,29 @@ def build_vamana_dense(
     for i in range(n):
         for j in graph[i]:
             rev[int(j)].append(i)
+    over: List[int] = []
+    merged_lists: List[np.ndarray] = []
     for j in range(n):
         merged = np.unique(np.concatenate([graph[j], np.asarray(rev[j], dtype=np.int64)]))
         merged = merged[merged != j]
         if merged.size <= R:
             graph[j] = merged
         else:
-            d_j = D[j, merged]
-            o = np.argsort(d_j, kind="stable")
-            graph[j] = robust_prune_presorted(D[j], merged[o], D, float(alpha), R)
+            over.append(j)
+            merged_lists.append(merged)
+    if over:
+        W = max(m.size for m in merged_lists)
+        packed2 = np.full((len(over), W), -1, dtype=np.int64)
+        for t, (j, m) in enumerate(zip(over, merged_lists)):
+            dm = D[j, m]
+            o = np.argsort(dm, kind="stable")
+            packed2[t, : m.size] = m[o]
+        pruned2 = robust_prune_batch(
+            D, packed2, float(alpha), R, nodes=np.asarray(over, dtype=np.int64)
+        )
+        for t, j in enumerate(over):
+            row = pruned2[t]
+            graph[j] = row[row >= 0]
 
     medoid = int(np.argmin(D.sum(axis=1)))  # exact medoid — free given D
     return graph, medoid
