@@ -37,6 +37,52 @@ def test_minhash_candidates_superset_of_high_jaccard(spark):
     assert not any(3 in (p.a_id, p.b_id) for p in pairs)
 
 
+def test_connected_components_transitive(spark):
+    # chain 1-2-3 must collapse to one cluster even though (1,3) is absent
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "a_id long, b_id long"
+    )
+    cc = {r.node: r.component for r in dedup.connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_connected_components_matches_union_find(documents):
+    pairs = dedup.minhash_near_dups(documents, threshold=0.5)
+    edges = [(r.a_id, r.b_id) for r in pairs.collect()]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {x: find(x) for x in parent}
+    got = {
+        r.node: r.component
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == expected
+
+
+def test_dedup_corpus_keeps_canonical_and_singletons(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again today"),
+            (2, "the quick brown fox jumps over the lazy dog again and again tonight"),
+            (3, "completely unrelated text about spark query engines and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    ids = sorted(r.doc_id for r in dedup.dedup_corpus(df, threshold=0.5).collect())
+    assert ids == [1, 3]
+
+
 def test_simhash_signature_locality(spark):
     rows = [
         (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),

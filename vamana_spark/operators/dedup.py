@@ -444,6 +444,112 @@ def minhash_near_dups(
     )
 
 
+# ----------------------------------------------- duplicate clusters (CC)
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over an undirected pair list →
+    ``(node, component)`` with component = min node id in the component.
+
+    The dedup endgame: near-dup PAIRS must become CLUSTERS before a
+    corpus can keep one canonical doc per group (A~B, B~C ⇒ {A,B,C}
+    even when A~C was never emitted by LSH).
+
+    Algorithm: min-label propagation with pointer jumping
+    (label(v) ← label(label(v)) each round), the standard O(log n)-round
+    BSP connectivity recipe (same shape GraphX/Pregel CC uses). Each
+    round is two self-equi-joins + a groupBy — all shuffle-partitioned
+    on node id, no broadcast of anything O(n). ``localCheckpoint``
+    truncates lineage so round R doesn't replay rounds 1..R-1.
+    Near-dup graphs are LSH near-cliques with tiny diameter, so
+    convergence is typically 2-3 rounds.
+    """
+    sym = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    sym = sym.union(
+        sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    labels = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select("u", F.least("u", "_mn").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # gather: each node takes the min of its own and neighbors' labels
+        nbr = sym.join(
+            labels.select(F.col("u").alias("v"), F.col("label")), "v"
+        ).select("u", "label")
+        new = (
+            nbr.union(labels.select("u", "label"))
+            .groupBy("u")
+            .agg(F.min("label").alias("label"))
+        )
+        # pointer jumping: follow the label one hop (label ids are node ids)
+        hop = new.select(F.col("u").alias("_lu"), F.col("label").alias("_ll"))
+        new = (
+            new.join(hop, new["label"] == hop["_lu"], "left")
+            .select("u", F.least("label", F.coalesce("_ll", "label")).alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("label", "_old"), "u")
+            .where(F.col("label") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
+
+
+def duplicate_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    pairs: DataFrame | None = None,
+    **minhash_kwargs,
+) -> DataFrame:
+    """(doc_id, cluster_id) for every doc in at least one near-dup pair;
+    cluster_id = min doc_id of the transitive cluster. Pairs default to
+    MinHash-LSH (``minhash_near_dups``); pass ``pairs`` to cluster the
+    output of any other pair generator (exact Jaccard, SimHash, ...)."""
+    p = (
+        pairs
+        if pairs is not None
+        else minhash_near_dups(df, text_col, id_col, threshold, **minhash_kwargs)
+    )
+    cc = connected_components(p, "a_id", "b_id")
+    return cc.select(
+        F.col("node").alias(id_col), F.col("component").alias("cluster_id")
+    )
+
+
+def dedup_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    pairs: DataFrame | None = None,
+    **minhash_kwargs,
+) -> DataFrame:
+    """Corpus-level near-dedup: keep the canonical (min-id) doc of every
+    near-dup cluster plus all unpaired docs — the full 100-TB pipeline
+    (LSH pairs → transitive clusters → anti-join of non-canonicals).
+    """
+    clusters = duplicate_clusters(
+        df, text_col, id_col, threshold, pairs=pairs, **minhash_kwargs
+    )
+    losers = clusters.where(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    return df.join(losers, id_col, "left_anti")
+
+
 # ------------------------------------------------------------------- SimHash
 
 def simhash_signatures(

@@ -529,6 +529,86 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+# shared pair-generation CTE for the cluster/corpus-dedup oracles — the
+# same shingling + blocked exact-Jaccard as q_ngram_jaccard, plus the
+# transitive closure (DuckDB recursive CTE = the oracle for the engine's
+# O(log n)-round distributed connected components).
+_DUP_REACH_CTE = """
+    WITH RECURSIVE
+    s AS (
+      SELECT doc_id, source,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+               ELSE [array_to_string(toks, ' ')] END) AS sh
+      FROM (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+        FROM documents
+      )
+    ),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))
+            / CAST(greatest(len(list_distinct(a.sh || b.sh)), 1) AS DOUBLE) >= 0.5
+    ),
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION
+      SELECT b_id AS u, a_id AS v FROM pairs
+    ),
+    reach AS (
+      SELECT u AS src, u AS dst FROM edges
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    )
+"""
+
+
+def _jaccard_pairs(spark, sf_dir):
+    return dedup.ngram_jaccard_join(
+        _docs(spark, sf_dir), n=3, threshold=0.5, block_col="source"
+    )
+
+
+@declare(
+    "q_dup_clusters",
+    _DUP_REACH_CTE
+    + """
+    SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+)
+def q_dup_clusters(spark, sf_dir):
+    """Transitive near-dup clusters (pairs → connected components);
+    cluster_id = min doc_id per component."""
+    out = dedup.duplicate_clusters(
+        _docs(spark, sf_dir), pairs=_jaccard_pairs(spark, sf_dir)
+    )
+    return out.select(
+        F.col("doc_id").cast("long"), F.col("cluster_id").cast("long")
+    ).orderBy("doc_id")
+
+
+@declare(
+    "q_corpus_dedup",
+    _DUP_REACH_CTE
+    + """
+    , losers AS (SELECT src FROM reach GROUP BY src HAVING min(dst) <> src)
+    SELECT d.doc_id, d.source FROM documents d
+    LEFT JOIN losers l ON d.doc_id = l.src
+    WHERE l.src IS NULL
+    """,
+)
+def q_corpus_dedup(spark, sf_dir):
+    """Corpus-level near-dedup: canonical doc per cluster + all
+    unpaired docs survive (LSH/Jaccard pairs → CC → anti-join)."""
+    out = dedup.dedup_corpus(
+        _docs(spark, sf_dir), pairs=_jaccard_pairs(spark, sf_dir)
+    )
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
 @declare(
     "q_embedding_near_dups",
     f"""
