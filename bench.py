@@ -113,6 +113,18 @@ def main() -> None:
     # --- scale-path exact kNN (two-stage partial top-k)
     timed("knn_batch", lambda: exact.exact_knn_batch(emb, queries, k=10).count())
 
+    # --- PQ compressed search (train + encode + ADC shortlist + re-rank)
+    from vamana_spark.operators import quantization as qz
+
+    def pq_pipeline():
+        cb = qz.pq_train(emb, 64, m=8, ksub=64, seed=42)
+        codes = qz.pq_encode(emb, cb)
+        return qz.pq_search(
+            codes, cb, queries, k=10, shortlist=100, points=emb
+        ).count()
+
+    timed("pq_knn", pq_pipeline)
+
     # --- pipeline workloads
     timed("minhash_near_dups", lambda: D.q_minhash_pairs(spark, SF_DIR).count())
     timed("exact_dedup", lambda: D.q_dedup_exact(spark, SF_DIR).count())

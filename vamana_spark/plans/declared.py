@@ -23,7 +23,14 @@ from pyspark.sql import functions as F
 
 from vamana_spark import exact
 from vamana_spark.functions.vector import l2_norm, squared_l2
-from vamana_spark.operators import dedup, events as ev, relational, similarity, text
+from vamana_spark.operators import (
+    dedup,
+    events as ev,
+    quantization,
+    relational,
+    similarity,
+    text,
+)
 from vamana_spark.operators.text import _LANG_PROFILES, _STOPWORDS, TOKEN_PATTERN
 from vamana_spark.params import VamanaParams
 from vamana_spark.sources import load_table
@@ -625,6 +632,98 @@ def q_corpus_dedup(spark, sf_dir):
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs (exact all-pairs form)."""
     return dedup.embedding_near_dups(_emb(spark, sf_dir), threshold=0.9)
+
+
+# shared CTE: per-dimension bounds + SQ8 codes + dequantized vectors.
+# floor((x-mn)/rng*255 + 0.5) in IEEE double on both engines — bit-exact.
+_SQ_CTE = """
+    WITH e AS (
+      SELECT vec_id, unnest(embedding) AS v,
+             unnest(range(1, len(embedding) + 1)) AS ord
+      FROM embeddings
+    ),
+    b AS (
+      SELECT ord, min(CAST(v AS DOUBLE)) AS mn, max(CAST(v AS DOUBLE)) AS mx
+      FROM e GROUP BY ord
+    ),
+    c AS (
+      SELECT e.vec_id, e.ord,
+             floor((CAST(e.v AS DOUBLE) - b.mn)
+                   / (CASE WHEN b.mx > b.mn THEN b.mx - b.mn ELSE 1.0 END)
+                   * 255 + 0.5) AS code,
+             b.mn, b.mx
+      FROM e JOIN b USING (ord)
+    )
+"""
+
+
+@declare(
+    "q_scalar_quantize",
+    _SQ_CTE
+    + """
+    SELECT vec_id, CAST(ord AS INT) AS pos, CAST(code AS BIGINT) AS code
+    FROM c
+    """,
+)
+def q_scalar_quantize(spark, sf_dir):
+    """SQ8 codes for every embedding (exploded to scalar rows for the
+    hash compare) — pure-Catalyst zip_with encode, oracle-matched
+    bit-for-bit (deterministic double arithmetic)."""
+    e = _emb(spark, sf_dir)
+    dim = len(e.select("embedding").first()[0])
+    codes, _ = quantization.scalar_quantize(e, dim)
+    return codes.select(
+        "vec_id", F.posexplode("codes").alias("pos", "code")
+    ).select("vec_id", (F.col("pos") + 1).cast("int").alias("pos"), "code")
+
+
+@declare(
+    "q_sq_knn",
+    _SQ_CTE
+    + """
+    , d AS (
+      SELECT vec_id, ord,
+             code / 255 * (CASE WHEN mx > mn THEN mx - mn ELSE 1.0 END) + mn AS val
+      FROM c
+    ),
+    v AS (SELECT vec_id, list(val ORDER BY ord) AS emb FROM d GROUP BY vec_id),
+    q AS (SELECT vec_id AS query_id, emb FROM v WHERE vec_id % 50 = 0),
+    dd AS (
+      SELECT q.query_id, p.vec_id,
+             list_sum(list_transform(list_zip(q.emb, p.emb),
+                      x -> (x[1] - x[2]) * (x[1] - x[2]))) AS dist
+      FROM q, v p
+    ),
+    r AS (
+      SELECT query_id, vec_id, dist,
+             row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+      FROM dd
+    )
+    SELECT query_id, vec_id, round(dist, 4) AS dist, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 10
+    """,
+)
+def q_sq_knn(spark, sf_dir):
+    """Exact kNN over SQ8-dequantized vectors (what 4x compression costs
+    in ranking, under the oracle's own eyes)."""
+    e = _emb(spark, sf_dir)
+    dim = len(e.select("embedding").first()[0])
+    out = quantization.sq_knn(e, _fixed_queries(e, 50), k=10, dim=dim, round_digits=4)
+    return out.select("query_id", "vec_id", "dist", "rank")
+
+
+@declare("q_pq_knn")
+def q_pq_knn(spark, sf_dir):
+    """PQ ADC shortlist + exact re-rank (rows-only: codebook is k-means
+    output; recall vs exact asserted in tests)."""
+    e = _emb(spark, sf_dir)
+    dim = len(e.select("embedding").first()[0])
+    cb = quantization.pq_train(e, dim, m=8, ksub=64, seed=42)
+    codes = quantization.pq_encode(e, cb)
+    return quantization.pq_search(
+        codes, cb, _fixed_queries(e, 50), k=10, shortlist=100, points=e,
+        round_digits=4,
+    ).orderBy("query_id", "rank")
 
 
 # ======================================================================
