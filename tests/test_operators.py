@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from vamana_spark.operators import dedup, events, relational, similarity, text
+from vamana_spark.operators import dedup, events, relational, sampling, similarity, text
 
 
 # ----------------------------------------------------------------- dedup
@@ -35,6 +35,47 @@ def test_minhash_candidates_superset_of_high_jaccard(spark):
     pairs = dedup.minhash_near_dups(df, threshold=0.5).collect()
     assert any((p.a_id, p.b_id) == (1, 2) for p in pairs)
     assert not any(3 in (p.a_id, p.b_id) for p in pairs)
+
+
+# ---------------------------------------------------------------- sampling
+
+def test_stratified_sample_quota_and_determinism(documents):
+    s1 = sampling.stratified_sample(documents, "source", 3)
+    over = s1.groupBy("source").count().where(F.col("count") > 3).count()
+    assert over == 0
+    ids1 = {r.doc_id for r in s1.select("doc_id").collect()}
+    # same result from a different physical layout
+    s2 = sampling.stratified_sample(documents.repartition(7), "source", 3)
+    ids2 = {r.doc_id for r in s2.select("doc_id").collect()}
+    assert ids1 == ids2 and len(ids1) > 0
+
+
+def test_deterministic_sample_uses_take_ordered(documents):
+    out = sampling.deterministic_sample(documents, 10)
+    assert out.count() == 10
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(
+        r.doc_id for r in sampling.deterministic_sample(documents.coalesce(1), 10).collect()
+    )
+    assert ids1 == ids2
+
+
+def test_train_test_split_stable_fraction_and_partition_invariance(documents):
+    out = sampling.train_test_split(documents, test_fraction=0.2)
+    n = documents.count()
+    n_test = out.where(F.col("split") == "test").count()
+    assert abs(n_test / n - 0.2) < 0.1  # uniform hash, loose tolerance
+    # membership is per-row: identical after repartitioning
+    a = {r.doc_id: r.split for r in out.collect()}
+    b = {
+        r.doc_id: r.split
+        for r in sampling.train_test_split(
+            documents.repartition(13), test_fraction=0.2
+        ).collect()
+    }
+    assert a == b
 
 
 def test_connected_components_transitive(spark):

@@ -1,0 +1,81 @@
+"""Deterministic sampling — seeded, reproducible, oracle-able.
+
+Training-data pipelines need samples that are (a) reproducible across
+runs and engines, (b) stratified (per-language / per-source quotas),
+and (c) cheap at 100 TB. `df.sample()` is none of these: it depends on
+partition layout and Spark's RNG stream.
+
+The trick here: rank rows by ``md5(seed || id)`` — a uniform,
+engine-portable pseudo-random order (DuckDB computes the identical hex
+string, so every sample below is hash-checkable against a SQL oracle).
+
+Scale shapes:
+- ``stratified_sample`` — one shuffle on the stratum key, window rank.
+  Skewed strata cost what any per-key window costs; quotas are usually
+  small, so AQE handles stragglers.
+- ``deterministic_sample`` (global top-n by hash) — TakeOrderedAndProject:
+  k rows per partition to the driver-side merge, never a global sort.
+- ``train_test_split`` — a pure projection (hash-prefix threshold),
+  zero shuffles; membership is a function of the row alone, so the
+  split is stable under repartitioning, appends, and engine changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash_order(id_col: str, seed: int) -> Column:
+    """Engine-portable pseudo-random sort key: md5 hex of seed||id."""
+    return F.md5(F.concat(F.lit(str(seed) + ":"), F.col(id_col).cast("string")))
+
+
+def deterministic_sample(
+    df: DataFrame, n: int, id_col: str = "doc_id", seed: int = 42
+) -> DataFrame:
+    """Global n-row sample: the n smallest md5(seed||id) — physical plan
+    is TakeOrderedAndProject (k rows per partition), not a global sort."""
+    return (
+        df.withColumn("_hk", _hash_order(id_col, seed))
+        .orderBy("_hk", id_col)
+        .limit(n)
+        .drop("_hk")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Up to n rows per stratum, chosen by hash rank — reproducible
+    regardless of partitioning or row order."""
+    w = Window.partitionBy(strata_col).orderBy(_hash_order(id_col, seed), F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )
+
+
+def train_test_split(
+    df: DataFrame,
+    test_fraction: float = 0.1,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    label_col: str = "split",
+) -> DataFrame:
+    """Stable split label per row ('test' / 'train') from the md5 hex
+    prefix: the first 8 hex chars are uniform in [0, 16^8), so comparing
+    them lexicographically against the fraction's hex threshold buckets
+    rows without any hex parsing (portable to any engine with md5).
+    Pure projection — rows keep their split under any repartitioning."""
+    threshold = format(int(test_fraction * 16**8), "08x")
+    prefix = F.substring(_hash_order(id_col, seed), 1, 8)
+    return df.withColumn(
+        label_col,
+        F.when(prefix < F.lit(threshold), F.lit("test")).otherwise(F.lit("train")),
+    )

@@ -617,6 +617,49 @@ def q_corpus_dedup(spark, sf_dir):
 
 
 @declare(
+    "q_stratified_sample",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """Seeded per-source sample (5 docs/stratum) via portable md5-hash
+    rank — reproducible across engines and partitionings."""
+    from vamana_spark.operators import sampling
+
+    return sampling.stratified_sample(
+        _docs(spark, sf_dir), "source", 5, seed=42
+    ).select("doc_id", "source")
+
+
+@declare(
+    "q_train_test_split",
+    """
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs FROM (
+      SELECT CASE WHEN substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       < '19999999'
+                  THEN 'test' ELSE 'train' END AS split
+      FROM documents
+    ) GROUP BY split
+    """,
+)
+def q_train_test_split(spark, sf_dir):
+    """Stable 10% test split from the md5 hex prefix (pure projection —
+    membership survives repartitioning and appends)."""
+    from vamana_spark.operators import sampling
+
+    out = sampling.train_test_split(_docs(spark, sf_dir), test_fraction=0.1, seed=42)
+    return out.groupBy("split").agg(F.count("*").cast("long").alias("n_docs"))
+
+
+@declare(
     "q_embedding_near_dups",
     f"""
     WITH p AS (SELECT vec_id, embedding FROM embeddings),
