@@ -102,3 +102,35 @@ def test_pq_adc_beats_random(emb):
     approx = qz.pq_search(codes, cb, q, k=10)
     n = emb.count()
     assert _recall(approx, truth) >= 0.2 > 10 / n
+
+
+def test_ivfpq_rerank_recall(emb):
+    """IVFPQ = coarse routing + residual codes + exact re-rank; residual
+    encoding should make the routed shortlist at least as good as flat
+    PQ's at the same code budget."""
+    dim = _dim(emb)
+    codes, model = qz.ivfpq_build(emb, dim, num_lists=16, m=8, ksub=64, seed=42)
+    codes = codes.cache()
+    # every vector encoded exactly once, into a valid list
+    assert codes.count() == emb.count()
+    assert codes.where(
+        (F.col("list_id") < 0) | (F.col("list_id") >= model.num_lists)
+    ).count() == 0
+    q = _queries(emb)
+    truth = exact.exact_knn(emb, q, k=10)
+    approx = qz.ivfpq_search(
+        codes, model, q, k=10, nprobe=6, shortlist=100, points=emb
+    )
+    assert _recall(approx, truth) >= 0.7
+    per_q = approx.groupBy("query_id").agg(
+        F.count("*").alias("n"), F.max("rank").alias("mx")
+    )
+    assert per_q.where((F.col("n") != 10) | (F.col("mx") != 10)).count() == 0
+
+
+def test_ivfpq_build_deterministic(emb):
+    dim = _dim(emb)
+    _, m1 = qz.ivfpq_build(emb, dim, num_lists=8, m=8, ksub=32, seed=7)
+    _, m2 = qz.ivfpq_build(emb, dim, num_lists=8, m=8, ksub=32, seed=7)
+    assert np.allclose(m1.centers, m2.centers)
+    assert np.allclose(m1.codebook.centroids, m2.codebook.centroids)

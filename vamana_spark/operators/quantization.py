@@ -353,3 +353,257 @@ def pq_search(
     if round_digits is not None:
         out = out.withColumn("dist", F.round("dist", round_digits))
     return out.select("query_id", "vec_id", "dist", "rank")
+
+
+# ------------------------------------------------------------------- IVFPQ
+
+@dataclass(frozen=True)
+class IVFPQModel:
+    """Coarse centers (nlist, dim) + a PQ codebook trained on RESIDUALS
+    (x - center[list]). Residual encoding is what makes IVFPQ beat flat
+    PQ: within a list the residual energy is a fraction of the raw
+    vector's, so the same code budget quantizes much more finely."""
+
+    centers: np.ndarray
+    codebook: PQCodebook
+
+    @property
+    def num_lists(self) -> int:
+        return self.centers.shape[0]
+
+
+def ivfpq_build(
+    emb: DataFrame,
+    dim: int,
+    num_lists: int = 16,
+    m: int = 8,
+    ksub: int = 64,
+    sample: int = 20000,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, IVFPQModel]:
+    """(codes_df, model): the standard billion-scale ANN layout.
+
+    codes_df is (vec_id, list_id, codes[m]) — at m=8 that is ~12 bytes
+    a vector, so 10^9 vectors fit one executor and the scan for a query
+    touches only nprobe/num_lists of them.
+
+    One distributed pass total: coarse k-means runs via
+    ``similarity.ivf_build`` (broadcast-centers assign + groupBy update);
+    PQ training happens driver-side on a deterministic residual sample;
+    assignment + residual encoding fuse into ONE mapInPandas — no join
+    between an assignment table and the vectors, zero shuffles.
+    """
+    from vamana_spark.operators.similarity import ivf_build
+
+    assignments = ivf_build(emb, num_lists, id_col, vec_col, seed)
+    C = assignments._ivf_centers  # (num_lists, dim) float64
+
+    # driver-side residual sample → per-subspace codebooks
+    rows = (
+        emb.select(id_col, vec_col).orderBy(id_col).limit(sample).toPandas()
+    )
+    X = np.stack(rows[vec_col].to_numpy()).astype(np.float64)
+    lids = (
+        (X * X).sum(1)[:, None] + (C * C).sum(1)[None, :] - 2.0 * (X @ C.T)
+    ).argmin(axis=1)
+    R = X - C[lids]
+    dsub = dim // m
+    assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+    ksub = min(ksub, R.shape[0])
+    cents = np.stack(
+        [
+            _kmeans(R[:, j * dsub : (j + 1) * dsub], ksub, seed + j)
+            for j in range(m)
+        ]
+    )
+    model = IVFPQModel(centers=C, codebook=PQCodebook(cents, dim, m, ksub))
+
+    spark = emb.sparkSession
+    bm = spark.sparkContext.broadcast((C, cents))
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Cv, CB = bm.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Xb = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d = (
+                (Xb * Xb).sum(1)[:, None]
+                + (Cv * Cv).sum(1)[None, :]
+                - 2.0 * (Xb @ Cv.T)
+            )
+            lid = d.argmin(axis=1)
+            Rb = Xb - Cv[lid]
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                sub = Rb[:, j * dsub : (j + 1) * dsub]
+                dj = (
+                    (sub * sub).sum(1)[:, None]
+                    + (CB[j] * CB[j]).sum(1)[None, :]
+                    - 2.0 * (sub @ CB[j].T)
+                )
+                codes[:, j] = dj.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "list_id": lid.astype(np.int32),
+                    "codes": list(codes),
+                }
+            )
+
+    codes_df = ensure_parallelism(emb.select(id_col, vec_col)).mapInPandas(
+        encode, schema=f"{id_col} long, list_id int, codes array<int>"
+    )
+    return codes_df, model
+
+
+def ivfpq_search(
+    codes_df: DataFrame,
+    model: IVFPQModel,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 4,
+    shortlist: int = 0,
+    points: Optional[DataFrame] = None,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: Optional[int] = None,
+) -> DataFrame:
+    """Probe the ``nprobe`` nearest lists per query, ADC over residual
+    codes, partial-top-k merge, optional exact re-rank.
+
+    Scale shape: the probes table (|Q| x nprobe rows) broadcasts; the
+    candidate cut is an equi-join on list_id, so the scan reads only
+    ~n*nprobe/num_lists code rows and the shuffle carries local top-k'
+    rows per (partition, query) — never the full candidate set. The LUT
+    is per (query, probed list) because the code quantizes the residual
+    against THAT list's center: dist ~ ||(q - c_l) - decode(codes)||^2.
+    """
+    spark = codes_df.sparkSession
+    kprime = shortlist or (4 * k if points is not None else k)
+    m, dsub = model.codebook.m, model.codebook.dsub
+    C, cents = model.centers, model.codebook.centroids
+
+    qrows = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+    ).toPandas()
+    qids = np.asarray(qrows["query_id"], dtype=np.int64)
+    Q = np.stack(qrows["qv"].to_numpy()).astype(np.float64)
+    qd = (Q * Q).sum(1)[:, None] + (C * C).sum(1)[None, :] - 2.0 * (Q @ C.T)
+    nprobe = min(nprobe, model.num_lists)
+    probe = np.argsort(qd, axis=1)[:, :nprobe]
+    probes = spark.createDataFrame(
+        [
+            (int(qid), int(lid))
+            for qid, lids in zip(qids, probe)
+            for lid in lids
+        ],
+        "query_id long, list_id int",
+    )
+    bq = spark.sparkContext.broadcast((qids, Q, C, cents))
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, Qm, Cv, CB = bq.value
+        qpos = {int(q): i for i, q in enumerate(ids_q)}
+        luts: dict[tuple[int, int], np.ndarray] = {}
+
+        def lut_for(qi: int, lid: int) -> np.ndarray:
+            key = (qi, lid)
+            hit = luts.get(key)
+            if hit is None:
+                r = Qm[qi] - Cv[lid]  # residual query for this list
+                hit = np.stack(
+                    [
+                        (r[j * dsub : (j + 1) * dsub] ** 2).sum()
+                        + (CB[j] ** 2).sum(1)
+                        - 2.0 * CB[j] @ r[j * dsub : (j + 1) * dsub]
+                        for j in range(m)
+                    ]
+                )
+                luts[key] = hit
+            return hit
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            vids = pdf[id_col].to_numpy()
+            qs = pdf["query_id"].to_numpy(dtype=np.int64)
+            lids = pdf["list_id"].to_numpy()
+            dist = np.empty(len(pdf), dtype=np.float64)
+            # vectorize per (query, list) group — one LUT gather each
+            order = np.lexsort((lids, qs))
+            sq, sl, sc = qs[order], lids[order], codes[order]
+            sd = np.empty(len(pdf), dtype=np.float64)
+            start = 0
+            for end in range(1, len(order) + 1):
+                if (
+                    end == len(order)
+                    or sq[end] != sq[start]
+                    or sl[end] != sl[start]
+                ):
+                    lut = lut_for(qpos[int(sq[start])], int(sl[start]))
+                    blk = sc[start:end]
+                    acc = lut[0, blk[:, 0]]
+                    for j in range(1, m):
+                        acc = acc + lut[j, blk[:, j]]
+                    sd[start:end] = acc
+                    start = end
+            dist[order] = sd
+            out = pd.DataFrame(
+                {"query_id": qs, "vec_id": vids, "dist": dist}
+            )
+            # local top-k' per query before the shuffle
+            out = (
+                out.sort_values(["query_id", "dist", "vec_id"])
+                .groupby("query_id", sort=False)
+                .head(kprime)
+            )
+            yield out
+
+    cands = codes_df.join(F.broadcast(probes), "list_id")
+    local = cands.mapInPandas(
+        adc, schema="query_id long, vec_id long, dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    merged = (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= kprime)
+        .drop("rank")
+    )
+    if points is None:
+        out = merged.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= k
+        )
+        if round_digits is not None:
+            out = out.withColumn("dist", F.round("dist", round_digits))
+        return out
+    p = points.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_pv"))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_qv")
+    )
+    exactd = (
+        merged.drop("dist")
+        .join(p, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            pairwise_distance("_qv", "_pv").alias("dist"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    out = exactd.withColumn("rank", F.row_number().over(w2)).where(
+        F.col("rank") <= k
+    )
+    if round_digits is not None:
+        out = out.withColumn("dist", F.round("dist", round_digits))
+    return out.select("query_id", "vec_id", "dist", "rank")

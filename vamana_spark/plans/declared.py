@@ -769,6 +769,22 @@ def q_pq_knn(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+@declare("q_ivfpq_knn")
+def q_ivfpq_knn(spark, sf_dir):
+    """IVF routing + residual-PQ ADC + exact re-rank — the standard
+    billion-scale ANN architecture (rows-only: k-means outputs; recall
+    vs exact asserted in tests)."""
+    e = _emb(spark, sf_dir)
+    dim = len(e.select("embedding").first()[0])
+    codes, model = quantization.ivfpq_build(
+        e, dim, num_lists=16, m=8, ksub=64, seed=42
+    )
+    return quantization.ivfpq_search(
+        codes, model, _fixed_queries(e, 50), k=10, nprobe=6, shortlist=100,
+        points=e, round_digits=4,
+    ).orderBy("query_id", "rank")
+
+
 # ======================================================================
 # Events (X7)
 # ======================================================================
