@@ -125,3 +125,20 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_o_bucketed")
+
+
+def test_ivfpq_candidate_cut_is_equijoin(spark, sf_dir):
+    """The IVFPQ probe→codes cut must be a broadcast equi-join on
+    list_id — at scale it reads ~n*nprobe/num_lists code rows; a cross
+    product would read |Q|x n."""
+    from vamana_spark.operators import quantization as qz
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    codes, model = qz.ivfpq_build(emb, dim, num_lists=8, m=8, ksub=16, seed=42)
+    q = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    p = plan(qz.ivfpq_search(codes, model, q, k=5, nprobe=2))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
