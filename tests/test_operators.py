@@ -78,6 +78,47 @@ def test_train_test_split_stable_fraction_and_partition_invariance(documents):
     assert a == b
 
 
+def test_weighted_sample_partition_invariant_and_biased(documents):
+    out = sampling.weighted_sample(documents, 50, "n_chars")
+    ids1 = sorted(r.doc_id for r in out.select("doc_id").collect())
+    assert len(ids1) == 50
+    ids2 = sorted(
+        r.doc_id
+        for r in sampling.weighted_sample(documents.repartition(9), 50, "n_chars")
+        .select("doc_id")
+        .collect()
+    )
+    assert ids1 == ids2
+    # length-proportional draw must overrepresent long docs
+    corpus_avg = documents.agg(F.avg("n_chars")).first()[0]
+    sample_avg = out.agg(F.avg("n_chars")).first()[0]
+    assert sample_avg > corpus_avg
+    # no global sort: TakeOrderedAndProject
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_matches_numpy_es(documents):
+    """The Spark selection must equal a NumPy implementation of the same
+    A-ES keys (portable md5 draw → identical u on any engine)."""
+    import hashlib
+
+    import numpy as np
+
+    rows = documents.select("doc_id", "n_chars").collect()
+    keys = {}
+    for r in rows:
+        h = hashlib.md5(f"42:{r.doc_id}".encode()).hexdigest()[:8]
+        u = (int(h, 16) + 0.5) / 16**8
+        keys[r.doc_id] = np.log(u) / float(r.n_chars)
+    want = sorted(sorted(keys), key=lambda d: (-keys[d], d))[:50]
+    got = sorted(
+        r.doc_id
+        for r in sampling.weighted_sample(documents, 50, "n_chars").collect()
+    )
+    assert got == sorted(want)
+
+
 def test_connected_components_transitive(spark):
     # chain 1-2-3 must collapse to one cluster even though (1,3) is absent
     pairs = spark.createDataFrame(

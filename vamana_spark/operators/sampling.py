@@ -61,6 +61,42 @@ def stratified_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted n-row sample without replacement (Efraimidis–Spirakis
+    A-ES): each row gets key = u^(1/w) with u uniform; the n largest
+    keys are a weight-proportional sample. Ordering by ln(u)/w is
+    monotone-equivalent and avoids pow.
+
+    u comes from the md5 hex prefix — (int(hex8) + 0.5) / 16^8 — so the
+    draw is engine-portable and independent of partition layout. The
+    integer and the division are exact IEEE doubles on any engine; only
+    ln() is libm-dependent (last-ulp), far below the key gaps at any
+    realistic n. Weights must be > 0.
+
+    Scale shape: projection + TakeOrderedAndProject (n rows per
+    partition into the driver merge) — no global sort, no shuffle.
+    Classic use: length-proportional corpus sampling, where the sample
+    approximates a token budget rather than a document count.
+    """
+    u_int = F.conv(
+        F.substring(_hash_order(id_col, seed), 1, 8), 16, 10
+    ).cast("double")
+    u = (u_int + F.lit(0.5)) / F.lit(float(16**8))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.withColumn("_wk", key)
+        .orderBy(F.col("_wk").desc(), F.col(id_col))
+        .limit(n)
+        .drop("_wk")
+    )
+
+
 def train_test_split(
     df: DataFrame,
     test_fraction: float = 0.1,

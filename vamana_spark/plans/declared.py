@@ -660,6 +660,29 @@ def q_train_test_split(spark, sf_dir):
 
 
 @declare(
+    "q_weighted_sample",
+    """
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             ln((('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 + 0.5) / 4294967296.0)
+               / CAST(n_chars AS DOUBLE) AS wk
+      FROM documents
+    ) ORDER BY wk DESC, doc_id LIMIT 50
+    """,
+)
+def q_weighted_sample(spark, sf_dir):
+    """Length-proportional 50-doc sample (Efraimidis-Spirakis keys from
+    the portable md5 draw) — the token-budget sampling a training
+    pipeline runs over a corpus."""
+    from vamana_spark.operators import sampling
+
+    return sampling.weighted_sample(
+        _docs(spark, sf_dir), 50, "n_chars", seed=42
+    ).select("doc_id", "source", "n_chars")
+
+
+@declare(
     "q_embedding_near_dups",
     f"""
     WITH p AS (SELECT vec_id, embedding FROM embeddings),
