@@ -119,6 +119,45 @@ def test_weighted_sample_matches_numpy_es(documents):
     assert got == sorted(want)
 
 
+def test_contamination_check_finds_leak(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different training text with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [
+            (10, "witness the quick brown fox jumps over a fence"),
+            (11, "nothing shared here whatsoever in any window"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.test_id, r.train_id): r.n_shared
+        for r in dedup.contamination_check(train, test, n=5).collect()
+    }
+    # "the quick brown fox jumps" and "quick brown fox jumps over" leak
+    assert got == {(10, 1): 2}
+
+
+def test_contamination_stop_shingle_cap(spark):
+    # a shingle present in EVERY train doc is boilerplate; the cap drops it
+    boiler = "lorem ipsum dolor sit amet"
+    train = spark.createDataFrame(
+        [(i, f"{boiler} unique{i} a b c d") for i in range(1, 5)],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(10, f"prefix words here then {boiler}")], "doc_id long, text string"
+    )
+    uncapped = dedup.contamination_check(train, test, n=5)
+    assert uncapped.count() == 4
+    capped = dedup.contamination_check(train, test, n=5, max_shingle_docs=3)
+    assert capped.count() == 0
+
+
 def test_connected_components_transitive(spark):
     # chain 1-2-3 must collapse to one cluster even though (1,3) is absent
     pairs = spark.createDataFrame(

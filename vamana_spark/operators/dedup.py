@@ -666,3 +666,58 @@ def embedding_near_dups(
     return pairs.select(
         "a_id", "b_id", F.round(sim, 4).alias("cosine_sim")
     ).where(F.col("cosine_sim") >= threshold)
+
+
+# --------------------------------------------------------- decontamination
+
+def _shingle_hashes(
+    df: DataFrame, n: int, text_col: str, id_col: str, out_id: str
+) -> DataFrame:
+    """(out_id, h): md5 of each DISTINCT word n-gram shingle; short docs
+    fall back to one whole-document shingle (word_shingles semantics).
+    Tokens are staged as a column first — see word_shingles_from_tokens."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    staged = df.select(F.col(id_col).alias(out_id), toks.alias("_t"))
+    hashes = F.transform(
+        word_shingles_from_tokens(F.col("_t"), n), lambda s: F.md5(s)
+    )
+    return staged.select(F.col(out_id), F.explode(hashes).alias("h"))
+
+
+def contamination_check(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_docs: Optional[int] = None,
+) -> DataFrame:
+    """Test-set contamination scan: (test_id, train_id, n_shared) for
+    every test document sharing >= 1 distinct word n-gram shingle with a
+    train document — the standard decontamination pass run before
+    training so eval sets don't leak into the corpus.
+
+    Scale shape: the heavy side explodes to one row per distinct shingle
+    and the match is an equi-join ON THE SHINGLE HASH — never a doc x doc
+    product; shuffle is keyed by h. Natural-language shingles are
+    Zipf-skewed, so ``max_shingle_docs`` drops shingles appearing in more
+    than that many train docs (boilerplate/stop-shingles) before the
+    join — the same cap production decontamination uses, and it bounds
+    the worst join key's fan-out. Counts are per distinct shingle
+    (both sides deduplicate shingles per document first).
+    """
+    tr = _shingle_hashes(train, n, text_col, id_col, "train_id")
+    te = _shingle_hashes(test, n, text_col, id_col, "test_id")
+    if max_shingle_docs is not None:
+        common = (
+            tr.groupBy("h")
+            .agg(F.countDistinct("train_id").alias("_df"))
+            .where(F.col("_df") > max_shingle_docs)
+            .select("h")
+        )
+        tr = tr.join(common, "h", "left_anti")
+    return (
+        te.join(tr, "h")
+        .groupBy("test_id", "train_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )

@@ -660,6 +660,49 @@ def q_train_test_split(spark, sf_dir):
 
 
 @declare(
+    "q_contamination",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t,
+             CASE WHEN substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       < '19999999'
+                  THEN 'test' ELSE 'train' END AS split
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, split, h FROM (
+        SELECT doc_id, split,
+               CASE WHEN len(t) >= 5
+                    THEN list_transform(generate_series(1, len(t) - 4),
+                           i -> md5(array_to_string(list_slice(t, i, i + 4), ' ')))
+                    ELSE [md5(array_to_string(t, ' '))] END AS hs
+        FROM toks
+      ), UNNEST(hs) AS u(h)
+    )
+    SELECT te.doc_id AS test_id, tr.doc_id AS train_id,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM sh te JOIN sh tr ON te.h = tr.h
+    WHERE te.split = 'test' AND tr.split = 'train'
+    GROUP BY 1, 2
+    """,
+)
+def q_contamination(spark, sf_dir):
+    """Train/test decontamination scan: test docs sharing any distinct
+    5-gram shingle with a train doc (split = the stable md5 10% split).
+    The match is an equi-join on the shingle hash — no doc x doc
+    product."""
+    from vamana_spark.operators import dedup, sampling
+
+    docs = _docs(spark, sf_dir)
+    split = sampling.train_test_split(docs, test_fraction=0.1, seed=42)
+    return dedup.contamination_check(
+        split.where(F.col("split") == "train"),
+        split.where(F.col("split") == "test"),
+        n=5,
+    )
+
+
+@declare(
     "q_weighted_sample",
     """
     SELECT doc_id, source, n_chars FROM (
