@@ -301,6 +301,21 @@ def test_quality_score_range(documents):
     assert all(0.0 <= r.quality_score <= 1.0 for r in rows)
 
 
+def test_unigram_logprob_orders_typical_above_rare(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "common common rare1 rare2"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in text.unigram_logprob_score(df).collect()}
+    # the all-common doc is more probable under the corpus distribution
+    assert got[1].avg_logprob > got[2].avg_logprob
+    assert got[1].n_tokens == 4 and got[2].n_tokens == 4
+    assert all(r.avg_logprob < 0 for r in got.values())
+
+
 # ----------------------------------------------------------------- events
 
 def test_sessionize_gap(spark):

@@ -142,3 +142,20 @@ def test_ivfpq_candidate_cut_is_equijoin(spark, sf_dir):
     p = plan(qz.ivfpq_search(codes, model, q, k=5, nprobe=2))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_contamination_join_is_equijoin_on_shingle_hash(spark, sf_dir):
+    """Decontamination must match on the shingle hash, never doc x doc."""
+    from vamana_spark.operators import dedup, sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split = sampling.train_test_split(docs, test_fraction=0.2)
+    p = plan(
+        dedup.contamination_check(
+            split.where(F.col("split") == "train"),
+            split.where(F.col("split") == "test"),
+            n=5,
+        )
+    )
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert len(re.findall(r"HashAggregate", p)) >= 2, p  # partial pair-count

@@ -165,6 +165,50 @@ def fingerprint(
     )
 
 
+def unigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """(id, avg_logprob, n_tokens): mean add-k-smoothed unigram
+    log-probability of each document under the corpus's own empirical
+    token distribution — the cheap stand-in for the perplexity filters
+    corpus curation runs (outlier docs score far from the corpus mode;
+    filter both tails).
+
+    Scale shape: the frequency table is one groupBy over exploded tokens
+    (Zipf skew absorbed by map-side partial agg); scoring is an
+    equi-join on the token plus a per-doc avg. The one-row totals join
+    is a broadcast. Everything is built-ins — fully oracle-able.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+        ).alias("token"),
+    )
+    freq = toks.groupBy("token").agg(F.count("*").alias("freq"))
+    tot = freq.agg(
+        F.sum("freq").cast("double").alias("_total"),
+        F.count("*").cast("double").alias("_vocab"),
+    )
+    lp = F.log(
+        (F.col("freq") + F.lit(float(smoothing)))
+        / (F.col("_total") + F.lit(float(smoothing)) * F.col("_vocab"))
+    )
+    return (
+        toks.join(freq, "token")
+        .crossJoin(F.broadcast(tot))
+        .select(F.col(id_col), lp.alias("_lp"))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg("_lp"), 6).alias("avg_logprob"),
+            F.count("*").cast("long").alias("n_tokens"),
+        )
+    )
+
+
 def token_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus-level token frequency (explode → count). The shuffle key is
     the token itself; AQE handles the inevitable Zipf skew."""

@@ -495,6 +495,34 @@ def q_quality_score(spark, sf_dir):
 
 
 @declare(
+    "q_unigram_logprob",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, u.token
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+            FROM documents), UNNEST(t) AS u(token)
+    ), freq AS (
+      SELECT token, count(*) AS freq FROM toks GROUP BY token
+    ), tot AS (
+      SELECT CAST(sum(freq) AS DOUBLE) AS total,
+             CAST(count(*) AS DOUBLE) AS vocab
+      FROM freq
+    )
+    SELECT toks.doc_id,
+           round(avg(ln((freq + 1.0) / (total + 1.0 * vocab))), 6) AS avg_logprob,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM toks JOIN freq USING (token), tot
+    GROUP BY toks.doc_id
+    """,
+)
+def q_unigram_logprob(spark, sf_dir):
+    """Perplexity-filter stand-in: mean smoothed unigram log-probability
+    per doc under the corpus's own token distribution."""
+    return text.unigram_logprob_score(_docs(spark, sf_dir))
+
+
+@declare(
     "q_token_histogram",
     f"""
     SELECT token, CAST(count(*) AS BIGINT) AS freq
