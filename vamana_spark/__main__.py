@@ -8,6 +8,12 @@ search → recall, main.cpp:33-168) plus the pipeline operators:
   knn     --input emb.parquet --queries q.parquet --output out.parquet [--k]
   recall  --approx a.parquet --truth t.parquet [--k]
   dedup   --input docs.parquet --output out.parquet [--mode exact|minhash]
+  decontaminate --train tr.parquet --test te.parquet --output out.parquet
+                [--n 8 --max-shingle-docs N]
+  sample  --input docs.parquet --output out.parquet --n N
+          [--weight-col col | --strata-col col | (uniform top-n)]
+  ivfpq   --input emb.parquet --queries q.parquet --output out.parquet
+          [--k --num-lists --nprobe --m --ksub]
   bench   (same as bench.py)
 
 Query parquet schema: (query_id long, query_vec array<float>).
@@ -94,6 +100,73 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_decontaminate(args) -> int:
+    from vamana_spark.operators import dedup
+
+    spark = _spark("vamana-decontaminate")
+    train = spark.read.parquet(args.train)
+    test = spark.read.parquet(args.test)
+    out = dedup.contamination_check(
+        train, test, n=args.n, text_col=args.text_col, id_col=args.id_col,
+        max_shingle_docs=args.max_shingle_docs,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    n_pairs = out.count()
+    print(json.dumps({
+        "test_docs": test.count(),
+        "contaminated_pairs": n_pairs,
+        "contaminated_test_docs": out.select("test_id").distinct().count(),
+        "n": args.n,
+    }))
+    return 0
+
+
+def cmd_sample(args) -> int:
+    from vamana_spark.operators import sampling
+
+    spark = _spark("vamana-sample")
+    docs = spark.read.parquet(args.input)
+    if args.weight_col:
+        out = sampling.weighted_sample(
+            docs, args.n, args.weight_col, id_col=args.id_col, seed=args.seed
+        )
+    elif args.strata_col:
+        out = sampling.stratified_sample(
+            docs, args.strata_col, args.n, id_col=args.id_col, seed=args.seed
+        )
+    else:
+        out = sampling.deterministic_sample(
+            docs, args.n, id_col=args.id_col, seed=args.seed
+        )
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"input_rows": docs.count(), "sample_rows": out.count()}))
+    return 0
+
+
+def cmd_ivfpq(args) -> int:
+    from vamana_spark.operators import quantization as qz
+
+    spark = _spark("vamana-ivfpq")
+    emb = spark.read.parquet(args.input)
+    dim = emb.selectExpr(f"size({args.vec_col}) d").first()["d"]
+    codes, model = qz.ivfpq_build(
+        emb, dim, num_lists=args.num_lists, m=args.m, ksub=args.ksub,
+        seed=args.seed, vec_col=args.vec_col, id_col=args.id_col,
+    )
+    q = spark.read.parquet(args.queries)
+    out = qz.ivfpq_search(
+        codes, model, q, k=args.k, nprobe=args.nprobe,
+        shortlist=4 * args.k, points=emb,
+        id_col=args.id_col, vec_col=args.vec_col,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({
+        "queries": q.count(), "result_rows": out.count(), "k": args.k,
+        "num_lists": args.num_lists, "nprobe": args.nprobe,
+    }))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench
 
@@ -149,6 +222,41 @@ def main(argv=None) -> int:
     d.add_argument("--id-col", dest="id_col", default="doc_id")
     d.add_argument("--threshold", type=float, default=0.7)
     d.set_defaults(fn=cmd_dedup)
+
+    dc = sub.add_parser("decontaminate")
+    dc.add_argument("--train", required=True)
+    dc.add_argument("--test", required=True)
+    dc.add_argument("--output", required=True)
+    dc.add_argument("--n", type=int, default=8)
+    dc.add_argument("--text-col", dest="text_col", default="text")
+    dc.add_argument("--id-col", dest="id_col", default="doc_id")
+    dc.add_argument("--max-shingle-docs", dest="max_shingle_docs",
+                    type=int, default=None)
+    dc.set_defaults(fn=cmd_decontaminate)
+
+    sm = sub.add_parser("sample")
+    sm.add_argument("--input", required=True)
+    sm.add_argument("--output", required=True)
+    sm.add_argument("--n", type=int, required=True)
+    sm.add_argument("--weight-col", dest="weight_col", default=None)
+    sm.add_argument("--strata-col", dest="strata_col", default=None)
+    sm.add_argument("--id-col", dest="id_col", default="doc_id")
+    sm.add_argument("--seed", type=int, default=42)
+    sm.set_defaults(fn=cmd_sample)
+
+    iq = sub.add_parser("ivfpq")
+    iq.add_argument("--input", required=True)
+    iq.add_argument("--queries", required=True)
+    iq.add_argument("--output", required=True)
+    iq.add_argument("--id-col", dest="id_col", default="vec_id")
+    iq.add_argument("--vec-col", dest="vec_col", default="embedding")
+    iq.add_argument("--k", type=int, default=10)
+    iq.add_argument("--num-lists", dest="num_lists", type=int, default=16)
+    iq.add_argument("--nprobe", type=int, default=4)
+    iq.add_argument("--m", type=int, default=8)
+    iq.add_argument("--ksub", type=int, default=64)
+    iq.add_argument("--seed", type=int, default=42)
+    iq.set_defaults(fn=cmd_ivfpq)
 
     be = sub.add_parser("bench")
     be.set_defaults(fn=cmd_bench)
