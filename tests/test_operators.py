@@ -158,6 +158,16 @@ def test_contamination_stop_shingle_cap(spark):
     assert capped.count() == 0
 
 
+def test_contamination_self_scan_is_complete(documents):
+    """Scanning a corpus against itself must pair every doc with itself
+    (a doc shares all its shingles with itself) — completeness check."""
+    sub = documents.limit(30).cache()
+    n = sub.count()
+    out = dedup.contamination_check(sub, sub, n=5)
+    self_pairs = out.where(F.col("test_id") == F.col("train_id")).count()
+    assert self_pairs == n
+
+
 def test_connected_components_transitive(spark):
     # chain 1-2-3 must collapse to one cluster even though (1,3) is absent
     pairs = spark.createDataFrame(
