@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from vamana_spark.functions.vector import pairwise_distance
+from vamana_spark.functions.vector import canonical_zero, pairwise_distance
 
 
 def _dist_matrix(Q: np.ndarray, P: np.ndarray, metric: str) -> np.ndarray:
@@ -92,7 +92,7 @@ def exact_knn(
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
     out = d.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
     if round_digits is not None:
-        out = out.withColumn("dist", F.round("dist", round_digits))
+        out = out.withColumn("dist", canonical_zero(F.round("dist", round_digits)))
     return out.select("query_id", "vec_id", "dist", "rank")
 
 
@@ -152,7 +152,7 @@ def exact_knn_batch(
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
     out = partial.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
     if round_digits is not None:
-        out = out.withColumn("dist", F.round("dist", round_digits))
+        out = out.withColumn("dist", canonical_zero(F.round("dist", round_digits)))
     return out.select("query_id", "vec_id", "dist", "rank")
 
 

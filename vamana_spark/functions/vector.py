@@ -82,6 +82,20 @@ def cosine_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
     return F.when(den != 0.0, F.lit(1.0) - num / den)
 
 
+def canonical_zero(c: ColumnOrName) -> Column:
+    """Collapse IEEE -0.0 to +0.0 (NULL/NaN untouched).
+
+    Different engines' summation trees can land on opposite sides of
+    zero before rounding (e.g. DuckDB's cosine self-distance rounds to
+    -0.0 while Spark's rounds to +0.0 — the r1 q_knn_cosine hash
+    mismatch). ``==`` treats them as equal but byte-level hashes don't,
+    so every presentation-edge rounding goes through this. Written as a
+    CASE rather than ``+ 0.0`` so no optimizer can fold it away.
+    """
+    col = _col(c)
+    return F.when(col == 0.0, F.lit(0.0)).otherwise(col)
+
+
 _METRICS = {
     "l2sq": squared_l2,
     "l2": l2_distance,

@@ -211,6 +211,12 @@ def q_medoid_exact(spark, sf_dir):
     return out.select("vec_id", F.round("total_dist", 2).alias("total_dist"))
 
 
+# collapse IEEE -0.0 to +0.0 at the presentation edge (engines' summation
+# trees can straddle zero before rounding; hash compares are byte-level)
+def _z_sql(expr: str) -> str:
+    return f"(CASE WHEN {expr} = 0 THEN CAST(0.0 AS DOUBLE) ELSE {expr} END)"
+
+
 _COS_SQL = (
     "1.0 - list_sum(list_transform(list_zip(q.embedding, p.embedding),"
     " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
@@ -232,7 +238,7 @@ _COS_SQL = (
              row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
       FROM d
     )
-    SELECT query_id, vec_id, round(dist, 4) AS dist, CAST(rank AS INT) AS rank
+    SELECT query_id, vec_id, {_z_sql('round(dist, 4)')} AS dist, CAST(rank AS INT) AS rank
     FROM r WHERE rank <= 5
     """,
 )
@@ -1301,10 +1307,31 @@ def q_media_frames(spark, sf_dir):
 
 @declare("q_media_features")
 def q_media_features(spark, sf_dir):
-    """Multimodal: fake feature extraction (rows-only; numpy RNG)."""
+    """Multimodal: fake feature extraction (rows-only; numpy RNG).
+
+    Gate-facing projection: the raw ``feature array<float>`` column is
+    unhashable in the driver's pandas canonicalizer (r1 aborted here),
+    so the declared query emits scalars — (media_id, dim, feature_md5)
+    where feature_md5 fingerprints the rounded components. The array
+    output itself stays available via ``extract_image_features`` and is
+    exercised by tests/test_multimodal.py.
+    """
     from vamana_spark.operators import multimodal
 
-    return multimodal.extract_image_features(_fake_media(spark, sf_dir))
+    feats = multimodal.extract_image_features(_fake_media(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        F.size("feature").alias("dim"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "feature",
+                    lambda x: F.round(x.cast("double"), 4).cast("string"),
+                ),
+            )
+        ).alias("feature_md5"),
+    )
 
 
 # extended relational surface registers into the same gate
@@ -1427,7 +1454,7 @@ _IP_SQL = (
              row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
       FROM d
     )
-    SELECT query_id, vec_id, round(dist, 4) AS dist, CAST(rank AS INT) AS rank
+    SELECT query_id, vec_id, {_z_sql('round(dist, 4)')} AS dist, CAST(rank AS INT) AS rank
     FROM r WHERE rank <= 5
     """,
 )
