@@ -559,3 +559,38 @@ def test_interval_join(spark):
         points, intervals, ["user_id"], "ts", "start_ts", "end_ts"
     ).collect()
     assert [(r.event_id, r.name) for r in out] == [(100, "w1")]
+
+
+def test_lsh_bucket_cap_no_quadratic_blowup(spark):
+    """A planted giant duplicate cluster (1k identical docs) must not
+    produce O(size^2) candidate pairs — oversized band buckets degrade to
+    star topology — and the full cluster must still be recoverable via
+    connected components (VERDICT r1 #5)."""
+    n_dup, cap = 1000, 50
+    rows = [(i, "the exact same duplicated document text " * 5) for i in range(n_dup)]
+    rows += [(10_000 + i, f"unique filler document number {i} with words {i*7}")
+             for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cands = dedup.minhash_lsh_candidates(df, max_bucket_size=cap)
+    pairs = cands.collect()
+    # star topology: ≤ (cluster-size - 1) pairs from the giant cluster
+    # (identical docs share every band → same star each band) plus a
+    # handful from small buckets; all-pairs would be ~499,500.
+    assert len(pairs) < 5 * n_dup, f"pair blowup: {len(pairs)}"
+    cluster_pairs = [(r.a_id, r.b_id) for r in pairs if r.a_id < n_dup and r.b_id < n_dup]
+    cc = dedup.connected_components(
+        spark.createDataFrame(cluster_pairs, "a_id long, b_id long"), "a_id", "b_id"
+    )
+    comp_sizes = cc.groupBy("component").count().collect()
+    assert max(r["count"] for r in comp_sizes) == n_dup
+
+
+def test_lsh_cap_preserves_small_bucket_semantics(documents):
+    """With a cap far above any real bucket size the capped path must be
+    pair-for-pair identical to the uncapped all-pairs semantics."""
+    lo = dedup.minhash_lsh_candidates(documents, max_bucket_size=10**9)
+    hi = dedup.minhash_lsh_candidates(documents, max_bucket_size=512)
+    a = {(r.a_id, r.b_id) for r in lo.collect()}
+    b = {(r.a_id, r.b_id) for r in hi.collect()}
+    assert a == b

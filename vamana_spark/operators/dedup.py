@@ -355,6 +355,64 @@ def minhash_signatures(
     return mins.select(F.col(id_col), sig.alias("minhash"))
 
 
+def _banded_pairs_capped(
+    banded: DataFrame,
+    band_keys: list,
+    id_col: str,
+    payload_cols: tuple = (),
+    max_bucket_size: int = 512,
+) -> DataFrame:
+    """Candidate pairs from band buckets, with a bucket-size cap.
+
+    Small buckets (≤ ``max_bucket_size``) produce all pairs via the
+    equi-join. Oversized buckets — the one structurally skewable join in
+    the dedup surface (a giant duplicate cluster lands its whole
+    membership in the same bucket in EVERY band, so a self-join is
+    quadratic in cluster size; SCALE.md §LSH) — switch to star topology:
+    every member pairs with the bucket's min-id representative. Pair
+    count is linear in bucket size, downstream exact verification still
+    sees every member, and connected-components recovers the full
+    cluster through the representative. The trade: within an oversized
+    bucket, member↔member similarity is only observed transitively.
+    """
+    w = Window.partitionBy(*band_keys)
+    ann = (
+        banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .withColumn("_rep", F.min(id_col).over(w))
+    )
+
+    def side(df, tag):
+        return df.select(
+            F.col(id_col).alias(f"{tag}_id"),
+            *[F.col(c).alias(f"{tag}_{c}") for c in payload_cols],
+            *band_keys,
+        )
+
+    small = ann.where(F.col("_bsz") <= max_bucket_size)
+    out_cols = (
+        ["a_id", "b_id"]
+        + [f"a_{c}" for c in payload_cols]
+        + [f"b_{c}" for c in payload_cols]
+    )
+    pairs_small = (
+        side(small, "a")
+        .join(side(small, "b"), band_keys)
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(*out_cols)
+    )
+    reps = side(
+        ann.where((F.col("_bsz") > max_bucket_size) & (F.col(id_col) == F.col("_rep"))),
+        "a",
+    )
+    members = side(
+        ann.where((F.col("_bsz") > max_bucket_size) & (F.col(id_col) != F.col("_rep"))),
+        "b",
+    )
+    # rep is the bucket min -> a_id < b_id by construction
+    pairs_large = reps.join(members, band_keys).select(*out_cols)
+    return pairs_small.union(pairs_large).distinct()
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -364,12 +422,16 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     shingles: DataFrame | None = None,
     arrow: bool = True,
+    max_bucket_size: int = 512,
 ) -> DataFrame:
     """Banded-LSH candidate pairs (a_id < b_id, distinct).
 
     Signature split into ``bands`` rows of ``num_hashes/bands``; docs
     sharing any band hash become candidates. Equi-join on
-    (band_id, band_hash) — the 100-TB-safe shape.
+    (band_id, band_hash) — the 100-TB-safe shape. Buckets larger than
+    ``max_bucket_size`` degrade to star-linking (see
+    ``_banded_pairs_capped``) so a planted giant duplicate cluster can't
+    go quadratic.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -395,17 +457,8 @@ def minhash_lsh_candidates(
             )
         ).alias("band_id", "band_hash"),
     )
-    a = banded.select(
-        F.col(id_col).alias("a_id"), "band_id", "band_hash"
-    )
-    b = banded.select(
-        F.col(id_col).alias("b_id"), "band_id", "band_hash"
-    )
-    return (
-        a.join(b, ["band_id", "band_hash"])
-        .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
+    return _banded_pairs_capped(
+        banded, ["band_id", "band_hash"], id_col, max_bucket_size=max_bucket_size
     )
 
 
@@ -625,17 +678,11 @@ def simhash_near_dups(
             )
         ).alias("band_id", "band_val"),
     )
-    a = banded.select(
-        F.col(id_col).alias("a_id"), F.col("simhash").alias("a_sig"), "band_id", "band_val"
-    )
-    b = banded.select(
-        F.col(id_col).alias("b_id"), F.col("simhash").alias("b_sig"), "band_id", "band_val"
-    )
-    cand = (
-        a.join(b, ["band_id", "band_val"])
-        .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_sig", "b_sig")
-        .distinct()
+    cand = _banded_pairs_capped(
+        banded.select(id_col, F.col("simhash").alias("sig"), "band_id", "band_val"),
+        ["band_id", "band_val"],
+        id_col,
+        payload_cols=("sig",),
     )
     ham = F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig")))
     return cand.select(
