@@ -176,3 +176,29 @@ def test_build_is_deterministic(spark, embeddings):
     gb = {r.ordinal: tuple(r.neighbors) for r in b.graph_df.collect()}
     assert ga == gb
     assert a.params.medoid == b.params.medoid
+
+
+def test_ip_metric_index_recall(spark, embeddings, queries):
+    """Inner-product graph search via the exact MIPS->L2 reduction
+    (augmented data component sqrt(M^2-||x||^2), query component 0):
+    recall vs exact -dot top-k, and reported dist == -<q,x>."""
+    from vamana_spark import quality
+
+    params = VamanaParams(
+        dim=64, alpha=1.2, R=32, L=64, ef_search=96, seed=42, metric="ip"
+    )
+    idx = VamanaIndex.build(spark, embeddings, params)
+    assert params.mips_m is not None and params.mips_m > 0
+    truth = exact.exact_knn(embeddings, queries, k=10, metric="ip")
+    got = idx.search(queries, k=10)
+    r = quality.avg_recall(got, truth, k=10)
+    assert r >= 0.8, f"ip graph recall@10 = {r}"
+    # reported distances are true -<q,x>: join against exact on matches
+    j = (
+        got.select("query_id", "vec_id", F.col("dist").alias("g"))
+        .join(truth.select("query_id", "vec_id", F.col("dist").alias("t")),
+              ["query_id", "vec_id"])
+        .select(F.max(F.abs(F.col("g") - F.col("t"))).alias("err"))
+        .first()
+    )
+    assert j["err"] < 1e-6, f"ip dist mismatch: {j['err']}"

@@ -142,6 +142,11 @@ def build_bsp(
     R, L, alpha, seed, metric = (
         params.R, params.L, float(params.alpha), params.seed, params.metric,
     )
+    if metric == "ip" and params.mips_m is None:
+        from vamana_spark.functions.vector import l2_norm
+
+        params.mips_m = float(pts.agg(F.max(l2_norm("embedding"))).first()[0] or 0.0)
+    mips_m = params.mips_m
     R_eff = min(R, n - 1)
 
     if scratch_dir is None:
@@ -157,7 +162,7 @@ def build_bsp(
             if pdf.empty:
                 continue
             X = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
-            X = _metric_transform(X, metric)
+            X = _metric_transform(X, metric, mips_m)
             yield pd.DataFrame(
                 {"ordinal": pdf["ordinal"].to_numpy(), "embedding": list(X)}
             )

@@ -99,6 +99,12 @@ class VamanaIndex:
         if params.max_points:
             pts = pts.limit(params.max_points)
         pts = assign_ordinals(pts, "vec_id", "ordinal")
+        if params.metric == "ip" and params.mips_m is None:
+            from vamana_spark.functions.vector import l2_norm
+
+            params.mips_m = float(
+                pts.agg(F.max(l2_norm("embedding"))).first()[0] or 0.0
+            )
 
         if params.num_shards <= 1:
             return VamanaIndex._build_single(spark, pts, params)
@@ -113,7 +119,7 @@ class VamanaIndex:
                 f"size(embedding) == {params.dim})"
             )
         P = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
-        P = _metric_transform(P, params.metric)
+        P = _metric_transform(P, params.metric, params.mips_m)
         graph, medoid = _build_graph_kernel(P, params)
         params.n = int(P.shape[0])
         params.medoid = int(medoid)
@@ -143,7 +149,7 @@ class VamanaIndex:
             .toPandas()
         )
         C = np.stack(centers_pdf["embedding"].to_numpy()).astype(np.float32)
-        C = _metric_transform(C, params.metric)
+        C = _metric_transform(C, params.metric, params.mips_m)
         bc = spark.sparkContext.broadcast(C)
 
         assign_schema = "ordinal long, shard int"
@@ -154,7 +160,7 @@ class VamanaIndex:
                 if pdf.empty:
                     continue
                 X = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
-                X = _metric_transform(X, params.metric)
+                X = _metric_transform(X, params.metric, params.mips_m)
                 d = exact._dist_matrix(X, Cv, "l2sq")
                 near2 = np.argsort(d, axis=1)[:, :2]
                 out = pd.DataFrame(
@@ -172,11 +178,12 @@ class VamanaIndex:
 
         edge_schema = "src long, dst long"
         R, L, alpha, seed, metric = params.R, params.L, params.alpha, params.seed, params.metric
+        mips_m = params.mips_m
 
         def build_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values("ordinal").reset_index(drop=True)
             P = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
-            P = _metric_transform(P, metric)
+            P = _metric_transform(P, metric, mips_m)
             ords = pdf["ordinal"].to_numpy(dtype=np.int64)
             if P.shape[0] <= DENSE_BUILD_MAX:
                 graph, _ = kernels.build_vamana_dense(P, R, alpha, seed + int(key[0]))
@@ -215,9 +222,9 @@ class VamanaIndex:
             if dsts.size <= R:
                 return pd.DataFrame({"ordinal": [src], "neighbors": [dsts]})
             V = np.stack(pdf["dst_vec"].to_numpy()).astype(np.float32)
-            V = _metric_transform(V, metric)
+            V = _metric_transform(V, metric, mips_m)
             sv = np.asarray(pdf["src_vec"].iloc[0], dtype=np.float32)
-            sv = _metric_transform(sv[None, :], metric)[0]
+            sv = _metric_transform(sv[None, :], metric, mips_m)[0]
             diff = V - sv
             d = np.einsum("ij,ij->i", diff, diff)
             # local prune over the candidate set: reuse robust_prune on a
@@ -264,7 +271,7 @@ class VamanaIndex:
                 "ordinal"
             ).toPandas()
             P = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
-            P = _metric_transform(P, self.params.metric)
+            P = _metric_transform(P, self.params.metric, self.params.mips_m)
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             gpdf = self.graph_df.orderBy("ordinal").toPandas()
             graph = [np.asarray(g, dtype=np.int64) for g in gpdf["neighbors"]]
@@ -288,6 +295,7 @@ class VamanaIndex:
         """
         ef = int(ef_search or self.params.ef_search)
         metric = self.params.metric
+        mips_m = self.params.mips_m
         medoid = int(self.params.medoid if self.params.medoid is not None else 0)
         bidx = self.spark.sparkContext.broadcast(self._load_local())
 
@@ -313,7 +321,10 @@ class VamanaIndex:
                 if pdf.empty:
                     continue
                 Q = np.stack(pdf["qv"].to_numpy()).astype(np.float32)
-                Q = _metric_transform(Q, metric)
+                qn2 = np.einsum(
+                    "ij,ij->i", Q.astype(np.float64), Q.astype(np.float64)
+                )
+                Q = _metric_transform(Q, metric, mips_m, query=True)
                 qids = pdf["query_id"].to_numpy(dtype=np.int64)
                 starts = None
                 if has_start and "start_ordinal" in pdf.columns:
@@ -324,6 +335,9 @@ class VamanaIndex:
                 rq, rid, rd, hops, comps = kernels.search_topk_batch(
                     P, nbr_mat, medoid, Q, k, ef, starts=starts
                 )
+                if metric == "ip":
+                    # augmented-L2 back to -<q,x>: rd = ||q||^2 + M^2 - 2<q,x>
+                    rd = (rd - qn2[rq] - float(mips_m) ** 2) / 2.0
                 # ranks ascend within each query's contiguous result block
                 rank = np.ones(rq.size, dtype=np.int32)
                 if rq.size:
@@ -438,13 +452,36 @@ class VamanaIndex:
         return cls(spark, params, points_df, graph_df)
 
 
-def _metric_transform(X: np.ndarray, metric: str) -> np.ndarray:
-    """Reduce cosine to L2-on-normalized-vectors so one kernel serves all
-    metrics; ip is handled at the kernel level via sign flip upstream
-    (for the graph-search path, ip uses raw vectors + l2 geometry, an
-    accepted MIPS-via-L2 approximation unless vectors are normalized)."""
+def _metric_transform(
+    X: np.ndarray,
+    metric: str,
+    mips_m: "float | None" = None,
+    query: bool = False,
+) -> np.ndarray:
+    """Reduce every metric to L2 geometry so one kernel serves all.
+
+    - cosine: normalize rows (symmetric).
+    - ip: the exact MIPS->L2 reduction (Bachrach et al., RecSys'14 /
+      the XBOX transform): data rows gain a component
+      sqrt(M^2 - ||x||^2) with M = max data norm; query rows gain 0.
+      Then ||q' - x'||^2 = ||q||^2 + M^2 - 2<q,x>, so ascending L2 in
+      the augmented space IS descending inner product — graph build and
+      beam search need no metric-specific logic. The search path maps
+      distances back to -<q,x> for output.
+    """
     if metric == "cosine":
         norms = np.linalg.norm(X, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         return (X / norms).astype(np.float32)
+    if metric == "ip":
+        if mips_m is None:
+            raise ValueError("metric='ip' requires mips_m (set at build)")
+        if query:
+            aug = np.zeros((X.shape[0], 1), dtype=np.float32)
+        else:
+            n2 = np.einsum("ij,ij->i", X.astype(np.float64), X.astype(np.float64))
+            aug = np.sqrt(np.maximum(float(mips_m) ** 2 - n2, 0.0))[:, None].astype(
+                np.float32
+            )
+        return np.hstack([X.astype(np.float32), aug])
     return X

@@ -31,6 +31,8 @@ class VamanaParams:
     metric: str = "l2sq" # l2sq | l2 | cosine | ip
     seed: int = 42
     medoid: Optional[int] = None  # internal ordinal of entry point; set at build
+    mips_m: Optional[float] = None  # max data norm; set at build for metric="ip"
+                                    # (MIPS->L2 augmentation constant)
     n: int = 0                    # point count; set at build
     num_shards: int = 1           # sharded-build fan-out used at build time
 

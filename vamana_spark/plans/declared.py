@@ -312,6 +312,29 @@ def q_recall_at_k(spark, sf_dir):
     return quality.recall_at_k(approx, truth, k=10)
 
 
+@declare("q_ip_graph_recall")
+def q_ip_graph_recall(spark, sf_dir):
+    """Graph search under metric='ip' via the exact MIPS->L2 reduction
+    (augmented component sqrt(M^2-||x||^2); vamana.h:695's declared TODO
+    made real). Per-query recall@10 vs exact -dot top-k (rows-only;
+    avg ≥ 0.8 asserted in tests/test_index.py)."""
+    from vamana_spark import quality
+    from vamana_spark.index import VamanaIndex
+
+    key = (spark.sparkContext.applicationId, sf_dir, "ip")
+    if key not in _INDEX_CACHE:
+        params = VamanaParams(
+            dim=64, alpha=1.2, R=32, L=64, ef_search=100, seed=42, metric="ip"
+        )
+        _INDEX_CACHE[key] = VamanaIndex.build(spark, _emb(spark, sf_dir), params)
+    idx = _INDEX_CACHE[key]
+    e = _emb(spark, sf_dir)
+    q = _fixed_queries(e, 25)
+    approx = idx.search(q, k=10)
+    truth = exact.exact_knn(e, q, k=10, metric="ip")
+    return quality.recall_at_k(approx, truth, k=10)
+
+
 @declare("q_ivf_topk")
 def q_ivf_topk(spark, sf_dir):
     """X3 approx variant: IVF probe search (rows-only; kmeans is seeded
