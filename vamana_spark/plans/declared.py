@@ -1304,7 +1304,9 @@ def q_media_decode(spark, sf_dir):
     (deterministic fake codec — oracle replicates it from md5)."""
     from vamana_spark.operators import multimodal
 
-    return multimodal.decode_image_meta(_fake_media(spark, sf_dir))
+    return multimodal.decode_image_meta(_fake_media(spark, sf_dir)).select(
+        "media_id", "width", "height", "mean_luma"
+    )
 
 
 @declare(
