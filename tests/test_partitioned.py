@@ -94,3 +94,21 @@ def test_add_points_rebuilds_only_touched_shards(spark, embeddings):
     )
     res = grown.search(q, k=1).collect()
     assert all(r.vec_id == r.query_id and r.dist == 0.0 for r in res)
+
+
+def test_recall_after_append(spark, embeddings, queries):
+    """q_index_append's invariant: build on 80%, append 20%, recall@10
+    over the FULL set stays >= 0.8 (appended points must be findable)."""
+    from pyspark.sql import functions as F
+
+    from vamana_spark import exact, quality
+    from vamana_spark.index.partitioned import add_points
+
+    params = VamanaParams(dim=64, alpha=1.2, R=32, L=64, ef_search=96, seed=42)
+    base = PartitionedVamanaIndex.build(
+        spark, embeddings.where(F.col("vec_id") % 5 != 0), params, num_shards=4
+    )
+    grown = add_points(base, embeddings.where(F.col("vec_id") % 5 == 0))
+    truth = exact.exact_knn(embeddings, queries, k=10)
+    r = quality.avg_recall(grown.search(queries, k=10), truth, k=10)
+    assert r >= 0.8, f"recall after append = {r}"

@@ -1400,6 +1400,32 @@ def q_partitioned_recall(spark, sf_dir):
     return quality.recall_at_k(pidx.search(q, k=10), exact.exact_knn(e, q, k=10), k=10)
 
 
+@declare("q_index_append")
+def q_index_append(spark, sf_dir):
+    """Incremental maintenance (reference AddPoint-after-build,
+    vamana.h:98-135 made safe): build the partitioned index on 80% of
+    the vectors, add_points() the held-out 20%, then report per-query
+    recall@10 over the FULL set — appended points must be findable
+    (rows-only; avg recall additionally asserted ≥ 0.8 in
+    tests/test_partitioned.py)."""
+    from vamana_spark import quality
+    from vamana_spark.index.partitioned import PartitionedVamanaIndex, add_points
+
+    key = (spark.sparkContext.applicationId, sf_dir, "append")
+    if key not in _PIDX_CACHE:
+        e = _emb(spark, sf_dir)
+        params = VamanaParams(dim=64, alpha=1.2, R=32, L=64, ef_search=100, seed=42)
+        base = PartitionedVamanaIndex.build(
+            spark, e.where(F.col("vec_id") % 5 != 0), params, num_shards=4
+        )
+        _PIDX_CACHE[key] = add_points(base, e.where(F.col("vec_id") % 5 == 0))
+        _PIDX_CACHE[key].shards_df = _PIDX_CACHE[key].shards_df.cache()
+    pidx = _PIDX_CACHE[key]
+    e = _emb(spark, sf_dir)
+    q = _fixed_queries(e, 25)
+    return quality.recall_at_k(pidx.search(q, k=10), exact.exact_knn(e, q, k=10), k=10)
+
+
 @declare(
     "q_knn_join_topk",
     f"""
