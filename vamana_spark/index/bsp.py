@@ -67,6 +67,28 @@ def _load_points(path: str) -> np.ndarray:
     return _SNAPSHOTS[path]
 
 
+def _init_csr(seed: int, n: int, R_eff: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Executor-side: the seeded random start graph, generated in-process.
+
+    Deterministic per node from rng([seed, ordinal]) (reference:
+    InitializeGraph, vamana.h:335-387) — every worker derives the same
+    adjacency from three scalars, so pass 0 needs NO edge snapshot write
+    or read at all.
+    """
+    key = ("__init__", seed, n, R_eff)
+    if key not in _SNAPSHOTS:
+        nbrs = np.empty(n * R_eff, dtype=np.int64)
+        for i in range(n):
+            rng = np.random.default_rng([seed, i])
+            choice = rng.choice(n - 1, size=R_eff, replace=False)
+            nbrs[i * R_eff : (i + 1) * R_eff] = np.where(
+                choice >= i, choice + 1, choice
+            )
+        indptr = np.arange(n + 1, dtype=np.int64) * R_eff
+        _SNAPSHOTS[key] = (indptr, nbrs)
+    return _SNAPSHOTS[key]
+
+
 def _load_csr(path: str, n: int) -> Tuple[np.ndarray, np.ndarray]:
     """Executor-side: CSR adjacency from an edge snapshot."""
     if path not in _SNAPSHOTS:
@@ -176,29 +198,11 @@ def build_bsp(
 
     medoid = _approx_medoid_ordinal(pts, metric)
 
-    nodes = pts.select("ordinal").repartition(spark.sparkContext.defaultParallelism)
+    nodes = pts.select("ordinal").repartition(
+        spark.sparkContext.defaultParallelism
+    ).cache()
 
-    # seeded random out-degree-R start graph (reference: InitializeGraph,
-    # vamana.h:335-387) — generated distributively, per-node determinism
-    # from rng([seed, ordinal]) regardless of partitioning.
-    def init_edges(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            if b.empty:
-                continue
-            src_out, dst_out = [], []
-            for i in b["ordinal"].to_numpy(dtype=np.int64):
-                rng = np.random.default_rng([seed, int(i)])
-                choice = rng.choice(n - 1, size=R_eff, replace=False)
-                choice = np.where(choice >= i, choice + 1, choice)
-                src_out.extend([int(i)] * R_eff)
-                dst_out.extend(int(x) for x in choice)
-            yield pd.DataFrame({"src": src_out, "dst": dst_out})
-
-    edges_path = os.path.join(scratch_dir, "edges_init")
-    nodes.mapInPandas(init_edges, schema="src long, dst long").write.mode(
-        "overwrite"
-    ).parquet(edges_path)
-
+    edges_path = None  # pass 0 starts from the in-worker init graph
     fixup_schema = "src long, dst long"
 
     for pass_no, pass_alpha in enumerate((1.0, alpha)):
@@ -207,7 +211,9 @@ def build_bsp(
 
         def propose(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             Pv = _load_points(points_path)
-            ip, nb = _load_csr(snap, n)
+            ip, nb = (
+                _init_csr(seed, n, R_eff) if snap is None else _load_csr(snap, n)
+            )
             nbr_mat = kernels.pad_adjacency(ip, nb, Pv.shape[0])
             for b in batches:
                 if b.empty:
@@ -275,5 +281,6 @@ def build_bsp(
     params.n = n
     params.medoid = int(medoid)
     points_df = pts.select("vec_id", "ordinal", "embedding")
+    nodes.unpersist()
     shutil.rmtree(_local_path(scratch_dir), ignore_errors=True)
     return VamanaIndex(spark, params, points_df, graph_df)
