@@ -63,5 +63,8 @@ def test_oracle_match(name, spark, ddb):
     "name", sorted(set(_QUERIES) - set(_ORACLES))
 )
 def test_rows_only_runs(name, spark):
-    df = _QUERIES[name](spark, SF_DIR)
-    assert df.count() >= 0
+    # the driver canonicalizes (sorts) even no-oracle outputs before
+    # recording the row count — an array/map column crashes its pandas
+    # sort (r1: q_media_features aborted the whole gate). Mimic that.
+    pdf = _QUERIES[name](spark, SF_DIR).toPandas()
+    assert len(_canon(pdf)) >= 0
