@@ -53,7 +53,8 @@ def _scale_25k_block(spark) -> dict:
     nq = q.count()
 
     params = VamanaParams(
-        dim=64, alpha=1.2, R=32, L=64, ef_search=100, seed=42, num_shards=8
+        dim=64, alpha=1.2, R=32, L=64, ef_search=100, seed=42,
+        num_shards=16, shard_overlap=3,
     )
     t0 = time.perf_counter()
     idx = VamanaIndex.build(spark, emb, params)
@@ -66,9 +67,11 @@ def _scale_25k_block(spark) -> dict:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     ).cache()
     n_all = allq.count()
-    t0 = time.perf_counter()
-    idx.search(allq, k=10).count()
-    search_sec = time.perf_counter() - t0
+    search_sec = float("inf")  # best-of-2, same policy as timed()
+    for _ in range(2):
+        t0 = time.perf_counter()
+        idx.search(allq, k=10).count()
+        search_sec = min(search_sec, time.perf_counter() - t0)
     approx = idx.search(q, k=10)
     truth = exact.exact_knn_batch(emb, q, k=10)
     recall = round(quality.avg_recall(approx, truth, k=10), 4)

@@ -374,6 +374,66 @@ def robust_prune_batch(
     return out
 
 
+def robust_prune_gather(
+    P: np.ndarray,
+    node_ids: np.ndarray,
+    cand: np.ndarray,
+    alpha: float,
+    R: int,
+) -> np.ndarray:
+    """Lockstep RobustPrune over many nodes WITHOUT a full distance
+    matrix: distances are gathered from the point matrix on the fly.
+
+    ``cand`` is (m, C) candidate ids per node, padded with -1, in any
+    order. Rows whose candidate count is already <= R are passed through
+    unpruned (degree-cap semantics: pruning only applies to overfull
+    nodes). Cost: one (m, C, dim) distance pass + R admission rounds of
+    (active, C, dim) einsums — no (n, n) materialization, so it scales
+    to arbitrary n.
+
+    Returns (m, R_max) admitted ids padded with -1.
+    """
+    m, C = cand.shape
+    n = P.shape[0]
+    valid = cand >= 0
+    counts0 = valid.sum(axis=1)
+    safe = np.clip(cand, 0, n - 1)
+    V = P[node_ids]                                        # (m, dim)
+    diff = P[safe] - V[:, None, :]                         # (m, C, dim)
+    d_p = np.einsum("ijk,ijk->ij", diff, diff).astype(np.float64)
+    d_p[~valid] = np.inf
+    # sort candidates ascending by distance to their node
+    order = np.argsort(d_p, axis=1, kind="stable")
+    cand = np.take_along_axis(cand, order, axis=1)
+    d_p = np.take_along_axis(d_p, order, axis=1)
+    safe = np.clip(cand, 0, n - 1)
+
+    out = np.full((m, max(R, 1)), -1, dtype=np.int64)
+    keep = counts0 <= R                                    # pass-through rows
+    if keep.any():
+        kr = np.flatnonzero(keep)
+        out[kr[:, None], np.arange(max(R, 1))[None, :]] = np.where(
+            np.arange(max(R, 1))[None, :] < counts0[kr][:, None],
+            cand[kr, : max(R, 1)], -1,
+        )
+    alive = (cand >= 0) & ~keep[:, None]
+    counts = np.zeros(m, dtype=np.int64)
+    for _ in range(R):
+        active = np.flatnonzero(alive.any(axis=1) & (counts < R))
+        if active.size == 0:
+            break
+        first = alive[active].argmax(axis=1)
+        star = cand[active, first]
+        out[active, counts[active]] = star
+        counts[active] += 1
+        alive[active, first] = False
+        sdiff = P[safe[active]] - P[star][:, None, :]      # (a, C, dim)
+        d_star = np.einsum("ijk,ijk->ij", sdiff, sdiff).astype(np.float64)
+        kill = (alpha * d_star <= d_p[active]) & alive[active]
+        alive[active] &= ~kill
+    return out
+
+
 def build_vamana_dense(
     P: np.ndarray,
     R: int,
@@ -459,8 +519,10 @@ def pad_adjacency(indptr: np.ndarray, nbrs: np.ndarray, n: int) -> np.ndarray:
     degs = np.diff(indptr)
     Rmax = int(degs.max()) if n else 0
     M = np.full((n, max(Rmax, 1)), -1, dtype=np.int64)
-    for i in range(n):
-        M[i, : degs[i]] = nbrs[indptr[i] : indptr[i + 1]]
+    if n and nbrs.size:
+        rows = np.repeat(np.arange(n), degs)
+        cols = np.arange(nbrs.size) - np.repeat(indptr[:-1], degs)
+        M[rows, cols] = nbrs
     return M
 
 
@@ -502,16 +564,19 @@ def search_topk_batch(
     hops = np.zeros(nq, dtype=np.int64)
     comps = np.ones(nq, dtype=np.int64)
 
-    # visited history: an O(1)-lookup (nq, n) bitmap when it fits (~shard
+    # "seen" history: an O(1)-lookup (nq, n) bitmap when it fits (~shard
     # scale: 64 queries x 20k nodes = 1.3 MB), else a growing id list with
     # broadcast-compare (memory-safe for broadcast-tier n in the millions,
-    # at O(hop) compare cost per hop)
-    use_bitmap = nq * n <= 256_000_000
-    if use_bitmap:
-        visited_map = np.zeros((nq, n), dtype=bool)
-    else:
-        hist = np.full((nq, max_hops), -1, dtype=np.int64)
-
+    # at O(hop) compare cost per hop).
+    #
+    # Bitmap semantics are EVALUATED-once (standard HNSW visited-set):
+    # a node is marked the moment its distance is computed, and never
+    # re-evaluated. Sound because the beam holds the ef best evaluated
+    # nodes and its threshold only tightens — a node dropped (or never
+    # admitted) can never beat re-admission later. This lets each hop
+    # compute distances ONLY for genuinely new nodes (sparse gather)
+    # instead of all Rmax neighbors, and replaces the O(Rmax*ef)
+    # beam-membership broadcast-compare with one bitmap lookup.
     start_nodes = (
         np.full(nq, medoid, dtype=np.int64) if starts is None
         else np.asarray(starts, dtype=np.int64)
@@ -521,6 +586,12 @@ def search_topk_batch(
     beam_d[:, 0] = np.einsum("ij,ij->i", diff0, diff0)
 
     arange_nq = np.arange(nq)
+    use_bitmap = nq * n <= 256_000_000
+    if use_bitmap:
+        seen_map = np.zeros((nq, n), dtype=bool)
+        seen_map[arange_nq, start_nodes] = True
+    else:
+        hist = np.full((nq, max_hops), -1, dtype=np.int64)
     for hop in range(max_hops):
         bd = np.where(beam_vis | (beam_ids < 0), np.inf, beam_d)
         pos = bd.argmin(axis=1)
@@ -531,26 +602,31 @@ def search_topk_batch(
         rp = pos[rows]
         cur = beam_ids[rows, rp]
         beam_vis[rows, rp] = True
-        if use_bitmap:
-            visited_map[rows, cur] = True
-        else:
+        if not use_bitmap:
             hist[rows, hop] = cur
         hops[rows] += 1
 
         cand = nbr_mat[cur]                                   # (ra, Rmax)
         valid = cand >= 0
-        in_beam = (cand[:, :, None] == beam_ids[rows][:, None, :]).any(axis=2)
-        if use_bitmap:
-            in_hist = visited_map[rows[:, None], np.clip(cand, 0, n - 1)]
-        else:
-            in_hist = (cand[:, :, None] == hist[rows][:, None, : hop + 1]).any(axis=2)
-        new = valid & ~in_beam & ~in_hist
-        comps[rows] += new.sum(axis=1)
-
         safe = np.clip(cand, 0, n - 1)
-        diff = Pf[safe] - Qf[rows][:, None, :]                # (ra, Rmax, dim)
-        cd = np.einsum("ijk,ijk->ij", diff, diff).astype(np.float64)
-        cd[~new] = np.inf
+        if use_bitmap:
+            new = valid & ~seen_map[rows[:, None], safe]
+            # sparse evaluation: distances only for first-time nodes
+            fr, fc = np.nonzero(new)
+            pts, qrow = safe[fr, fc], rows[fr]
+            seen_map[qrow, pts] = True
+            diff = Pf[pts] - Qf[qrow]                         # (m, dim)
+            cd = np.full(cand.shape, np.inf)
+            cd[fr, fc] = np.einsum("ij,ij->i", diff, diff)
+            comps[rows] += np.bincount(fr, minlength=rows.size)
+        else:
+            in_beam = (cand[:, :, None] == beam_ids[rows][:, None, :]).any(axis=2)
+            in_hist = (cand[:, :, None] == hist[rows][:, None, : hop + 1]).any(axis=2)
+            new = valid & ~in_beam & ~in_hist
+            comps[rows] += new.sum(axis=1)
+            diff = Pf[safe] - Qf[rows][:, None, :]            # (ra, Rmax, dim)
+            cd = np.einsum("ijk,ijk->ij", diff, diff).astype(np.float64)
+            cd[~new] = np.inf
 
         all_ids = np.concatenate([beam_ids[rows], np.where(new, cand, -1)], axis=1)
         all_d = np.concatenate([beam_d[rows], cd], axis=1)

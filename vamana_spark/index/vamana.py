@@ -75,6 +75,7 @@ class VamanaIndex:
         self.points_df = points_df  # vec_id long, ordinal long, embedding array<float>
         self.graph_df = graph_df    # ordinal long, neighbors array<long>
         self._local: Optional[Tuple[np.ndarray, ...]] = None
+        self._bcast = None  # broadcast (P, ids, padded adjacency), reused across searches
 
     # ------------------------------------------------------------------ build
 
@@ -142,17 +143,34 @@ class VamanaIndex:
            paper's RobustPrune inside one more ``applyInPandas``.
         """
         S = params.num_shards
-        centers_pdf = (
+        # materialize once: the shard pipeline traverses pts five times
+        # (center sample, assign, edge joins, count, medoid) — without this
+        # every traversal replays the scan + ordinal assignment
+        pts = pts.localCheckpoint(eager=True)
+        # balanced centers: a few Lloyd iterations over a seeded sample.
+        # Random picks leave Voronoi cells skewed 10x, and the per-shard
+        # build is superlinear in shard size — one fat shard straggles the
+        # whole stage. Sample + refine costs one small driver job.
+        sample_pdf = (
             pts.select("ordinal", "embedding")
             .orderBy(F.xxhash64(F.col("ordinal") + F.lit(params.seed)))
-            .limit(S)
+            .limit(max(64 * S, 4096))
             .toPandas()
         )
-        C = np.stack(centers_pdf["embedding"].to_numpy()).astype(np.float32)
-        C = _metric_transform(C, params.metric, params.mips_m)
+        X = np.stack(sample_pdf["embedding"].to_numpy()).astype(np.float32)
+        X = _metric_transform(X, params.metric, params.mips_m)
+        C = X[:S].copy()
+        for _ in range(8):
+            d = exact._dist_matrix(X, C, "l2sq")
+            a = d.argmin(axis=1)
+            for j in range(S):
+                mask = a == j
+                if mask.any():
+                    C[j] = X[mask].mean(axis=0)
         bc = spark.sparkContext.broadcast(C)
 
         assign_schema = "ordinal long, shard int"
+        ell = min(params.shard_overlap, S)
 
         def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             Cv = bc.value
@@ -162,11 +180,11 @@ class VamanaIndex:
                 X = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
                 X = _metric_transform(X, params.metric, params.mips_m)
                 d = exact._dist_matrix(X, Cv, "l2sq")
-                near2 = np.argsort(d, axis=1)[:, :2]
+                near = np.argsort(d, axis=1)[:, :ell]
                 out = pd.DataFrame(
                     {
-                        "ordinal": np.repeat(pdf["ordinal"].to_numpy(), 2),
-                        "shard": near2.ravel().astype(np.int32),
+                        "ordinal": np.repeat(pdf["ordinal"].to_numpy(), ell),
+                        "shard": near.ravel().astype(np.int32),
                     }
                 )
                 yield out
@@ -200,42 +218,97 @@ class VamanaIndex:
             return pd.DataFrame({"src": src, "dst": dst})
 
         edges = sharded.groupBy("shard").applyInPandas(build_shard, schema=edge_schema)
-        edges = edges.dropDuplicates(["src", "dst"])
 
         # Degree-cap re-prune: nodes over R (union of 2 shard builds) get the
-        # paper prune over their merged candidate set. Needs src + dst vectors
-        # co-located: join dst vector, group by src.
-        dstv = pts.select(
-            F.col("ordinal").alias("dst"), F.col("embedding").alias("dst_vec")
-        )
-        srcv = pts.select(
-            F.col("ordinal").alias("src"), F.col("embedding").alias("src_vec")
-        )
-        cand = edges.join(dstv, "dst").join(srcv, "src")
-
+        # paper prune over their merged candidate set.
         prune_schema = "ordinal long, neighbors array<long>"
         alpha_f = float(params.alpha)
+        # ONE narrow shuffle on (src, dst) ints; collect_set dedups the
+        # overlap-shard duplicates without a separate distinct pass
+        agg = edges.groupBy("src").agg(F.collect_set("dst").alias("dsts"))
 
-        def prune_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            src = int(key[0])
-            dsts = pdf["dst"].to_numpy(dtype=np.int64)
-            if dsts.size <= R:
-                return pd.DataFrame({"ordinal": [src], "neighbors": [dsts]})
-            V = np.stack(pdf["dst_vec"].to_numpy()).astype(np.float32)
-            V = _metric_transform(V, metric, mips_m)
-            sv = np.asarray(pdf["src_vec"].iloc[0], dtype=np.float32)
-            sv = _metric_transform(sv[None, :], metric, mips_m)[0]
-            diff = V - sv
-            d = np.einsum("ij,ij->i", diff, diff)
-            # local prune over the candidate set: reuse robust_prune on a
-            # compact sub-matrix (src appended as the query point).
-            Psub = np.vstack([V, sv[None, :]])
-            local = kernels.robust_prune(
-                Psub, Psub.shape[0] - 1, np.arange(V.shape[0]), d, alpha_f, R
+        n_total = pts.count()
+        if n_total * params.dim * 4 <= VamanaIndex.BROADCAST_TIER_MAX_BYTES:
+            # broadcast tier: vectors come from a broadcast matrix, the
+            # prune runs lockstep over whole Arrow batches — no embedding
+            # joins, no per-node Python calls
+            ppdf = pts.select("ordinal", "embedding").orderBy("ordinal").toPandas()
+            Pmat = np.stack(ppdf["embedding"].to_numpy()).astype(np.float32)
+            Pmat = _metric_transform(Pmat, metric, mips_m)
+            bP = spark.sparkContext.broadcast(Pmat)
+            # medoid for free off the in-hand matrix (l2sq: transform is
+            # identity) — same centroid-nearest definition as medoid_approx
+            if params.metric == "l2sq":
+                cdiff = Pmat.astype(np.float64) - Pmat.mean(
+                    axis=0, dtype=np.float64
+                )
+                medoid_ordinal = int(np.einsum("ij,ij->i", cdiff, cdiff).argmin())
+            else:
+                medoid_ordinal = 0
+
+            def prune_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                Pv = bP.value
+                for pdf in batches:
+                    if pdf.empty:
+                        continue
+                    srcs = pdf["ordinal"] if "ordinal" in pdf else pdf["src"]
+                    srcs = srcs.to_numpy(dtype=np.int64)
+                    lists = pdf["dsts"].to_list()
+                    C = max(len(x) for x in lists)
+                    cand = np.full((len(lists), C), -1, dtype=np.int64)
+                    for i, x in enumerate(lists):
+                        cand[i, : len(x)] = x
+                    pruned = kernels.robust_prune_gather(Pv, srcs, cand, alpha_f, R)
+                    yield pd.DataFrame(
+                        {
+                            "ordinal": srcs,
+                            "neighbors": [row[row >= 0] for row in pruned],
+                        }
+                    )
+
+            graph_df = agg.select(
+                F.col("src").alias("ordinal"), "dsts"
+            ).mapInPandas(prune_batches, schema=prune_schema)
+        else:
+            # beyond-broadcast tier: co-locate candidate vectors via joins
+            # (heavier but unbounded), then batch-prune per partition
+            dstv = pts.select(
+                F.col("ordinal").alias("dst"), F.col("embedding").alias("dst_vec")
             )
-            return pd.DataFrame({"ordinal": [src], "neighbors": [dsts[local]]})
+            srcv = pts.select(
+                F.col("ordinal").alias("src"), F.col("embedding").alias("src_vec")
+            )
+            cand_df = (
+                agg.select("src", F.explode("dsts").alias("dst"))
+                .join(dstv, "dst")
+                .join(srcv, "src")
+            )
 
-        graph_df = cand.groupBy("src").applyInPandas(prune_group, schema=prune_schema)
+            def prune_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+                src = int(key[0])
+                dsts = pdf["dst"].to_numpy(dtype=np.int64)
+                if dsts.size <= R:
+                    return pd.DataFrame({"ordinal": [src], "neighbors": [dsts]})
+                V = np.stack(pdf["dst_vec"].to_numpy()).astype(np.float32)
+                V = _metric_transform(V, metric, mips_m)
+                sv = np.asarray(pdf["src_vec"].iloc[0], dtype=np.float32)
+                sv = _metric_transform(sv[None, :], metric, mips_m)[0]
+                diff = V - sv
+                d = np.einsum("ij,ij->i", diff, diff)
+                Psub = np.vstack([V, sv[None, :]])
+                local = kernels.robust_prune(
+                    Psub, Psub.shape[0] - 1, np.arange(V.shape[0]), d, alpha_f, R
+                )
+                return pd.DataFrame({"ordinal": [src], "neighbors": [dsts[local]]})
+
+            graph_df = cand_df.groupBy("src").applyInPandas(
+                prune_group, schema=prune_schema
+            )
+            medoid_ordinal = int(
+                pts.where(F.col("vec_id") == exact.medoid_approx(pts)).first()[
+                    "ordinal"
+                ]
+            ) if params.metric == "l2sq" else 0
 
         # nodes that somehow got no out-edges (singleton shards): empty adjacency
         missing = pts.select("ordinal").join(
@@ -243,10 +316,12 @@ class VamanaIndex:
         ).withColumn("neighbors", F.array().cast("array<long>"))
         graph_df = graph_df.unionByName(missing)
 
-        params.n = pts.count()
-        params.medoid = int(
-            pts.where(F.col("vec_id") == exact.medoid_approx(pts)).first()["ordinal"]
-        ) if params.metric == "l2sq" else 0
+        # materialize the graph: searches call _load_local (twice: points +
+        # graph) and would otherwise replay the entire shard build per call
+        graph_df = graph_df.localCheckpoint(eager=True)
+
+        params.n = n_total
+        params.medoid = medoid_ordinal
         points_df = pts.select("vec_id", "ordinal", "embedding")
         return VamanaIndex(spark, params, points_df, graph_df)
 
@@ -297,7 +372,14 @@ class VamanaIndex:
         metric = self.params.metric
         mips_m = self.params.mips_m
         medoid = int(self.params.medoid if self.params.medoid is not None else 0)
-        bidx = self.spark.sparkContext.broadcast(self._load_local())
+        # pad ONCE driver-side and broadcast the search-ready form, cached
+        # on the instance — re-broadcasting per call re-ships the index
+        if self._bcast is None:
+            P, ids, indptr, nbrs = self._load_local()
+            self._bcast = self.spark.sparkContext.broadcast(
+                (P, ids, kernels.pad_adjacency(indptr, nbrs, P.shape[0]))
+            )
+        bidx = self._bcast
 
         from vamana_spark.functions.util import ensure_parallelism
 
@@ -315,8 +397,7 @@ class VamanaIndex:
             has_start = False
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            P, ids, indptr, nbrs = bidx.value
-            nbr_mat = kernels.pad_adjacency(indptr, nbrs, P.shape[0])
+            P, ids, nbr_mat = bidx.value
             for pdf in batches:
                 if pdf.empty:
                     continue

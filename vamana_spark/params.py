@@ -35,6 +35,10 @@ class VamanaParams:
                                     # (MIPS->L2 augmentation constant)
     n: int = 0                    # point count; set at build
     num_shards: int = 1           # sharded-build fan-out used at build time
+    shard_overlap: int = 2        # sharded build: centers each point joins
+                                  # (DiskANN ell; 3 buys recall at ~1.5x
+                                  # build compute — smaller shards + ell=3
+                                  # beats fewer fat shards on both axes)
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), indent=2, sort_keys=True)
@@ -53,3 +57,7 @@ class VamanaParams:
             raise ValueError(f"alpha must be >= 1.0, got {self.alpha}")
         if self.metric not in ("l2sq", "l2", "cosine", "ip"):
             raise ValueError(f"unknown metric {self.metric!r}")
+        if self.shard_overlap < 1:
+            raise ValueError(
+                f"shard_overlap must be >= 1, got {self.shard_overlap}"
+            )
