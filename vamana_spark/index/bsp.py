@@ -105,35 +105,30 @@ def _load_csr(path: str, n: int) -> Tuple[np.ndarray, np.ndarray]:
     return _SNAPSHOTS[path]
 
 
-def _approx_medoid_ordinal(pts: DataFrame, metric: str) -> int:
-    """Distributed DiskANN-style medoid: nearest point to the coordinate
-    centroid (of metric-transformed vectors), resolved by ordinal."""
-    from vamana_spark import exact
-    from vamana_spark.functions.vector import l2_norm
+def _snapshot_medoid_ordinal(spark: SparkSession, points_path: str) -> int:
+    """Medoid from the points snapshot, computed INSIDE one executor task.
 
-    emb = F.col("embedding")
-    if metric == "cosine":
-        nrm = l2_norm("embedding")
-        emb = F.transform(
-            "embedding",
-            lambda x: x.cast("double") / F.when(nrm == 0.0, 1.0).otherwise(nrm),
-        )
-    view = pts.select(F.col("ordinal"), emb.alias("embedding"))
-    centroid = (
-        view.select(F.posexplode("embedding").alias("pos", "v"))
-        .groupBy("pos")
-        .agg(F.avg(F.col("v").cast("double")).alias("m"))
-        .orderBy("pos")
-        .collect()
+    The BSP tier's contract is that the (metric-transformed) point matrix
+    fits executor memory — every worker loads it anyway (_load_points), so
+    the exact centroid-nearest medoid is one task and zero shuffles
+    instead of a posexplode aggregation + 1-NN join chain (~4 driver
+    round-trips at tiny n)."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for _ in batches:
+            pass
+        Pv = _load_points(points_path)
+        cdiff = Pv.astype(np.float64) - Pv.mean(axis=0, dtype=np.float64)
+        med = int(np.einsum("ij,ij->i", cdiff, cdiff).argmin())
+        yield pd.DataFrame({"medoid": [med]})
+
+    row = (
+        spark.range(1)
+        .repartition(1)
+        .mapInPandas(compute, schema="medoid long")
+        .first()
     )
-    qdf = pts.sparkSession.createDataFrame(
-        [(0, [float(r["m"]) for r in centroid])],
-        "query_id long, query_vec array<double>",
-    )
-    hit = exact.nearest_point(
-        view, qdf, exclude_self=False, id_col="ordinal"
-    ).first()
-    return int(hit["vec_id"])
+    return int(row["medoid"])
 
 
 def build_bsp(
@@ -196,14 +191,14 @@ def build_bsp(
         .parquet(points_path)
     )
 
-    medoid = _approx_medoid_ordinal(pts, metric)
+    medoid = _snapshot_medoid_ordinal(spark, points_path)
 
     nodes = pts.select("ordinal").repartition(
         spark.sparkContext.defaultParallelism
     ).cache()
 
     edges_path = None  # pass 0 starts from the in-worker init graph
-    fixup_schema = "src long, dst long"
+    final_agg = None
 
     for pass_no, pass_alpha in enumerate((1.0, alpha)):
         a = float(pass_alpha)
@@ -219,56 +214,86 @@ def build_bsp(
                 if b.empty:
                     continue
                 ords = b["ordinal"].to_numpy(dtype=np.int64)
+                m = ords.size
                 # candidates: the L nearest visited nodes per node (batch
-                # beam search against the frozen snapshot)
+                # beam search against the frozen snapshot) + current edges
                 rq, rid, _, _, _ = kernels.search_topk_batch(
                     Pv, nbr_mat, 0, Pv[ords], L, L,
-                    starts=np.full(ords.size, medoid, dtype=np.int64),
+                    starts=np.full(m, medoid, dtype=np.int64),
                 )
-                src_out, dst_out = [], []
-                for pos, i in enumerate(ords):
-                    cand = rid[rq == pos]
+                degs = (ip[ords + 1] - ip[ords]).astype(np.int64)
+                W = L + int(degs.max() if m else 0)
+                cand = np.full((m, W), -1, dtype=np.int64)
+                # scatter search results (contiguous per query row)
+                counts = np.bincount(rq, minlength=m)
+                cols = np.arange(rq.size) - np.repeat(
+                    np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+                )
+                cand[rq, cols] = rid
+                for pos in range(m):  # append old edges (ragged, tiny)
+                    i = ords[pos]
                     old = nb[ip[i] : ip[i + 1]]
-                    cand = np.concatenate([cand, old])
-                    pruned = kernels.robust_prune(Pv, int(i), cand, None, a, R)
-                    src_out.extend([int(i)] * pruned.size)
-                    dst_out.extend(int(x) for x in pruned)
-                yield pd.DataFrame({"src": src_out, "dst": dst_out})
+                    cand[pos, counts[pos] : counts[pos] + old.size] = old
+                # drop self then lockstep-prune the whole batch at once
+                cand[cand == ords[:, None]] = -1
+                pruned = kernels.robust_prune_gather(Pv, ords, cand, a, R)
+                keep = pruned >= 0
+                yield pd.DataFrame(
+                    {
+                        "src": np.repeat(ords, keep.sum(axis=1)),
+                        "dst": pruned[keep],
+                    }
+                )
 
         proposed = nodes.mapInPandas(propose, schema="src long, dst long")
 
         # distributed reverse fix-up (SURVEY §7 M3): forward ∪ reversed
-        # edges, ONE shuffle on src, per-node degree-cap re-prune. np.unique
-        # inside the kernel dedups, so no .distinct() pre-shuffle needed.
+        # edges, ONE shuffle on src (collect_set dedups), lockstep
+        # degree-cap re-prune over whole Arrow batches — vectors come from
+        # the per-worker points snapshot, never a join
         undirected = proposed.union(
             proposed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
+        agg = undirected.groupBy("src").agg(F.collect_set("dst").alias("dsts"))
 
-        def fixup(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        def fixup_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             Pv = _load_points(points_path)
-            j = int(key[0])
-            merged = np.unique(pdf["dst"].to_numpy(dtype=np.int64))
-            merged = merged[merged != j]
-            if merged.size > R:
-                merged = kernels.robust_prune(Pv, j, merged, None, a, R)
-            return pd.DataFrame({"src": j, "dst": merged})
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                srcs = pdf["src"].to_numpy(dtype=np.int64)
+                lists = pdf["dsts"].to_list()
+                W = max(len(x) for x in lists)
+                cand = np.full((len(lists), W), -1, dtype=np.int64)
+                for i, x in enumerate(lists):
+                    cand[i, : len(x)] = x
+                cand[cand == srcs[:, None]] = -1
+                pruned = kernels.robust_prune_gather(Pv, srcs, cand, a, R)
+                keep = pruned >= 0
+                yield pd.DataFrame(
+                    {
+                        "src": np.repeat(srcs, keep.sum(axis=1)),
+                        "dst": pruned[keep],
+                    }
+                )
 
-        next_path = os.path.join(scratch_dir, f"edges_pass{pass_no}")
-        undirected.groupBy("src").applyInPandas(fixup, schema=fixup_schema).write.mode(
-            "overwrite"
-        ).parquet(next_path)
-        edges_path = next_path
+        fixed = agg.mapInPandas(fixup_batches, schema="src long, dst long")
+        if pass_no == 0:
+            # pass 1 re-reads this as a snapshot: write + read via scratch
+            next_path = os.path.join(scratch_dir, f"edges_pass{pass_no}")
+            fixed.write.mode("overwrite").parquet(next_path)
+            edges_path = next_path
+        else:
+            # final pass: assemble straight from the live DataFrame — no
+            # parquet round-trip, adjacency never visits the driver
+            final_agg = fixed.groupBy(F.col("src").alias("ordinal")).agg(
+                F.sort_array(F.collect_list("dst")).alias("neighbors")
+            )
 
-    # assemble the index straight from the final snapshot — adjacency
-    # never visits the driver. Left join keeps isolated nodes (deg 0).
-    adj = (
-        spark.read.parquet(edges_path)
-        .groupBy(F.col("src").alias("ordinal"))
-        .agg(F.sort_array(F.collect_list("dst")).alias("neighbors"))
-    )
+    # Left join keeps isolated nodes (deg 0).
     graph_df = (
         pts.select("ordinal")
-        .join(adj, "ordinal", "left")
+        .join(final_agg, "ordinal", "left")
         .select(
             "ordinal",
             F.coalesce("neighbors", F.array().cast("array<long>")).alias("neighbors"),

@@ -408,13 +408,15 @@ def robust_prune_gather(
     d_p = np.take_along_axis(d_p, order, axis=1)
     safe = np.clip(cand, 0, n - 1)
 
-    out = np.full((m, max(R, 1)), -1, dtype=np.int64)
+    Rw = max(R, 1)
+    out = np.full((m, Rw), -1, dtype=np.int64)
     keep = counts0 <= R                                    # pass-through rows
     if keep.any():
         kr = np.flatnonzero(keep)
-        out[kr[:, None], np.arange(max(R, 1))[None, :]] = np.where(
-            np.arange(max(R, 1))[None, :] < counts0[kr][:, None],
-            cand[kr, : max(R, 1)], -1,
+        W = min(C, Rw)
+        col = np.arange(W)[None, :]
+        out[kr[:, None], col] = np.where(
+            col < counts0[kr][:, None], cand[kr, :W], -1
         )
     alive = (cand >= 0) & ~keep[:, None]
     counts = np.zeros(m, dtype=np.int64)
