@@ -375,11 +375,16 @@ def _banded_pairs_capped(
     cluster through the representative. The trade: within an oversized
     bucket, member↔member similarity is only observed transitively.
     """
-    w = Window.partitionBy(*band_keys)
-    ann = (
-        banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
-        .withColumn("_rep", F.min(id_col).over(w))
+    # Over-cap buckets are RARE by construction (they exist only when a
+    # giant duplicate cluster floods one bucket), so compute just their
+    # keys with a map-side-combined aggregation and broadcast-left-join
+    # them back — instead of a full window shuffle of every banded row.
+    overfull = F.broadcast(
+        banded.groupBy(*band_keys)
+        .agg(F.count(F.lit(1)).alias("_bsz"), F.min(id_col).alias("_rep"))
+        .where(F.col("_bsz") > max_bucket_size)
     )
+    ann = banded.join(overfull, band_keys, "left")
 
     def side(df, tag):
         return df.select(
@@ -388,7 +393,7 @@ def _banded_pairs_capped(
             *band_keys,
         )
 
-    small = ann.where(F.col("_bsz") <= max_bucket_size)
+    small = ann.where(F.col("_bsz").isNull())
     out_cols = (
         ["a_id", "b_id"]
         + [f"a_{c}" for c in payload_cols]
@@ -401,11 +406,11 @@ def _banded_pairs_capped(
         .select(*out_cols)
     )
     reps = side(
-        ann.where((F.col("_bsz") > max_bucket_size) & (F.col(id_col) == F.col("_rep"))),
+        ann.where(F.col("_bsz").isNotNull() & (F.col(id_col) == F.col("_rep"))),
         "a",
     )
     members = side(
-        ann.where((F.col("_bsz") > max_bucket_size) & (F.col(id_col) != F.col("_rep"))),
+        ann.where(F.col("_bsz").isNotNull() & (F.col(id_col) != F.col("_rep"))),
         "b",
     )
     # rep is the bucket min -> a_id < b_id by construction
