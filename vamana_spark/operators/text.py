@@ -217,3 +217,39 @@ def token_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").cast("long").alias("freq"))
     )
+
+
+def tfidf_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 100,
+) -> DataFrame:
+    """Corpus document-frequency / IDF table: the ``top_n`` terms by df.
+
+    The corpus half of tf-idf, the standard weighting for term-based
+    quality filters and keyword extraction in training-data pipelines.
+    Per-doc distinct terms (map-side ``array_distinct``) → one
+    ``groupBy(term)`` count with map-side combine → TakeOrderedAndProject
+    for the top slice. 100-TB shape: shuffle cardinality is vocabulary
+    size, not corpus size; smoothed idf = ln((N+1)/(df+1)).
+    """
+    n_docs = df.count()
+    toks = df.select(
+        F.explode(
+            F.array_distinct(F.transform(tokens(text_col), F.lower))
+        ).alias("term")
+    )
+    return (
+        toks.groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+        .withColumn(
+            "idf",
+            F.round(
+                F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1)).cast("double")),
+                4,
+            ),
+        )
+        .orderBy(F.col("df").desc(), "term")
+        .limit(top_n)
+    )

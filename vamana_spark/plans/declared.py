@@ -343,6 +343,16 @@ def q_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(e, _fixed_queries(e, 50), k=10, num_lists=8, nprobe=4)
 
 
+@declare("q_lsh_join")
+def q_lsh_join(spark, sf_dir):
+    """X3 LSH variant: random-hyperplane cosine radius self-join
+    (seeded numpy planes are engine-internal → rows-only; the exact
+    verification is on LSH candidates only)."""
+    return similarity.lsh_similarity_join(
+        _emb(spark, sf_dir), num_planes=16, bands=4, max_cosine_dist=0.5
+    ).orderBy("a_id", "b_id")
+
+
 @declare("q_minhash_pairs")
 def q_minhash_pairs(spark, sf_dir):
     """X2 MinHash-LSH near-dup pairs (xxhash64 signatures are
@@ -562,6 +572,26 @@ def q_unigram_logprob(spark, sf_dir):
 def q_token_histogram(spark, sf_dir):
     """Corpus token frequency."""
     return text.token_histogram(_docs(spark, sf_dir))
+
+
+@declare(
+    "q_tfidf_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT unnest(list_distinct({_TOKS_LOWER})) AS term FROM documents
+    ), nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+    SELECT term, CAST(count(*) AS BIGINT) AS df,
+           round(ln((nd.n_docs + 1) / (count(*) + 1)), 4) AS idf
+    FROM toks, nd
+    GROUP BY term, nd.n_docs
+    ORDER BY df DESC, term
+    LIMIT 100
+    """,
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    """Corpus df/idf table (tf-idf's corpus half): top-100 terms by
+    document frequency with smoothed idf = ln((N+1)/(df+1))."""
+    return text.tfidf_terms(_docs(spark, sf_dir))
 
 
 @declare(

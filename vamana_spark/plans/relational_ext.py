@@ -386,3 +386,277 @@ def q_asof_join(spark, sf_dir):
         right_payload=["signup_event"],
     )
     return out.select("event_id", "user_id", "asof_signup_event")
+
+
+# ------------------------------------------------------- TPC-H classics
+# (adapted to the driver schema: no partsupp/shipmode/phone columns)
+
+
+@declare(
+    "q_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                          * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 2)
+               AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1998-01-01'
+      AND l_shipdate > DATE '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3: top unshipped-revenue orders for one market segment.
+    Customer filter broadcast into the orders x lineitem join."""
+    t = relational.load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    c, o, li = t["customer"], t["orders"], t["lineitem"]
+    cb = F.broadcast(
+        c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,6)")
+    )
+    return (
+        o.where(F.col("o_orderdate") < "1998-01-01")
+        .join(cb, o["o_custkey"] == cb["c_custkey"])
+        .join(
+            li.where(F.col("l_shipdate") > "1998-01-01"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@declare(
+    "q_custdist",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q_custdist(spark, sf_dir):
+    """TPC-H Q13: distribution of customers by order count (zero-order
+    customers kept by the left join)."""
+    t = relational.load_tables(spark, sf_dir, "customer", "orders")
+    c, o = t["customer"], t["orders"]
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist")
+    )
+
+
+@declare(
+    "q_promo_revenue",
+    """
+    SELECT
+      round(CAST(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,6))
+                      * (1 - CAST(l_discount AS DECIMAL(18,6)))
+                 ELSE 0 END) AS DOUBLE), 2) AS promo_rev,
+      round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                     * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 2)
+          AS total_rev,
+      round(100.0
+            * round(CAST(sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,6))
+                            * (1 - CAST(l_discount AS DECIMAL(18,6)))
+                       ELSE 0 END) AS DOUBLE), 2)
+            / round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                             * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 2),
+            4) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-02-01'
+    """,
+)
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14: promo-part revenue share for one month. The ratio is
+    computed from the two ROUNDED decimal sums so both engines divide
+    bit-identical doubles."""
+    t = relational.load_tables(spark, sf_dir, "lineitem", "part")
+    li, p = t["lineitem"], t["part"]
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,6)")
+    )
+    j = (
+        li.where(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1997-02-01")
+        )
+        .join(F.broadcast(p.select("p_partkey", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+    )
+    agg = j.agg(
+        F.round(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).cast(
+                "double"
+            ),
+            2,
+        ).alias("promo_rev"),
+        F.round(F.sum(rev).cast("double"), 2).alias("total_rev"),
+    )
+    return agg.select(
+        "promo_rev",
+        "total_rev",
+        F.round(
+            F.lit(100.0) * F.col("promo_rev") / F.col("total_rev"), 4
+        ).alias("promo_pct"),
+    )
+
+
+@declare(
+    "q_large_orders",
+    """
+    SELECT c_custkey, o_orderkey, o_orderdate,
+           round(CAST(o_totalprice AS DOUBLE), 2) AS totalprice,
+           round(CAST(q.sum_qty AS DOUBLE), 2) AS sum_qty
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN (
+      SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 250
+    ) q ON q.l_orderkey = o_orderkey
+    """,
+)
+def q_large_orders(spark, sf_dir):
+    """TPC-H Q18: orders whose total quantity exceeds a threshold. The
+    HAVING filter runs inside the lineitem aggregation (partial-agg
+    friendly) before the joins."""
+    t = relational.load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    c, o, li = t["customer"], t["orders"], t["lineitem"]
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("sum_qty"))
+        .where(F.col("sum_qty") > 250)
+    )
+    return (
+        o.join(big, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice").cast("double"), 2).alias("totalprice"),
+            F.round(F.col("sum_qty").cast("double"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@declare(
+    "q_idle_rich_customers",
+    """
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2)
+               AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+            SELECT round(avg(CAST(c_acctbal AS DOUBLE)), 2)
+            FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= DATE '2000-01-01')
+    GROUP BY c_nationkey
+    """,
+)
+def q_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 analog: above-average-balance customers with no RECENT
+    orders (the driver data has no fully order-less customers), grouped
+    by nation. The scalar average is rounded to 2 decimals on both sides
+    so the comparison threshold is engine-identical."""
+    t = relational.load_tables(spark, sf_dir, "customer", "orders")
+    c, o = t["customer"], t["orders"]
+    thresh = (
+        c.where(F.col("c_acctbal") > 0.0)
+        .agg(F.round(F.avg(F.col("c_acctbal").cast("double")), 2).alias("t"))
+        .first()["t"]
+    )
+    return (
+        c.where(F.col("c_acctbal") > float(thresh))
+        .join(
+            o.where(F.col("o_orderdate") >= "2000-01-01"),
+            c["c_custkey"] == o["o_custkey"],
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("totacctbal"),
+        )
+    )
+
+
+@declare(
+    "q_nation_trade_volume",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                          * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 2)
+               AS revenue
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE year(o_orderdate) = 1998
+    GROUP BY n1.n_name, n2.n_name, year(o_orderdate)
+    """,
+)
+def q_nation_trade_volume(spark, sf_dir):
+    """TPC-H Q7 analog: supplier-nation x customer-nation revenue for one
+    year. Nation (and supplier) sides broadcast; the only wide shuffle is
+    the orders-lineitem join + final group."""
+    t = relational.load_tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation"
+    )
+    c, o, li, s, n = (
+        t["customer"], t["orders"], t["lineitem"], t["supplier"], t["nation"]
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,6)")
+    )
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(
+            o.where(F.year("o_orderdate") == 1998),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nk") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("c_nk") == F.col("c_nationkey"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+    )
