@@ -175,3 +175,40 @@ def test_ordinal_assignment_no_global_window(spark, sf_dir):
     # and the result is the dense 0..n-1 ranking by vec_id
     rows = out.orderBy("vec_id").select("ordinal").collect()
     assert [r["ordinal"] for r in rows] == list(range(len(rows)))
+
+
+def test_nation_trade_volume_broadcasts_dims(spark, sf_dir):
+    """Q7 analog: all four dimension sides (customer, supplier, nation x2)
+    must broadcast — the only wide shuffle is orders-lineitem + the agg."""
+    from vamana_spark.plans import relational_ext as RX
+
+    p = plan(RX.q_nation_trade_volume(spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 4, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_large_orders_having_inside_agg(spark, sf_dir):
+    """Q18: the quantity threshold must filter inside/after the lineitem
+    aggregation, before the joins — no join sees unfiltered lineitem agg
+    output."""
+    from vamana_spark.plans import relational_ext as RX
+
+    p = plan(RX.q_large_orders(spark, sf_dir))
+    assert "partial" in p.lower(), p  # map-side partial agg present
+
+
+def test_shipping_priority_broadcasts_segment_filter(spark, sf_dir):
+    """Q3: the filtered customer side broadcasts into the fact join."""
+    from vamana_spark.plans import relational_ext as RX
+
+    p = plan(RX.q_shipping_priority(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "TakeOrderedAndProject" in p, p  # LIMIT 10 by revenue
+
+
+def test_tfidf_uses_partial_agg_and_topn(spark, sf_dir):
+    from vamana_spark.plans import declared as DD
+
+    p = plan(DD.QUERIES["q_tfidf_top_terms"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+    assert "partial" in p.lower(), p
