@@ -499,14 +499,23 @@ def build_vamana_dense(
             over.append(j)
             merged_lists.append(merged)
     if over:
-        W = max(m.size for m in merged_lists)
+        # batch the per-node distance sort: pad the ragged merged lists
+        # into one matrix, mask pads to +inf, one argsort over the batch
+        nodes_arr = np.asarray(over, dtype=np.int64)
+        sizes = np.asarray([m.size for m in merged_lists], dtype=np.int64)
+        W = int(sizes.max())
         packed2 = np.full((len(over), W), -1, dtype=np.int64)
-        for t, (j, m) in enumerate(zip(over, merged_lists)):
-            dm = D[j, m]
-            o = np.argsort(dm, kind="stable")
-            packed2[t, : m.size] = m[o]
+        rows_idx = np.repeat(np.arange(len(over)), sizes)
+        cols_idx = np.arange(sizes.sum()) - np.repeat(
+            np.concatenate([[0], np.cumsum(sizes)[:-1]]), sizes
+        )
+        packed2[rows_idx, cols_idx] = np.concatenate(merged_lists)
+        dm = D[nodes_arr[:, None], np.clip(packed2, 0, n - 1)]
+        dm[packed2 < 0] = np.inf
+        o = np.argsort(dm, axis=1, kind="stable")
+        packed2 = np.take_along_axis(packed2, o, axis=1)
         pruned2 = robust_prune_batch(
-            D, packed2, float(alpha), R, nodes=np.asarray(over, dtype=np.int64)
+            D, packed2, float(alpha), R, nodes=nodes_arr
         )
         for t, j in enumerate(over):
             row = pruned2[t]
