@@ -395,44 +395,65 @@ def robust_prune_gather(
     """
     m, C = cand.shape
     n = P.shape[0]
-    valid = cand >= 0
-    counts0 = valid.sum(axis=1)
-    safe = np.clip(cand, 0, n - 1)
-    V = P[node_ids]                                        # (m, dim)
-    diff = P[safe] - V[:, None, :]                         # (m, C, dim)
-    d_p = np.einsum("ijk,ijk->ij", diff, diff).astype(np.float64)
-    d_p[~valid] = np.inf
-    # sort candidates ascending by distance to their node
-    order = np.argsort(d_p, axis=1, kind="stable")
-    cand = np.take_along_axis(cand, order, axis=1)
-    d_p = np.take_along_axis(d_p, order, axis=1)
-    safe = np.clip(cand, 0, n - 1)
-
     Rw = max(R, 1)
     out = np.full((m, Rw), -1, dtype=np.int64)
-    keep = counts0 <= R                                    # pass-through rows
-    if keep.any():
-        kr = np.flatnonzero(keep)
-        W = min(C, Rw)
-        col = np.arange(W)[None, :]
-        out[kr[:, None], col] = np.where(
-            col < counts0[kr][:, None], cand[kr, :W], -1
+    # Chunk rows so the gathered candidate-vector block V is built ONCE
+    # per chunk and every admission round is a small (b, C) einsum over
+    # it — the naive form materializes a fresh (m, C, dim) difference
+    # tensor per round, hundreds of MB of pure temp traffic.
+    CHUNK = max(1, 8_388_608 // (max(C, 1) * P.shape[1]))  # ~32 MB f32 V
+    for s in range(0, m, CHUNK):
+        e = min(s + CHUNK, m)
+        cc = cand[s:e]
+        b = e - s
+        valid = cc >= 0
+        counts0 = valid.sum(axis=1)
+        safe = np.clip(cc, 0, n - 1)
+        V = P[safe]                                        # (b, C, dim)
+        Vsq = np.einsum("ijk,ijk->ij", V, V).astype(np.float64)
+        pvec = P[node_ids[s:e]]                            # (b, dim)
+        psq = np.einsum("ij,ij->i", pvec, pvec).astype(np.float64)
+        d_p = psq[:, None] + Vsq - 2.0 * np.einsum(
+            "ik,ijk->ij", pvec, V, optimize=True
         )
-    alive = (cand >= 0) & ~keep[:, None]
-    counts = np.zeros(m, dtype=np.int64)
-    for _ in range(R):
-        active = np.flatnonzero(alive.any(axis=1) & (counts < R))
-        if active.size == 0:
-            break
-        first = alive[active].argmax(axis=1)
-        star = cand[active, first]
-        out[active, counts[active]] = star
-        counts[active] += 1
-        alive[active, first] = False
-        sdiff = P[safe[active]] - P[star][:, None, :]      # (a, C, dim)
-        d_star = np.einsum("ijk,ijk->ij", sdiff, sdiff).astype(np.float64)
-        kill = (alpha * d_star <= d_p[active]) & alive[active]
-        alive[active] &= ~kill
+        d_p[~valid] = np.inf
+        order = np.argsort(d_p, axis=1, kind="stable")
+        cc = np.take_along_axis(cc, order, axis=1)
+        d_p = np.take_along_axis(d_p, order, axis=1)
+        V = np.take_along_axis(V, order[:, :, None], axis=1)
+        Vsq = np.take_along_axis(Vsq, order, axis=1)
+
+        ob = np.full((b, Rw), -1, dtype=np.int64)
+        keep = counts0 <= R                                # pass-through rows
+        if keep.any():
+            kr = np.flatnonzero(keep)
+            W = min(C, Rw)
+            col = np.arange(W)[None, :]
+            ob[kr[:, None], col] = np.where(
+                col < counts0[kr][:, None], cc[kr, :W], -1
+            )
+        alive = (cc >= 0) & ~keep[:, None]
+        counts = np.zeros(b, dtype=np.int64)
+        br = np.arange(b)
+        for _ in range(R):
+            active = np.flatnonzero(alive.any(axis=1) & (counts < R))
+            if active.size == 0:
+                break
+            first = alive[active].argmax(axis=1)
+            star = cc[active, first]
+            ob[active, counts[active]] = star
+            counts[active] += 1
+            alive[active, first] = False
+            # d(star, c) from the in-chunk gather: no new (a, C, dim) temp
+            sv = V[active, first]                          # (a, dim)
+            d_star = (
+                Vsq[active, first][:, None]
+                + Vsq[active]
+                - 2.0 * np.einsum("ik,ijk->ij", sv, V[active], optimize=True)
+            )
+            kill = (alpha * d_star <= d_p[active]) & alive[active]
+            alive[active] &= ~kill
+        out[s:e] = ob
     return out
 
 
