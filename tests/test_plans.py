@@ -212,3 +212,45 @@ def test_tfidf_uses_partial_agg_and_topn(spark, sf_dir):
     p = plan(DD.QUERIES["q_tfidf_top_terms"](spark, sf_dir))
     assert "TakeOrderedAndProject" in p, p
     assert "partial" in p.lower(), p
+
+
+def test_forecast_revenue_pushes_filters_to_scan(spark, sf_dir):
+    """Q6: the date/discount/quantity predicates must reach the parquet
+    scan (PushedFilters) and the agg must have a map-side partial."""
+    from vamana_spark.plans import relational_ext as RX
+
+    p = plan(RX.q_forecast_revenue(spark, sf_dir))
+    assert "PushedFilters: [" in p, p
+    assert "l_shipdate" in p.split("PushedFilters", 1)[1][:400], p
+    assert "partial" in p.lower(), p
+
+
+def test_returned_items_broadcasts_dims_and_takes_topk(spark, sf_dir):
+    """Q10: customer + nation broadcast; LIMIT 20 is TakeOrderedAndProject,
+    not a global sort."""
+    from vamana_spark.plans import relational_ext as RX
+
+    p = plan(RX.q_returned_items(spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "TakeOrderedAndProject" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_top_supplier_max_is_broadcast_join(spark, sf_dir):
+    """Q15: the 1-row max joins by broadcast — no driver collect, no
+    cartesian product."""
+    from vamana_spark.plans import relational_ext as RX
+
+    p = plan(RX.q_top_supplier(spark, sf_dir))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_repetition_stats_groups_have_partials(spark, sf_dir):
+    """Gopher repetition: both groupBys (per-doc-gram, per-doc) carry
+    map-side partial aggregation."""
+    from vamana_spark.plans import declared as DD
+
+    p = plan(DD.QUERIES["q_repetition_stats"](spark, sf_dir))
+    assert "partial" in p.lower(), p
+    assert "CartesianProduct" not in p, p

@@ -209,6 +209,103 @@ def unigram_logprob_score(
     )
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style per-document repetition signals: duplicate-word
+    fraction and most-frequent-bigram share. High values flag the
+    degenerate boilerplate/spam documents corpus curation drops.
+
+    Returns (id, n_words, n_distinct, dup_word_frac, top_bigram_frac).
+
+    Scale shape: word counts are pure per-row projections (no shuffle);
+    the bigram mode needs a groupBy(doc, gram) count + per-doc max — two
+    shuffles keyed by doc_id, each with map-side partials, cardinality
+    bounded by corpus token count. All fractions are ratios of integers
+    in double, so the values are engine-exact (oracle-able bit-for-bit).
+    """
+    ws = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    base = df.select(
+        F.col(id_col),
+        F.size(ws).cast("long").alias("n_words"),
+        F.size(F.array_distinct(ws)).cast("long").alias("n_distinct"),
+        ws.alias("_ws"),
+    )
+    # adjacent-pair bigrams built array-side: zip words with their tail.
+    # zip_with pads the shorter side with null, so the zipped array's
+    # last element is the lone (w_n, null) pair — slice it off.
+    zipped = F.zip_with(
+        F.col("_ws"),
+        F.slice(F.col("_ws"), 2, F.greatest(F.size("_ws") - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bigrams = F.slice(zipped, 1, F.greatest(F.size("_ws") - 1, F.lit(0)))
+    bc = (
+        base.select(id_col, F.explode(bigrams).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.max("_c").alias("_maxc"),
+            F.sum("_c").alias("_totb"),
+        )
+    )
+    return (
+        base.drop("_ws")
+        .join(bc, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            "n_distinct",
+            F.round(
+                F.when(
+                    F.col("n_words") > 0,
+                    F.lit(1.0)
+                    - F.col("n_distinct") / F.col("n_words").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_word_frac"),
+            F.round(
+                F.coalesce(
+                    F.col("_maxc") / F.col("_totb").cast("double"), F.lit(0.0)
+                ),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+def token_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy (bits) of the word distribution —
+    the third Gopher repetition axis: near-zero entropy means one token
+    dominates. Returns (id, n_tokens, entropy).
+
+    Computed as log2(n) - sum(c*log2(c))/n so the floating-point shape
+    is identical in any engine (c and n are exact integers; the only
+    inexact steps are the log2 calls and one final division).
+    Scale shape: explode → groupBy(doc, token) with map-side combine →
+    per-doc agg; shuffle cardinality = corpus token count.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+        ).alias("token"),
+    )
+    per_tok = toks.groupBy(id_col, "token").agg(F.count("*").alias("_c"))
+    return per_tok.groupBy(id_col).agg(
+        F.sum("_c").cast("long").alias("n_tokens"),
+        F.round(
+            F.log2(F.sum("_c").cast("double"))
+            - F.sum(F.col("_c").cast("double") * F.log2(F.col("_c").cast("double")))
+            / F.sum("_c").cast("double"),
+            5,
+        ).alias("entropy"),
+    )
+
+
 def token_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus-level token frequency (explode → count). The shuffle key is
     the token itself; AQE handles the inevitable Zipf skew."""

@@ -562,6 +562,66 @@ def q_unigram_logprob(spark, sf_dir):
 
 
 @declare(
+    "q_repetition_stats",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+      FROM documents
+    ), b AS (
+      SELECT doc_id, ws[g] || ' ' || ws[g + 1] AS gram
+      FROM (SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws) - 1)) AS g
+            FROM t WHERE len(ws) > 1)
+    ), bc AS (
+      SELECT doc_id, gram, count(*) AS c FROM b GROUP BY doc_id, gram
+    ), bm AS (
+      SELECT doc_id, max(c) AS maxc, sum(c) AS totb FROM bc GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+           round(CASE WHEN len(ws) > 0
+                 THEN 1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
+                 ELSE 0.0 END, 6) AS dup_word_frac,
+           round(coalesce(CAST(maxc AS DOUBLE) / totb, 0.0), 6)
+               AS top_bigram_frac
+    FROM t LEFT JOIN bm USING (doc_id)
+    """,
+)
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals: duplicate-word fraction and
+    most-frequent-bigram share per document."""
+    return text.repetition_stats(_docs(spark, sf_dir))
+
+
+@declare(
+    "q_token_entropy",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, u.token
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+            FROM documents), UNNEST(t) AS u(token)
+    ), pc AS (
+      SELECT doc_id, token, count(*) AS c FROM toks GROUP BY doc_id, token
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           round(log2(CAST(sum(c) AS DOUBLE))
+                 - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+                   / CAST(sum(c) AS DOUBLE), 5) AS entropy
+    FROM pc
+    GROUP BY doc_id
+    """,
+)
+def q_token_entropy(spark, sf_dir):
+    """Per-document Shannon entropy of the word distribution (bits) —
+    the low-entropy tail is degenerate repeated-token spam."""
+    return text.token_entropy(_docs(spark, sf_dir))
+
+
+@declare(
     "q_token_histogram",
     f"""
     SELECT token, CAST(count(*) AS BIGINT) AS freq

@@ -660,3 +660,248 @@ def q_nation_trade_volume(spark, sf_dir):
         )
         .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
     )
+
+@declare(
+    "q_forecast_revenue",
+    """
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                           * CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE), 2)
+               AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: revenue change from dropping small-quantity discounts.
+    Pure scan-filter-agg: predicates push to the parquet scan, the agg is
+    a map-side partial + 1-row final — the cheapest possible 100-TB plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,6)")
+                    * F.col("l_discount").cast("decimal(18,6)")
+                ).cast("double"),
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+@declare(
+    "q_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                          * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 2)
+               AS revenue,
+           n_name,
+           round(CAST(c_acctbal AS DOUBLE), 2) AS acctbal
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name, c_acctbal
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_returned_items(spark, sf_dir):
+    """TPC-H Q10: customers who returned the most revenue in a quarter.
+    Nation broadcast; orders date filter cuts the fact join early; the
+    top-20 is TakeOrderedAndProject, never a global sort."""
+    t = relational.load_tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation"
+    )
+    c, o, li, n = t["customer"], t["orders"], t["lineitem"], t["nation"]
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,6)")
+    )
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            o.where(
+                (F.col("o_orderdate") >= "1997-01-01")
+                & (F.col("o_orderdate") < "1997-04-01")
+            ).select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(
+                c.select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            "n_name",
+            F.round(F.col("c_acctbal").cast("double"), 2).alias("acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@declare(
+    "q_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                            * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 2)
+                 AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def q_top_supplier(spark, sf_dir):
+    """TPC-H Q15: supplier(s) with the max quarterly revenue. The max is
+    a broadcast 1-row join against the per-supplier rollup (computed
+    once, reused for both sides), never a driver collect."""
+    t = relational.load_tables(spark, sf_dir, "lineitem", "supplier")
+    li, s = t["lineitem"], t["supplier"]
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,6)")
+    )
+    per_supp = (
+        li.where(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1997-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("total_revenue"))
+    )
+    mx = per_supp.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        per_supp.join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@declare(
+    "q_small_qty_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey AS pk, 0.2 * avg(CAST(l_quantity AS DOUBLE)) AS qty_thresh
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                 / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pa ON pk = l_partkey
+    WHERE p_type = 'MEDIUM' AND l_quantity < qty_thresh
+    """,
+)
+def q_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 analog: revenue lost if sub-20%-of-average-quantity
+    orders for one part type were dropped. The correlated subquery is
+    decorrelated into a per-part avg rollup joined back on partkey —
+    quantities are integers so the 0.2*avg threshold is engine-exact."""
+    t = relational.load_tables(spark, sf_dir, "lineitem", "part")
+    li, p = t["lineitem"], t["part"]
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.2) * F.avg(F.col("l_quantity").cast("double"))).alias(
+            "qty_thresh"
+        )
+    )
+    return (
+        li.join(
+            F.broadcast(
+                p.where(F.col("p_type") == "MEDIUM").select("p_partkey")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(pa, F.col("pk") == F.col("l_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@declare(
+    "q_discounted_revenue",
+    """
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                           * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 2)
+               AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 15)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+           AND l_quantity BETWEEN 10 AND 25)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 20 AND 35)
+    """,
+)
+def q_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19 analog: revenue from three disjunctive brand/size/
+    quantity baskets. Part side broadcast with the brand filter pushed
+    below the join; the OR-of-ANDs evaluates post-join in one codegen
+    stage (no union-of-three-scans blowup)."""
+    t = relational.load_tables(spark, sf_dir, "lineitem", "part")
+    li, p = t["lineitem"], t["part"]
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,6)")
+    )
+    pf = p.where(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+    ).select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & sz.between(1, 15)
+        & q.between(1, 15)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & sz.between(1, 20)
+        & q.between(10, 25)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & sz.between(1, 25)
+        & q.between(20, 35)
+    )
+    return (
+        li.join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+    )
