@@ -594,3 +594,42 @@ def test_lsh_cap_preserves_small_bucket_semantics(documents):
     a = {(r.a_id, r.b_id) for r in lo.collect()}
     b = {(r.a_id, r.b_id) for r in hi.collect()}
     assert a == b
+
+
+def test_chunk_tokens_reassembles_and_strides(documents):
+    # non-overlapping chunks concatenate back to the original token stream
+    out = text.chunk_tokens(documents, max_len=16).orderBy("doc_id", "chunk_id")
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    orig = {
+        r.doc_id: [t for t in r.text.split() if t]
+        for r in documents.select("doc_id", "text").collect()
+    }
+    for doc_id, chunks in by_doc.items():
+        toks = " ".join(c.chunk_text for c in chunks if c.chunk_text).split()
+        assert toks == orig[doc_id], doc_id
+        assert all(c.n_chunk_tokens <= 16 for c in chunks)
+        # chunk_id is dense from 0, starts advance by the stride
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+    # overlapping windows: stride 8 doubles coverage of interior tokens
+    ov = text.chunk_tokens(documents, max_len=16, stride=8)
+    n_cover = ov.agg(F.sum("n_chunk_tokens")).first()[0]
+    n_orig = sum(len(v) for v in orig.values())
+    assert n_cover > n_orig  # strict overlap happened somewhere
+
+
+def test_random_vectors_deterministic_and_partition_invariant(spark):
+    from vamana_spark.sources.random_vectors import random_vectors
+
+    a = random_vectors(spark, 50, 8, seed=3, num_partitions=1).collect()
+    b = random_vectors(spark, 50, 8, seed=3, num_partitions=7).collect()
+    av = {r.vec_id: r.embedding for r in a}
+    bv = {r.vec_id: r.embedding for r in b}
+    assert av == bv  # layout-independent
+    flat = [x for v in av.values() for x in v]
+    assert all(-1.0 <= x < 1.0 for x in flat)
+    assert len(set(flat)) > len(flat) * 0.99  # no degenerate collisions
+    c = {r.vec_id: r.embedding for r in random_vectors(spark, 50, 8, seed=4).collect()}
+    assert c != av  # seed changes the stream

@@ -306,6 +306,47 @@ def token_entropy(
     )
 
 
+def chunk_tokens(
+    df: DataFrame,
+    max_len: int = 64,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into fixed-size token chunks — the packing
+    step that turns raw documents into training examples with a max
+    sequence length. ``stride < max_len`` yields overlapping windows.
+
+    Returns (id, chunk_id, start_tok, n_chunk_tokens, chunk_text); a
+    document shorter than ``max_len`` yields one chunk. Deterministic
+    and purely positional: chunk_id = (start-1)/stride needs no window
+    function or ordinal shuffle — the whole operator is a per-row
+    projection + explode, so it scales as a map-only stage at any
+    corpus size.
+    """
+    if max_len < 1:
+        raise ValueError(f"max_len must be >= 1, got {max_len}")
+    stride = int(stride or max_len)
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    base = df.select(F.col(id_col), ws.alias("_ws"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("_ws"), F.lit(1)), F.lit(stride)
+    )
+    piece = F.slice(F.col("_ws"), F.col("start_tok").cast("int"), max_len)
+    return (
+        base.select(id_col, "_ws", F.explode(starts).alias("start_tok"))
+        .select(
+            F.col(id_col),
+            ((F.col("start_tok") - 1) / stride).cast("long").alias("chunk_id"),
+            F.col("start_tok").cast("long").alias("start_tok"),
+            F.size(piece).cast("long").alias("n_chunk_tokens"),
+            F.array_join(piece, " ").alias("chunk_text"),
+        )
+    )
+
+
 def token_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus-level token frequency (explode → count). The shuffle key is
     the token itself; AQE handles the inevitable Zipf skew."""

@@ -622,6 +622,66 @@ def q_token_entropy(spark, sf_dir):
 
 
 @declare(
+    "q_token_chunks",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+      FROM documents
+    ), s AS (
+      SELECT doc_id, ws,
+             unnest(generate_series(1, greatest(len(ws), 1), 8)) AS start_tok
+      FROM t
+    )
+    SELECT doc_id,
+           CAST((start_tok - 1) // 8 AS BIGINT) AS chunk_id,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(len(list_slice(ws, start_tok, least(start_tok + 15, len(ws))))
+                AS BIGINT) AS n_chunk_tokens,
+           array_to_string(
+               list_slice(ws, start_tok, least(start_tok + 15, len(ws))), ' ')
+               AS chunk_text
+    FROM s
+    """,
+)
+def q_token_chunks(spark, sf_dir):
+    """Fixed-length training-example packing: 16-token chunks on an
+    8-token stride (overlapping windows) over every document."""
+    return text.chunk_tokens(_docs(spark, sf_dir), max_len=16, stride=8)
+
+
+@declare(
+    "q_random_vectors",
+    """
+    WITH ids AS (SELECT range AS vec_id FROM range(200)),
+    comps AS (
+      SELECT vec_id, u.i,
+             CAST(CAST(
+               ((('0x' || substring(md5(concat_ws(':', 7, vec_id, u.i)), 1, 8))
+                   ::BIGINT + 0.5) / 4294967296.0 * 2.0 - 1.0)
+             AS REAL) AS DOUBLE) AS comp
+      FROM ids, (SELECT unnest(generate_series(0, 15)) AS i) AS u
+    )
+    SELECT vec_id, CAST(i AS BIGINT) AS i, comp FROM comps
+    """,
+)
+def q_random_vectors(spark, sf_dir):
+    """Reference R20 parity: the seeded uniform random-vector generator
+    (vamana.h:46-63) as a lazily-generated source; components exploded
+    to scalars so the gate hashes exact values."""
+    from vamana_spark.sources.random_vectors import random_vectors
+
+    vecs = random_vectors(spark, 200, 16, seed=7)
+    return vecs.select(
+        "vec_id", F.posexplode("embedding").alias("i", "comp")
+    ).select(
+        "vec_id",
+        F.col("i").cast("long").alias("i"),
+        F.col("comp").cast("double").alias("comp"),
+    )
+
+
+@declare(
     "q_token_histogram",
     f"""
     SELECT token, CAST(count(*) AS BIGINT) AS freq
