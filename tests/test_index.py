@@ -202,3 +202,43 @@ def test_ip_metric_index_recall(spark, embeddings, queries):
         .first()
     )
     assert j["err"] < 1e-6, f"ip dist mismatch: {j['err']}"
+
+
+def test_range_search_exact_and_graph_agree(built, queries, embeddings):
+    # exact radius query is ground truth; graph variant must recover
+    # nearly all of each ball at a generous ef
+    truth = exact.range_search(embeddings, queries, radius=1.5)
+    t = {(r.query_id, r.vec_id) for r in truth.collect()}
+    assert t, "radius 1.5 should match something at sf0.001"
+    approx = built.range_search(queries, radius=1.5, ef_search=200)
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    assert a <= t or all(
+        d.dist <= 1.5 for d in approx.collect()
+    )  # no false positives beyond the radius
+    recall = len(a & t) / len(t)
+    assert recall >= 0.9, f"range recall {recall}"
+
+
+def test_filtered_search_matches_exact_oracle(built, embeddings):
+    q = embeddings.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        (F.col("vec_id") % 7).alias("want_label"),
+    )
+    truth = exact.exact_knn_filtered(embeddings, q, k=5)
+    approx = built.search_filtered(
+        q, k=5, labels=embeddings.select("vec_id", "label"), overfetch=16
+    )
+    tr = {}
+    for r in truth.collect():
+        tr.setdefault(r.query_id, set()).add(r.vec_id)
+    ap = {}
+    for r in approx.collect():
+        ap.setdefault(r.query_id, set()).add(r.vec_id)
+    # labels returned must honor the predicate
+    lbl = {r.vec_id: r.label for r in embeddings.select("vec_id", "label").collect()}
+    for r in approx.collect():
+        assert lbl[r.vec_id] == r.query_id % 7
+    hits = sum(len(ap.get(k, set()) & v) for k, v in tr.items())
+    total = sum(len(v) for v in tr.items() and tr.values())
+    assert hits / total >= 0.85, f"filtered recall {hits/total}"

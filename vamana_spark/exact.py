@@ -156,6 +156,127 @@ def exact_knn_batch(
     return out.select("query_id", "vec_id", "dist", "rank")
 
 
+def range_search(
+    points: DataFrame,
+    queries: DataFrame,
+    radius: float,
+    metric: str = "l2sq",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    round_digits: Optional[int] = None,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """All points within ``radius`` of each query (exact).
+
+    Returns ``(query_id, vec_id, dist)`` unranked. Better scale shape
+    than top-k: broadcast queries + map-side threshold filter means ZERO
+    shuffles — each points-partition emits only its in-radius rows, and
+    there is no window merge at all.
+    """
+    spark = points.sparkSession
+    qrows = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+    ).toPandas()
+    qids = np.asarray(qrows["query_id"], dtype=np.int64)
+    Q = np.stack(qrows["qv"].to_numpy()).astype(np.float64)
+    bq = spark.sparkContext.broadcast((qids, Q))
+    r = float(radius)
+
+    def local_range(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_l, Q_l = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            P = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            pids = pdf[id_col].to_numpy(dtype=np.int64)
+            D = _dist_matrix(Q_l, P, metric)
+            if exclude_self:
+                D[qids_l[:, None] == pids[None, :]] = np.inf
+            qi, pi = np.nonzero(D <= r)
+            yield pd.DataFrame(
+                {
+                    "query_id": qids_l[qi],
+                    "vec_id": pids[pi],
+                    "dist": D[qi, pi],
+                }
+            )
+
+    out = points.select(id_col, vec_col).mapInPandas(
+        local_range, schema="query_id long, vec_id long, dist double"
+    )
+    if round_digits is not None:
+        out = out.withColumn("dist", canonical_zero(F.round("dist", round_digits)))
+    return out
+
+
+def exact_knn_filtered(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    metric: str = "l2sq",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    want_col: str = "want_label",
+    round_digits: Optional[int] = None,
+) -> DataFrame:
+    """Exact top-k restricted to base rows whose ``label_col`` equals the
+    query's ``want_col`` — the predicate+vector ("filtered ANN") oracle.
+
+    Same two-stage partial-top-k shape as :func:`exact_knn_batch`; the
+    label constraint is applied inside the distance kernel (mask to inf),
+    so the scan still reads each partition once for ALL queries and no
+    per-label scan multiplication happens.
+    """
+    spark = points.sparkSession
+    qrows = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("qv"),
+        F.col(want_col).alias("want"),
+    ).toPandas()
+    qids = np.asarray(qrows["query_id"], dtype=np.int64)
+    Q = np.stack(qrows["qv"].to_numpy()).astype(np.float64)
+    want = np.asarray(qrows["want"], dtype=np.int64)
+    bq = spark.sparkContext.broadcast((qids, Q, want))
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_l, Q_l, want_l = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            P = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            pids = pdf[id_col].to_numpy(dtype=np.int64)
+            lbl = pdf[label_col].to_numpy(dtype=np.int64)
+            D = _dist_matrix(Q_l, P, metric)
+            D[want_l[:, None] != lbl[None, :]] = np.inf
+            kk = min(k, P.shape[0])
+            idx = np.argpartition(D, kk - 1, axis=1)[:, :kk]
+            dv = np.take_along_axis(D, idx, axis=1).ravel()
+            keep = np.isfinite(dv)  # drop masked-out partials
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids_l, kk)[keep],
+                    "vec_id": pids[idx].ravel()[keep],
+                    "dist": dv[keep],
+                }
+            )
+
+    partial = points.select(id_col, vec_col, label_col).mapInPandas(
+        local_topk, schema="query_id long, vec_id long, dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    out = partial.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    if round_digits is not None:
+        out = out.withColumn("dist", canonical_zero(F.round("dist", round_digits)))
+    return out.select("query_id", "vec_id", "dist", "rank")
+
+
 def nearest_point(
     points: DataFrame,
     queries: DataFrame,

@@ -35,7 +35,7 @@ from typing import Iterator, Optional, Tuple
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vamana_spark import exact
@@ -468,6 +468,85 @@ class VamanaIndex:
         ).select("query_id", "start_ordinal")
         return self.search(
             queries, k, ef_search, query_id_col=query_id_col, starts=with_ord
+        )
+
+    def range_search(
+        self,
+        queries: DataFrame,
+        radius: float,
+        ef_search: Optional[int] = None,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+    ) -> DataFrame:
+        """Approximate radius query: beam-search each query, keep visited
+        points with dist <= radius. Returns (query_id, vec_id, dist).
+
+        The beam explores ``ef_search`` candidates, so recall degrades
+        when a radius ball holds far more than ``ef_search`` points —
+        size ef_search ≳ expected ball cardinality, or use
+        ``exact.range_search`` (zero-shuffle scan) when the ball is a
+        large fraction of the dataset anyway.
+        """
+        ef = int(ef_search or self.params.ef_search)
+        out = self.search(
+            queries,
+            k=ef,
+            ef_search=ef,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+        )
+        return out.where(F.col("dist") <= float(radius)).select(
+            "query_id", "vec_id", "dist"
+        )
+
+    def search_filtered(
+        self,
+        queries: DataFrame,
+        k: int,
+        labels: DataFrame,
+        ef_search: Optional[int] = None,
+        overfetch: int = 8,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+        label_col: str = "label",
+        want_col: str = "want_label",
+    ) -> DataFrame:
+        """Filtered ANN (predicate + vector): top-k among base points
+        whose ``label_col`` matches the query's ``want_col``.
+
+        Post-filter with over-retrieval: the beam retrieves
+        ``k * overfetch`` candidates (ef widened to match), then each
+        query keeps its k nearest label-matching hits — expressed as a
+        declarative join+window so Catalyst owns the physical strategy
+        (labels broadcast here; at dataset-sized labels it degrades to a
+        plain shuffle equi-join on vec_id, never a cross product).
+        Sound for moderately selective predicates (selectivity ≳
+        1/overfetch of the beam); for needle-in-haystack labels use
+        :func:`exact.exact_knn_filtered`, whose scan cost is unchanged
+        by selectivity.
+        """
+        ef = max(int(ef_search or self.params.ef_search), k * int(overfetch))
+        hits = self.search(
+            queries.select(query_id_col, query_vec_col),
+            k=ef,
+            ef_search=ef,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+        )
+        wants = queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(want_col).alias("_want")
+        )
+        lab = labels.select("vec_id", F.col(label_col).alias("_lbl"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("dist").asc(), F.col("vec_id").asc()
+        )
+        return (
+            hits.join(F.broadcast(wants), "query_id")
+            .join(F.broadcast(lab), "vec_id")
+            .where(F.col("_lbl") == F.col("_want"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "vec_id", "dist", "rank")
         )
 
     # ------------------------------------------------------------ point/meta

@@ -298,6 +298,80 @@ def q_ann_search(spark, sf_dir):
     return idx.search(q, k=10).select("query_id", "vec_id", "dist", "rank")
 
 
+@declare(
+    "q_range_search",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 25 = 0),
+    d AS (
+      SELECT q.query_id, p.vec_id,
+             {_sq_l2_sql('q.embedding', 'p.embedding')} AS dist
+      FROM q, embeddings p
+    )
+    SELECT query_id, vec_id, round(dist, 4) AS dist
+    FROM d WHERE dist <= 1.5
+    """,
+)
+def q_range_search(spark, sf_dir):
+    """Exact radius query: every point within l2sq 1.5 of each fixed
+    query — broadcast queries + map-side threshold filter, zero
+    shuffles."""
+    e = _emb(spark, sf_dir)
+    return exact.range_search(
+        e, _fixed_queries(e, 25), radius=1.5, round_digits=4
+    )
+
+
+@declare(
+    "q_filtered_knn",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding, vec_id % 10 AS want
+      FROM embeddings WHERE vec_id % 25 = 0
+    ),
+    d AS (
+      SELECT q.query_id, p.vec_id,
+             {_sq_l2_sql('q.embedding', 'p.embedding')} AS dist
+      FROM q JOIN embeddings p ON p.label = q.want
+    ),
+    r AS (
+      SELECT query_id, vec_id, dist,
+             row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+      FROM d
+    )
+    SELECT query_id, vec_id, round(dist, 4) AS dist, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 10
+    """,
+)
+def q_filtered_knn(spark, sf_dir):
+    """Filtered ANN oracle: exact top-10 restricted to base rows whose
+    label equals the query's wanted label (predicate + vector search).
+    Label mask applied inside the partial-top-k distance kernel."""
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        (F.col("vec_id") % 10).alias("want_label"),
+    )
+    return exact.exact_knn_filtered(e, q, k=10, round_digits=4)
+
+
+@declare("q_ann_filtered")
+def q_ann_filtered(spark, sf_dir):
+    """Graph-side filtered ANN: over-retrieve on the beam, post-filter
+    by label via a broadcast join (rows-only; recall vs the exact
+    filtered oracle asserted in tests)."""
+    idx = _built_index(spark, sf_dir)
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        (F.col("vec_id") % 10).alias("want_label"),
+    )
+    return idx.search_filtered(
+        q, k=10, labels=e.select("vec_id", "label")
+    ).select("query_id", "vec_id", F.round("dist", 4).alias("dist"), "rank")
+
+
 @declare("q_recall_at_k")
 def q_recall_at_k(spark, sf_dir):
     """R15: per-query recall@10 of ANN vs exact (avg asserted ≥ 0.8 in
