@@ -242,3 +242,25 @@ def test_filtered_search_matches_exact_oracle(built, embeddings):
     hits = sum(len(ap.get(k, set()) & v) for k, v in tr.items())
     total = sum(len(v) for v in tr.items() and tr.values())
     assert hits / total >= 0.85, f"filtered recall {hits/total}"
+
+
+def test_delete_points_consolidates(spark, embeddings, queries):
+    p = VamanaParams(dim=64, alpha=1.2, R=24, L=48, ef_search=80, seed=11)
+    idx = VamanaIndex.build(spark, embeddings, p)
+    doomed = embeddings.where(F.col("vec_id") % 10 == 3).select("vec_id")
+    doomed_ids = {r.vec_id for r in doomed.collect()}
+    assert doomed_ids
+    idx2 = idx.delete_points(doomed)
+    # size bookkeeping
+    assert idx2.data_size == idx.data_size - len(doomed_ids)
+    # deleted ids are gone from search results entirely
+    res = idx2.search(queries, k=10).collect()
+    assert not ({r.vec_id for r in res} & doomed_ids)
+    # graph stays healthy: dense ordinals, degree bound, live medoid
+    hc = idx2.health_check()
+    assert hc["max_degree"] <= p.R
+    # recall against exact kNN over the survivors
+    remaining = embeddings.join(doomed, "vec_id", "left_anti")
+    truth = exact.exact_knn(remaining, queries, k=10)
+    r = quality.avg_recall(idx2.search(queries, k=10), truth, k=10)
+    assert r >= 0.8, f"post-delete recall {r}"

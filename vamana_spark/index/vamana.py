@@ -549,6 +549,157 @@ class VamanaIndex:
             .select("query_id", "vec_id", "dist", "rank")
         )
 
+    # ------------------------------------------------------------ maintenance
+
+    def delete_points(self, ids: DataFrame, id_col: str = "vec_id") -> "VamanaIndex":
+        """Delete points and repair the graph (FreshDiskANN-style
+        consolidate; complements ``partitioned.add_points`` for full
+        incremental maintenance). Returns a NEW index.
+
+        For every surviving node u that pointed at a deleted node d, the
+        candidate set becomes (N(u) \\ D) ∪ (∪_{d∈N(u)∩D} N(d) \\ D) —
+        deleted nodes are bridged through, then RobustPrune re-caps the
+        degree. Distributed shape: two equi-joins on the edge list (one
+        to find edges into D, one to pull D's out-edges) + one
+        groupBy(src) re-prune over Arrow batches; nodes with no deleted
+        neighbor keep their adjacency untouched and never enter the
+        shuffle.
+        """
+        delo = (
+            self.points_df.join(
+                ids.select(F.col(id_col).alias("vec_id")).distinct(), "vec_id"
+            )
+            .select(F.col("ordinal").alias("_del"))
+        )
+        # edge list once; deleted endpoints tagged by broadcast joins
+        edges = self.graph_df.select(
+            "ordinal", F.explode("neighbors").alias("dst")
+        ).withColumnRenamed("ordinal", "src")
+        bdel = F.broadcast(delo)
+        live_src = edges.join(
+            bdel, edges["src"] == F.col("_del"), "left_anti"
+        )
+        # surviving edges vs edges into the deleted set
+        into_del = live_src.join(bdel, F.col("dst") == F.col("_del")).select(
+            "src", F.col("dst").alias("_mid")
+        )
+        kept = live_src.join(
+            bdel, F.col("dst") == F.col("_del"), "left_anti"
+        )
+        # bridge: u -> d -> w  becomes candidate u -> w (w not deleted)
+        out_of_del = edges.join(
+            bdel, edges["src"] == F.col("_del")
+        ).select(F.col("src").alias("_mid"), F.col("dst").alias("bdst"))
+        bridge = (
+            into_del.join(out_of_del, "_mid")
+            .select("src", F.col("bdst").alias("dst"))
+            .join(bdel, F.col("dst") == F.col("_del"), "left_anti")
+            .where(F.col("src") != F.col("dst"))
+        )
+        # only nodes that actually lost an edge get re-pruned
+        affected = into_del.select("src").distinct()
+        cand = (
+            kept.join(F.broadcast(affected), "src")
+            .unionByName(bridge)
+            .groupBy("src")
+            .agg(F.collect_set("dst").alias("dsts"))
+        )
+
+        P, _, _, _ = self._load_local()
+        bP = self.spark.sparkContext.broadcast(P)
+        R = self.params.R
+        alpha_f = float(self.params.alpha)
+
+        def reprune(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            Pv = bP.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                srcs = pdf["src"].to_numpy(dtype=np.int64)
+                lists = pdf["dsts"].to_list()
+                W = max(len(x) for x in lists)
+                cm = np.full((len(lists), W), -1, dtype=np.int64)
+                for i, x in enumerate(lists):
+                    cm[i, : len(x)] = x
+                pruned = kernels.robust_prune_gather(Pv, srcs, cm, alpha_f, R)
+                yield pd.DataFrame(
+                    {
+                        "ordinal": srcs,
+                        "neighbors": [row[row >= 0] for row in pruned],
+                    }
+                )
+
+        repaired = cand.mapInPandas(
+            reprune, schema="ordinal long, neighbors array<long>"
+        )
+        untouched = (
+            self.graph_df.join(bdel, F.col("ordinal") == F.col("_del"), "left_anti")
+            .join(
+                F.broadcast(affected.select(F.col("src").alias("ordinal"))),
+                "ordinal",
+                "left_anti",
+            )
+            # drop any stale edge into D from nodes that were "untouched"
+            # only because every lost edge was into D (can't happen — an
+            # edge into D makes the node affected — but keep the invariant
+            # cheap and explicit)
+        )
+        new_graph_old = untouched.unionByName(repaired)
+
+        # compact the ordinal space: search's CSR requires dense 0..n'-1
+        # ordinals. Survivors re-ordinalize by ascending vec_id (the same
+        # rule build used, so relative order is preserved); the old->new
+        # map broadcasts as one int array and the adjacency remaps in the
+        # same Arrow pass that already touches every row.
+        survivors = self.points_df.join(
+            bdel, F.col("ordinal") == F.col("_del"), "left_anti"
+        )
+        new_points = assign_ordinals(
+            survivors.select("vec_id", "embedding"), "vec_id", "ordinal"
+        ).localCheckpoint(eager=True)
+        n_new = new_points.count()
+        if n_new == 0:
+            raise ValueError("delete_points: all points deleted")
+        remap_pdf = (
+            survivors.select("vec_id", F.col("ordinal").alias("_old"))
+            .join(new_points.select("vec_id", F.col("ordinal").alias("_new")), "vec_id")
+            .toPandas()
+        )
+        n_old = int(self.params.n or (remap_pdf["_old"].max() + 1))
+        remap = np.full(n_old, -1, dtype=np.int64)
+        remap[remap_pdf["_old"].to_numpy(dtype=np.int64)] = remap_pdf[
+            "_new"
+        ].to_numpy(dtype=np.int64)
+        brm = self.spark.sparkContext.broadcast(remap)
+
+        def renumber(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            m = brm.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                ords = m[pdf["ordinal"].to_numpy(dtype=np.int64)]
+                nbrs = []
+                for g in pdf["neighbors"]:
+                    gg = m[np.asarray(g, dtype=np.int64)]
+                    nbrs.append(gg[gg >= 0])
+                yield pd.DataFrame({"ordinal": ords, "neighbors": nbrs})
+
+        new_graph = new_graph_old.mapInPandas(
+            renumber, schema="ordinal long, neighbors array<long>"
+        ).localCheckpoint(eager=True)
+
+        new_params = VamanaParams(**json.loads(self.params.to_json()))
+        new_params.n = n_new
+        old_medoid = int(self.params.medoid or 0)
+        if old_medoid < n_old and remap[old_medoid] >= 0:
+            new_params.medoid = int(remap[old_medoid])
+        else:
+            med_vid = exact.medoid_approx(new_points.select("vec_id", "embedding"))
+            new_params.medoid = int(
+                new_points.where(F.col("vec_id") == med_vid).first()["ordinal"]
+            )
+        return VamanaIndex(self.spark, new_params, new_points, new_graph)
+
     # ------------------------------------------------------------ point/meta
 
     def get_point(self, vec_id: int) -> DataFrame:

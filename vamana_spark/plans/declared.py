@@ -1650,6 +1650,34 @@ def q_index_append(spark, sf_dir):
     return quality.recall_at_k(pidx.search(q, k=10), exact.exact_knn(e, q, k=10), k=10)
 
 
+@declare("q_index_delete")
+def q_index_delete(spark, sf_dir):
+    """Incremental maintenance, delete side (FreshDiskANN consolidate):
+    build on the full set, delete_points() 10%, then report per-query
+    recall@10 against exact kNN over the survivors — the repaired graph
+    must still navigate (rows-only; recall + no-deleted-results + degree
+    bound additionally asserted in tests/test_index.py)."""
+    from vamana_spark import quality
+
+    key = (spark.sparkContext.applicationId, sf_dir, "delete")
+    if key not in _INDEX_CACHE:
+        from vamana_spark.index import VamanaIndex
+
+        e = _emb(spark, sf_dir)
+        params = VamanaParams(dim=64, alpha=1.2, R=32, L=64, ef_search=100, seed=42)
+        idx = VamanaIndex.build(spark, e, params)
+        _INDEX_CACHE[key] = idx.delete_points(
+            e.where(F.col("vec_id") % 10 == 3).select("vec_id")
+        )
+    idx2 = _INDEX_CACHE[key]
+    e = _emb(spark, sf_dir)
+    q = _fixed_queries(e, 25)
+    remaining = e.where(~(F.col("vec_id") % 10 == 3))
+    return quality.recall_at_k(
+        idx2.search(q, k=10), exact.exact_knn(remaining, q, k=10), k=10
+    )
+
+
 @declare(
     "q_knn_join_topk",
     f"""
