@@ -112,3 +112,41 @@ def test_recall_after_append(spark, embeddings, queries):
     truth = exact.exact_knn(embeddings, queries, k=10)
     r = quality.avg_recall(grown.search(queries, k=10), truth, k=10)
     assert r >= 0.8, f"recall after append = {r}"
+
+
+def test_delete_points_rebuilds_only_touched_shards(spark, embeddings, queries):
+    from vamana_spark.index.partitioned import (
+        PartitionedVamanaIndex,
+        delete_points,
+    )
+
+    params = VamanaParams(dim=64, alpha=1.2, R=24, L=48, ef_search=80, seed=5)
+    idx = PartitionedVamanaIndex.build(spark, embeddings, params, num_shards=4)
+    doomed = embeddings.where(F.col("vec_id") % 7 == 2).select("vec_id")
+    doomed_ids = {r.vec_id for r in doomed.collect()}
+    idx2 = delete_points(idx, doomed)
+    assert idx2.params.n == idx.params.n - len(doomed_ids)
+    # deleted ids gone from the layout and from search results
+    assert idx2.shards_df.where(F.col("vec_id").isin(doomed_ids)).count() == 0
+    res = idx2.search(queries, k=10).collect()
+    assert not ({r.vec_id for r in res} & doomed_ids)
+    # untouched shards byte-identical: every surviving (shard, vec_id)
+    # from an untouched shard keeps its neighbor list
+    touched = {
+        r.shard
+        for r in idx.shards_df.join(doomed, "vec_id").select("shard").distinct().collect()
+    }
+    before = {
+        (r.shard, r.vec_id): list(r.neighbors)
+        for r in idx.shards_df.where(~F.col("shard").isin(touched)).collect()
+    }
+    after = {
+        (r.shard, r.vec_id): list(r.neighbors)
+        for r in idx2.shards_df.where(~F.col("shard").isin(touched)).collect()
+    }
+    assert before == after
+    # recall over survivors
+    remaining = embeddings.join(doomed, "vec_id", "left_anti")
+    truth = exact.exact_knn_batch(remaining, queries, k=10)
+    r = quality.avg_recall(idx2.search(queries, k=10), truth, k=10)
+    assert r >= 0.8, f"post-delete partitioned recall {r}"

@@ -134,3 +134,40 @@ def test_ivfpq_build_deterministic(emb):
     _, m2 = qz.ivfpq_build(emb, dim, num_lists=8, m=8, ksub=32, seed=7)
     assert np.allclose(m1.centers, m2.centers)
     assert np.allclose(m1.codebook.centroids, m2.codebook.centroids)
+
+
+def test_pq_save_load_roundtrip(tmp_path, spark, embeddings):
+    from vamana_spark.operators import quantization as qz
+
+    queries = embeddings.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cb = qz.pq_train(embeddings, dim=64, m=8, ksub=16, sample=400, seed=9)
+    codes = qz.pq_encode(embeddings, cb)
+    path = str(tmp_path / "pq")
+    qz.save_pq(path, cb, codes)
+    cb2, codes2 = qz.load_pq(spark, path)
+    assert (cb2.centroids == cb.centroids).all()
+    a = qz.pq_search(codes, cb, queries, k=5).collect()
+    b = qz.pq_search(codes2, cb2, queries, k=5).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_ivfpq_save_load_roundtrip(tmp_path, spark, embeddings):
+    from vamana_spark.operators import quantization as qz
+
+    queries = embeddings.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    codes, model = qz.ivfpq_build(embeddings, dim=64, num_lists=8, m=8, ksub=16,
+                                  sample=400, seed=9)
+    path = str(tmp_path / "ivfpq")
+    qz.save_ivfpq(path, model, codes)
+    model2, codes2 = qz.load_ivfpq(spark, path)
+    assert (model2.centers == model.centers).all()
+    assert (model2.codebook.centroids == model.codebook.centroids).all()
+    a = qz.ivfpq_search(codes, model, queries, k=5, nprobe=4).collect()
+    b = qz.ivfpq_search(codes2, model2, queries, k=5, nprobe=4).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(a, key=key) == sorted(b, key=key)

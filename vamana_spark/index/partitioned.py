@@ -332,3 +332,76 @@ def add_points(
     new_params = dataclasses.replace(params)
     new_params.n = params.n + pts.count()
     return PartitionedVamanaIndex(spark, new_params, new_shards, C)
+
+
+def delete_points(
+    index: PartitionedVamanaIndex,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+) -> PartitionedVamanaIndex:
+    """Incremental maintenance, delete side: drop vectors by rebuilding
+    ONLY the shards that held them (the partitioned-tier counterpart of
+    ``VamanaIndex.delete_points``'s consolidate).
+
+    Each point routes to exactly one shard, so the damage is local by
+    construction: untouched shards keep their subgraphs byte-for-byte;
+    a touched shard re-runs the (dense) build kernel over its survivors.
+    A shard deleted down to zero points simply disappears from the
+    layout. Centers are unchanged — routing geometry does not depend on
+    membership.
+    """
+    import pandas as pd
+
+    from vamana_spark.index import kernels as _k
+    from vamana_spark.index.vamana import DENSE_BUILD_MAX
+
+    spark = index.spark
+    params = index.params
+    doomed = ids.select(F.col(id_col).cast("long").alias("vec_id")).distinct()
+    present = index.shards_df.join(F.broadcast(doomed), "vec_id").select(
+        "shard", "vec_id"
+    )
+    n_gone = present.count()
+    if n_gone == 0:
+        return index
+    touched = [r["shard"] for r in present.select("shard").distinct().collect()]
+
+    survivors = (
+        index.shards_df.where(F.col("shard").isin(touched))
+        .join(F.broadcast(doomed), "vec_id", "left_anti")
+        .select("shard", "vec_id", "embedding")
+    )
+
+    R, L, alpha, seed = params.R, params.L, params.alpha, params.seed
+    out_schema = (
+        "shard int, vec_id long, local_ord int, "
+        "embedding array<float>, neighbors array<int>"
+    )
+
+    def build_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(key[0])
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        P = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+        if P.shape[0] <= DENSE_BUILD_MAX:
+            graph, _ = _k.build_vamana_dense(P, R, alpha, seed + shard)
+        else:
+            graph, _ = _k.build_vamana(P, R, L, alpha, seed + shard)
+        return pd.DataFrame(
+            {
+                "shard": shard,
+                "vec_id": pdf["vec_id"].astype("int64"),
+                "local_ord": np.arange(len(pdf), dtype=np.int32),
+                "embedding": pdf["embedding"],
+                "neighbors": [[int(x) for x in g] for g in graph],
+            }
+        )
+
+    rebuilt = survivors.groupBy("shard").applyInPandas(build_shard, schema=out_schema)
+    untouched = index.shards_df.where(~F.col("shard").isin(touched))
+    new_shards = untouched.unionByName(rebuilt)
+
+    import dataclasses
+
+    new_params = dataclasses.replace(params)
+    new_params.n = (params.n or index.shards_df.count()) - n_gone
+    return PartitionedVamanaIndex(spark, new_params, new_shards, index.centers)

@@ -607,3 +607,78 @@ def ivfpq_search(
     if round_digits is not None:
         out = out.withColumn("dist", F.round("dist", round_digits))
     return out.select("query_id", "vec_id", "dist", "rank")
+
+
+# ------------------------------------------------------------- persistence
+
+def save_pq(path: str, codebook: PQCodebook, codes_df: DataFrame) -> None:
+    """Directory format for a flat-PQ layout: codes/ (Parquet, splittable)
+    + _codebook.json. Same shape as VamanaIndex.save — Parquet data,
+    JSON sidecar for the driver-sized model."""
+    import json
+    import os
+
+    codes_df.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    with open(os.path.join(path, "_codebook.json"), "w") as f:
+        json.dump(
+            {
+                "dim": codebook.dim,
+                "m": codebook.m,
+                "ksub": codebook.ksub,
+                "centroids": codebook.centroids.tolist(),
+            },
+            f,
+        )
+
+
+def load_pq(spark, path: str) -> tuple[PQCodebook, DataFrame]:
+    import json
+    import os
+
+    with open(os.path.join(path, "_codebook.json")) as f:
+        meta = json.load(f)
+    cb = PQCodebook(
+        centroids=np.asarray(meta["centroids"], dtype=np.float64),
+        dim=int(meta["dim"]),
+        m=int(meta["m"]),
+        ksub=int(meta["ksub"]),
+    )
+    return cb, spark.read.parquet(os.path.join(path, "codes"))
+
+
+def save_ivfpq(path: str, model: IVFPQModel, codes_df: DataFrame) -> None:
+    """Directory format for an IVFPQ layout: codes/ + _model.json
+    (coarse centers + residual codebooks)."""
+    import json
+    import os
+
+    codes_df.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    with open(os.path.join(path, "_model.json"), "w") as f:
+        json.dump(
+            {
+                "centers": model.centers.tolist(),
+                "dim": model.codebook.dim,
+                "m": model.codebook.m,
+                "ksub": model.codebook.ksub,
+                "centroids": model.codebook.centroids.tolist(),
+            },
+            f,
+        )
+
+
+def load_ivfpq(spark, path: str) -> tuple[IVFPQModel, DataFrame]:
+    import json
+    import os
+
+    with open(os.path.join(path, "_model.json")) as f:
+        meta = json.load(f)
+    model = IVFPQModel(
+        centers=np.asarray(meta["centers"], dtype=np.float64),
+        codebook=PQCodebook(
+            centroids=np.asarray(meta["centroids"], dtype=np.float64),
+            dim=int(meta["dim"]),
+            m=int(meta["m"]),
+            ksub=int(meta["ksub"]),
+        ),
+    )
+    return model, spark.read.parquet(os.path.join(path, "codes"))
