@@ -14,6 +14,10 @@ search → recall, main.cpp:33-168) plus the pipeline operators:
           [--weight-col col | --strata-col col | (uniform top-n)]
   ivfpq   --input emb.parquet --queries q.parquet --output out.parquet
           [--k --num-lists --nprobe --m --ksub]
+  range   --input emb.parquet --queries q.parquet --output out.parquet
+          --radius R
+  delete  --index idx_dir --ids ids.parquet --output new_idx_dir
+  chunk   --input docs.parquet --output out.parquet [--max-len --stride]
   bench   (same as bench.py)
 
 Query parquet schema: (query_id long, query_vec array<float>).
@@ -174,6 +178,50 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_range(args) -> int:
+    from vamana_spark import exact
+
+    spark = _spark("vamana-range")
+    pts = spark.read.parquet(args.input)
+    q = spark.read.parquet(args.queries)
+    out = exact.range_search(
+        pts, q, radius=args.radius, id_col=args.id_col, vec_col=args.vec_col
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"queries": q.count(), "result_rows": out.count(),
+                      "radius": args.radius}))
+    return 0
+
+
+def cmd_delete(args) -> int:
+    from vamana_spark import VamanaIndex
+    from pyspark.sql import functions as F
+
+    spark = _spark("vamana-delete")
+    idx = VamanaIndex.load(spark, args.index)
+    ids = spark.read.parquet(args.ids)
+    idx2 = idx.delete_points(ids, id_col=args.id_col)
+    idx2.save(args.output)
+    print(json.dumps({"before": idx.data_size, "after": idx2.data_size,
+                      "health": idx2.health_check()}))
+    return 0
+
+
+def cmd_chunk(args) -> int:
+    from vamana_spark.operators import text
+
+    spark = _spark("vamana-chunk")
+    docs = spark.read.parquet(args.input)
+    out = text.chunk_tokens(
+        docs, max_len=args.max_len, stride=args.stride,
+        text_col=args.text_col, id_col=args.id_col,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"docs": docs.count(), "chunks": out.count(),
+                      "max_len": args.max_len}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="vamana_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -257,6 +305,31 @@ def main(argv=None) -> int:
     iq.add_argument("--ksub", type=int, default=64)
     iq.add_argument("--seed", type=int, default=42)
     iq.set_defaults(fn=cmd_ivfpq)
+
+    rg = sub.add_parser("range")
+    rg.add_argument("--input", required=True)
+    rg.add_argument("--queries", required=True)
+    rg.add_argument("--output", required=True)
+    rg.add_argument("--radius", type=float, required=True)
+    rg.add_argument("--id-col", dest="id_col", default="vec_id")
+    rg.add_argument("--vec-col", dest="vec_col", default="embedding")
+    rg.set_defaults(fn=cmd_range)
+
+    de = sub.add_parser("delete")
+    de.add_argument("--index", required=True)
+    de.add_argument("--ids", required=True)
+    de.add_argument("--output", required=True)
+    de.add_argument("--id-col", dest="id_col", default="vec_id")
+    de.set_defaults(fn=cmd_delete)
+
+    ch = sub.add_parser("chunk")
+    ch.add_argument("--input", required=True)
+    ch.add_argument("--output", required=True)
+    ch.add_argument("--max-len", dest="max_len", type=int, default=64)
+    ch.add_argument("--stride", type=int, default=None)
+    ch.add_argument("--text-col", dest="text_col", default="text")
+    ch.add_argument("--id-col", dest="id_col", default="doc_id")
+    ch.set_defaults(fn=cmd_chunk)
 
     be = sub.add_parser("bench")
     be.set_defaults(fn=cmd_bench)

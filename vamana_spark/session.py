@@ -41,4 +41,30 @@ def get_session(
     )
     s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    _ship_package(s)
     return s
+
+
+_SHIPPED_APPS: set = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``vamana_spark`` importable on Python workers regardless of
+    the driver's cwd: zip the installed package and addPyFile it
+    (idempotent per application). Without this, any mapInPandas closure
+    defined inside the package fails to unpickle on workers when the
+    driver runs from a foreign directory."""
+    app = spark.sparkContext.applicationId
+    if app in _SHIPPED_APPS:
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    tmp = tempfile.mkdtemp(prefix="vamana_spark_pyfiles_")
+    base = os.path.join(tmp, "vamana_spark_pkg")
+    shutil.make_archive(
+        base, "zip", root_dir=os.path.dirname(pkg_dir), base_dir="vamana_spark"
+    )
+    spark.sparkContext.addPyFile(base + ".zip")
+    _SHIPPED_APPS.add(app)
