@@ -231,6 +231,9 @@ def main() -> None:
     timed("tpch_pricing", lambda: D.q_tpch_pricing(spark, SF_DIR).count())
     timed("tpch_join_agg", lambda: D.q_tpch_join_agg(spark, SF_DIR).count())
     timed("top_customers", lambda: D.q_top_customers(spark, SF_DIR).count())
+    timed("range_search", lambda: D.q_range_search(spark, SF_DIR).count())
+    timed("filtered_knn", lambda: D.q_filtered_knn(spark, SF_DIR).count())
+    timed("token_chunks", lambda: D.q_token_chunks(spark, SF_DIR).count())
 
     # --- 25k scale checkpoint (12.5x bench scale; SCALE.md): sharded
     # build + recall + sustained qps vs the native reference rerun at the
