@@ -137,6 +137,13 @@ def main() -> None:
         timings[name] = round(best, 3)
         return out
 
+    # --- 25k scale checkpoint FIRST (12.5x bench scale; SCALE.md):
+    # sharded build + recall + sustained qps vs the native reference rerun
+    # at the same n/dim/params (BASELINE_LOCAL_25K.json). Runs before the
+    # query mix so the measurement isn't polluted by the broadcasts and
+    # resident python workers the other 19 queries accumulate.
+    extra["scale_25k"] = _scale_25k_block(spark)
+
     emb = D._emb(spark, SF_DIR).cache()
     n_vec = emb.count()
     queries = D._fixed_queries(emb, 25)
@@ -235,11 +242,6 @@ def main() -> None:
     timed("filtered_knn", lambda: D.q_filtered_knn(spark, SF_DIR).count())
     timed("token_chunks", lambda: D.q_token_chunks(spark, SF_DIR).count())
 
-    # --- 25k scale checkpoint (12.5x bench scale; SCALE.md): sharded
-    # build + recall + sustained qps vs the native reference rerun at the
-    # same n/dim/params (BASELINE_LOCAL_25K.json). Data is the exact
-    # deterministic set the baseline tool used.
-    extra["scale_25k"] = _scale_25k_block(spark)
     if cold:
         extra["cold_sec"] = cold
 

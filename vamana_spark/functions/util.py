@@ -81,6 +81,10 @@ def ensure_parallelism(df: DataFrame, min_factor: float = 0.5) -> DataFrame:
     already has thousands of splits and this is a no-op — the check costs
     one plan inspection, no job.
     """
+    if df.isStreaming:
+        # no RDD inspection on streams; micro-batch parallelism comes
+        # from the source's own splits
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, int(target * min_factor)):

@@ -1,0 +1,62 @@
+"""Streaming ANN search: serve a built VamanaIndex against a query
+stream.
+
+The reference is strictly batch; this is the online-serving extension:
+``VamanaIndex.search`` is a broadcast-index ``mapInPandas``, which is a
+stateless per-row transform — exactly the class of operator Structured
+Streaming runs unchanged. Each micro-batch of queries fans out across
+executors against the already-broadcast index; no state store, no
+watermark, no shuffle.
+
+Batch/stream parity: on a bounded input (Trigger.AvailableNow) the
+stream produces exactly the batch ``search`` rows — asserted in
+``tests/test_streaming.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+QUERY_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType()),
+        T.StructField("query_vec", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def read_query_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream of query batches (one parquet file = one
+    micro-batch input split)."""
+    return (
+        spark.readStream.schema(QUERY_SCHEMA).format("parquet").load(source_dir)
+    )
+
+
+def streaming_ann_search(index, query_stream: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k ANN results for a query stream. Returns a streaming
+    DataFrame (query_id, vec_id, dist, rank, hops, dist_comps); write it
+    with any sink, e.g. ``.writeStream.format("parquet")``.
+
+    The index broadcast happens once at plan time; micro-batches pay
+    only the kernel cost. Append-mode safe: every input row produces its
+    rows exactly once, independent of batching.
+    """
+    return index.search(query_stream, k=k)
+
+
+def run_search_to_completion(
+    stream_df: DataFrame, query_name: str
+) -> DataFrame:
+    """Drain a bounded query stream (AvailableNow, append mode — search
+    output is append-only) into an in-memory table; test/utility path."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)
