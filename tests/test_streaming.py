@@ -110,3 +110,36 @@ def test_streaming_dedup_drops_repeats(spark, events, stream_source, tmp_path):
     n_distinct = events.select("user_id", "event_type").distinct().count()
     assert out.count() == n_distinct
     assert out.select("user_id", "event_type").distinct().count() == n_distinct
+
+
+def test_streaming_ann_search_matches_batch(spark, embeddings, tmp_path):
+    from vamana_spark import VamanaIndex, VamanaParams
+    from vamana_spark.streaming.search import (
+        read_query_stream,
+        run_search_to_completion,
+        streaming_ann_search,
+    )
+
+    params = VamanaParams(dim=64, alpha=1.2, R=24, L=48, ef_search=64, seed=21)
+    idx = VamanaIndex.build(spark, embeddings, params)
+    q = embeddings.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    src = str(tmp_path / "qstream")
+    # two files -> two micro-batch splits
+    q.where(F.col("query_id") < 250).coalesce(1).write.parquet(src + "/a")
+    q.where(F.col("query_id") >= 250).coalesce(1).write.parquet(src + "/b")
+    import glob, shutil, os
+    os.makedirs(src + "/in", exist_ok=True)
+    for i, f in enumerate(glob.glob(src + "/*/part-*.parquet")):
+        shutil.copy(f, f"{src}/in/batch{i}.parquet")
+
+    stream = read_query_stream(spark, src + "/in")
+    out = run_search_to_completion(
+        streaming_ann_search(idx, stream, k=5), "ann_stream_test"
+    )
+    batch = idx.search(q, k=5)
+    key = lambda r: (r.query_id, r.rank)
+    got = sorted(((r.query_id, r.rank, r.vec_id) for r in out.collect()))
+    want = sorted(((r.query_id, r.rank, r.vec_id) for r in batch.collect()))
+    assert got == want and got
