@@ -264,3 +264,27 @@ def test_delete_points_consolidates(spark, embeddings, queries):
     truth = exact.exact_knn(remaining, queries, k=10)
     r = quality.avg_recall(idx2.search(queries, k=10), truth, k=10)
     assert r >= 0.8, f"post-delete recall {r}"
+
+
+def test_delete_points_orphan_survivor_keeps_dense_graph(spark):
+    # plant a survivor whose entire 2-hop neighborhood is deleted: with
+    # n=3 where points 1,2 are deleted, point 0's whole graph vanishes —
+    # it must remain as an isolated node, not disappear from the CSR
+    import pyspark.sql.functions as SF
+
+    rows = [(i, [float(i)] * 8) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    p = VamanaParams(dim=8, alpha=1.2, R=4, L=8, ef_search=8, seed=1)
+    idx = VamanaIndex.build(spark, df, p)
+    idx2 = idx.delete_points(
+        spark.createDataFrame([(1,), (2,)], "vec_id long")
+    )
+    assert idx2.data_size == 1
+    g = idx2.graph_df.collect()
+    assert len(g) == 1 and g[0].ordinal == 0 and list(g[0].neighbors) == []
+    # search still runs against the single-node index
+    q = df.where(SF.col("vec_id") == 0).select(
+        SF.col("vec_id").alias("query_id"), SF.col("embedding").alias("query_vec")
+    )
+    res = idx2.search(q, k=1).collect()
+    assert len(res) == 1 and res[0].vec_id == 0

@@ -686,7 +686,16 @@ class VamanaIndex:
 
         new_graph = new_graph_old.mapInPandas(
             renumber, schema="ordinal long, neighbors array<long>"
-        ).localCheckpoint(eager=True)
+        )
+        # a survivor whose whole 2-hop neighborhood was deleted has no
+        # candidate row at all — keep it with an empty adjacency so the
+        # dense-ordinal CSR stays well-formed (same guard as the builds)
+        orphans = (
+            new_points.select("ordinal")
+            .join(new_graph.select("ordinal"), "ordinal", "left_anti")
+            .withColumn("neighbors", F.array().cast("array<long>"))
+        )
+        new_graph = new_graph.unionByName(orphans).localCheckpoint(eager=True)
 
         new_params = VamanaParams(**json.loads(self.params.to_json()))
         new_params.n = n_new
