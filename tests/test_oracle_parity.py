@@ -39,7 +39,9 @@ def _values_equal(a, b) -> bool:
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
-        return a == b
+        # Bit-strict: the driver hashes raw bytes, where -0.0 != +0.0
+        # even though == says they match (the r1 q_knn_cosine failure).
+        return a == b and math.copysign(1.0, a) == math.copysign(1.0, b)
     return a == b
 
 
