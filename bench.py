@@ -9,6 +9,16 @@ Headline set mirrors the reference's own measurements (build wall-time,
 batch ANN search latency/qps, recall@10 — main.cpp:58-162) plus the
 engine's pipeline workloads (exact kNN, dedup, text stats, rollups,
 TPC-H joins).
+
+Harness properties (round-4 hardening):
+* Per-query failure isolation — one failing query records an entry in
+  ``extra.errors`` and the run continues; the summary JSON ALWAYS prints.
+* Session isolation — the query mix runs first in its own SparkSession
+  (the conditions BENCH_r01 measured), then the 25k scale checkpoint runs
+  in a FRESH session so neither block's accumulated broadcasts / caches /
+  resident python workers pollute the other's numbers.
+* Broadcast hygiene — indexes are ``release()``d when a block is done
+  with them instead of waiting on driver GC.
 """
 
 from __future__ import annotations
@@ -17,10 +27,13 @@ import json
 import os
 import sys
 import time
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+ERRORS: dict[str, str] = {}
 
 
 def _scale_25k_block(spark) -> dict:
@@ -52,19 +65,30 @@ def _scale_25k_block(spark) -> dict:
     ).cache()
     nq = q.count()
 
-    params = VamanaParams(
-        dim=64, alpha=1.2, R=32, L=64, ef_search=100, seed=42,
-        # 32 shards x overlap 4: dense-kernel work scales n^2*overlap^2/
-        # shards, so more+smaller shards cut total FLOPs AND use all 32
-        # cores; overlap 4 keeps stitching quality (recall 0.974, same as
-        # 16x3) while building ~12% faster
-        num_shards=32, shard_overlap=4,
-    )
+    def make_params():
+        return VamanaParams(
+            dim=64, alpha=1.2, R=32, L=64, ef_search=100, seed=42,
+            # 32 shards x overlap 4: dense-kernel work scales n^2*overlap^2/
+            # shards, so more+smaller shards cut total FLOPs AND use all 32
+            # cores; overlap 4 keeps stitching quality (recall 0.974, same
+            # as 16x3) while building ~12% faster
+            num_shards=32, shard_overlap=4,
+        )
+
     build_sec = float("inf")  # best-of-2, same policy as timed()
+    idx = None
     for _ in range(2):
+        if idx is not None:
+            idx.release()
         t0 = time.perf_counter()
-        idx = VamanaIndex.build(spark, emb, params)
+        idx = VamanaIndex.build(spark, emb, make_params())
         build_sec = min(build_sec, round(time.perf_counter() - t0, 3))
+
+    # one extra instrumented build: per-phase wall seconds (diagnostic —
+    # forces a shard-edge materialization, so it is NOT the timed number)
+    phases: dict = {}
+    diag = VamanaIndex.build(spark, emb, make_params(), phase_timings=phases)
+    diag.release()
 
     idx.search(q.limit(5), k=10).count()  # warm broadcast
     # sustained qps over the full 25k-query batch (amortizes fixed job
@@ -86,6 +110,7 @@ def _scale_25k_block(spark) -> dict:
         "n": 25_000,
         "nq": nq,
         "build_sec": build_sec,
+        "build_phases": phases,
         "qps_sustained": round(n_all / search_sec, 1),
         "recall_at_10": recall,
     }
@@ -100,11 +125,14 @@ def _scale_25k_block(spark) -> dict:
             "qps": ref["qps"],
             "recall_at_k": ref["recall_at_k"],
         }
+    idx.release()
     emb.unpersist(); q.unpersist()
     return out
 
 
-def main() -> None:
+def _query_mix(timings: dict, extra: dict) -> None:
+    """Query-mix block in its own session (BENCH_r01 measurement
+    conditions: nothing ran before it)."""
     from pyspark.sql import functions as F
 
     from vamana_spark import VamanaIndex, VamanaParams, exact, quality
@@ -112,11 +140,6 @@ def main() -> None:
     from vamana_spark.session import get_session
 
     spark = get_session("vamana_spark_bench")
-    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
-
-    timings: dict[str, float] = {}
-    extra: dict[str, float] = {}
-
     cold: dict[str, float] = {}
 
     def timed(name, fn, reps=2, warm=False):
@@ -125,126 +148,170 @@ def main() -> None:
         # warm=True runs once untimed first (whole-stage codegen for the
         # sketch-heavy plans is one-time ~1-2 s that a long-running job
         # amortizes) and reports that first run under extra.cold_sec.
+        # A failing query records extra.errors[name] and the run continues
+        # — one bad query must never zero the round's bench record.
         best, out = float("inf"), None
-        if warm:
-            t0 = time.perf_counter()
-            out = fn()
-            cold[name] = round(time.perf_counter() - t0, 3)
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            out = fn()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        try:
+            if warm:
+                t0 = time.perf_counter()
+                out = fn()
+                cold[name] = round(time.perf_counter() - t0, 3)
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                out = fn()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as e:
+            ERRORS[name] = f"{type(e).__name__}: {e}"[:500]
         return out
 
-    # --- 25k scale checkpoint FIRST (12.5x bench scale; SCALE.md):
-    # sharded build + recall + sustained qps vs the native reference rerun
-    # at the same n/dim/params (BASELINE_LOCAL_25K.json). Runs before the
-    # query mix so the measurement isn't polluted by the broadcasts and
-    # resident python workers the other 19 queries accumulate.
-    extra["scale_25k"] = _scale_25k_block(spark)
+    try:
+        emb = D._emb(spark, SF_DIR).cache()
+        n_vec = emb.count()
+        queries = D._fixed_queries(emb, 25)
+        n_q = queries.count()
+        # full-load query set for throughput (amortizes fixed job overhead
+        # the way a production batch would)
+        allq = emb.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        ).cache()
+        allq.count()
 
-    emb = D._emb(spark, SF_DIR).cache()
-    n_vec = emb.count()
-    queries = D._fixed_queries(emb, 25)
-    n_q = queries.count()
-    # full-load query set for throughput (amortizes fixed job overhead the
-    # way a production batch would)
-    allq = emb.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    ).cache()
-    allq.count()
-
-    # --- index build (R8): the reference's headline cost
-    params = VamanaParams(dim=64, alpha=1.2, R=32, L=64, ef_search=100, seed=42)
-    idx = timed("build_index", lambda: VamanaIndex.build(spark, emb, params))
-    sharded_params = VamanaParams(
-        dim=64, alpha=1.2, R=32, L=64, ef_search=100, seed=42, num_shards=8
-    )
-    timed("build_index_sharded", lambda: VamanaIndex.build(spark, emb, sharded_params))
-    from vamana_spark.index.bsp import build_bsp
-
-    bsp_params = VamanaParams(dim=64, alpha=1.2, R=32, L=64, ef_search=100, seed=42)
-    timed("build_index_bsp", lambda: build_bsp(spark, emb, bsp_params))
-
-    # --- batch ANN search (R10) + recall (R15)
-    idx.search(allq.limit(5), k=10).count()  # warm broadcast + workers
-    timed("ann_search_full", lambda: idx.search(allq, k=10).count())
-    # sustained load: 8x the vector count, amortizing fixed job overhead
-    # (the production batch shape)
-    big = allq
-    for i in range(1, 8):
-        big = big.unionByName(
-            allq.withColumn("query_id", F.col("query_id") + F.lit(i * 1_000_000))
+        # --- index build (R8): the reference's headline cost
+        params = VamanaParams(dim=64, alpha=1.2, R=32, L=64, ef_search=100, seed=42)
+        idx = timed("build_index", lambda: VamanaIndex.build(spark, emb, params))
+        sharded_params = VamanaParams(
+            dim=64, alpha=1.2, R=32, L=64, ef_search=100, seed=42, num_shards=8
         )
-    big = big.cache()
-    n_big = big.count()
-    timed("ann_search_sustained", lambda: idx.search(big, k=10).count())
-    extra["ann_qps_sustained"] = (
-        round(n_big / timings["ann_search_sustained"], 2)
-        if timings["ann_search_sustained"]
-        else 0.0
-    )
-    big.unpersist()
-    approx = idx.search(queries, k=10).cache()
-    timed("ann_search_fixed", lambda: approx.count())
-    truth = timed("knn_exact", lambda: exact.exact_knn(emb, queries, k=10).cache())
-    truth.count()
-    extra["recall_at_10"] = round(quality.avg_recall(approx, truth, k=10), 4)
-    extra["ann_qps"] = (
-        round(n_vec / timings["ann_search_full"], 2)
-        if timings["ann_search_full"]
-        else 0.0
-    )
-    extra["n_vectors"] = n_vec
-    extra["n_queries_fixed"] = n_q
+        timed(
+            "build_index_sharded",
+            lambda: VamanaIndex.build(spark, emb, sharded_params),
+        )
+        from vamana_spark.index.bsp import build_bsp
 
-    # reference baseline at identical scale/params (tools/run_ref_baseline.py)
-    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BASELINE_LOCAL.json")
-    if os.path.exists(base_path):
-        with open(base_path) as bf:
-            ref = json.load(bf)
-        if ref.get("sf_dir") == SF_DIR:
-            extra["reference"] = {
-                "build_sec": ref["build_sec"],
-                "qps": ref["qps"],
-                "recall_at_k": ref["recall_at_k"],
-            }
+        bsp_params = VamanaParams(dim=64, alpha=1.2, R=32, L=64, ef_search=100, seed=42)
+        timed("build_index_bsp", lambda: build_bsp(spark, emb, bsp_params))
 
-    # --- scale-path exact kNN (two-stage partial top-k)
-    timed("knn_batch", lambda: exact.exact_knn_batch(emb, queries, k=10).count())
+        # --- batch ANN search (R10) + recall (R15)
+        if idx is not None:
+            idx.search(allq.limit(5), k=10).count()  # warm broadcast + workers
+            timed("ann_search_full", lambda: idx.search(allq, k=10).count())
+            # sustained load: 8x the vector count, amortizing fixed job
+            # overhead (the production batch shape)
+            big = allq
+            for i in range(1, 8):
+                big = big.unionByName(
+                    allq.withColumn(
+                        "query_id", F.col("query_id") + F.lit(i * 1_000_000)
+                    )
+                )
+            big = big.cache()
+            n_big = big.count()
+            timed("ann_search_sustained", lambda: idx.search(big, k=10).count())
+            if timings.get("ann_search_sustained"):
+                extra["ann_qps_sustained"] = round(
+                    n_big / timings["ann_search_sustained"], 2
+                )
+            big.unpersist()
+            approx = idx.search(queries, k=10).cache()
+            timed("ann_search_fixed", lambda: approx.count())
+            truth = timed(
+                "knn_exact", lambda: exact.exact_knn(emb, queries, k=10).cache()
+            )
+            if truth is not None:
+                truth.count()
+                extra["recall_at_10"] = round(
+                    quality.avg_recall(approx, truth, k=10), 4
+                )
+                truth.unpersist()
+            approx.unpersist()
+            if timings.get("ann_search_full"):
+                extra["ann_qps"] = round(n_vec / timings["ann_search_full"], 2)
+            idx.release()
+        extra["n_vectors"] = n_vec
+        extra["n_queries_fixed"] = n_q
 
-    # --- PQ compressed search (train + encode + ADC shortlist + re-rank)
-    from vamana_spark.operators import quantization as qz
+        # reference baseline at identical scale/params
+        # (tools/run_ref_baseline.py)
+        base_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BASELINE_LOCAL.json"
+        )
+        if os.path.exists(base_path):
+            with open(base_path) as bf:
+                ref = json.load(bf)
+            if ref.get("sf_dir") == SF_DIR:
+                extra["reference"] = {
+                    "build_sec": ref["build_sec"],
+                    "qps": ref["qps"],
+                    "recall_at_k": ref["recall_at_k"],
+                }
 
-    def pq_pipeline():
-        cb = qz.pq_train(emb, 64, m=8, ksub=64, seed=42)
-        codes = qz.pq_encode(emb, cb)
-        return qz.pq_search(
-            codes, cb, queries, k=10, shortlist=100, points=emb
-        ).count()
+        # --- scale-path exact kNN (two-stage partial top-k)
+        timed("knn_batch", lambda: exact.exact_knn_batch(emb, queries, k=10).count())
 
-    timed("pq_knn", pq_pipeline, warm=True)
+        # --- PQ compressed search (train + encode + ADC shortlist + re-rank)
+        from vamana_spark.operators import quantization as qz
 
-    # --- pipeline workloads (sketch-heavy plans get a warm-up run;
-    # first-run codegen cost reported separately as extra.cold_sec)
-    timed("minhash_near_dups", lambda: D.q_minhash_pairs(spark, SF_DIR).count(),
-          warm=True)
-    timed("exact_dedup", lambda: D.q_dedup_exact(spark, SF_DIR).count())
-    timed("text_stats", lambda: D.q_text_stats(spark, SF_DIR).count())
-    timed("events_hourly", lambda: D.q_events_hourly(spark, SF_DIR).count())
-    timed("sessionize", lambda: D.q_session_stats(spark, SF_DIR).count())
-    timed("tpch_pricing", lambda: D.q_tpch_pricing(spark, SF_DIR).count())
-    timed("tpch_join_agg", lambda: D.q_tpch_join_agg(spark, SF_DIR).count())
-    timed("top_customers", lambda: D.q_top_customers(spark, SF_DIR).count())
-    timed("range_search", lambda: D.q_range_search(spark, SF_DIR).count())
-    timed("filtered_knn", lambda: D.q_filtered_knn(spark, SF_DIR).count())
-    timed("token_chunks", lambda: D.q_token_chunks(spark, SF_DIR).count())
+        def pq_pipeline():
+            cb = qz.pq_train(emb, 64, m=8, ksub=64, seed=42)
+            codes = qz.pq_encode(emb, cb)
+            return qz.pq_search(
+                codes, cb, queries, k=10, shortlist=100, points=emb
+            ).count()
 
-    if cold:
-        extra["cold_sec"] = cold
+        timed("pq_knn", pq_pipeline, warm=True)
 
+        # --- pipeline workloads (sketch-heavy plans get a warm-up run;
+        # first-run codegen cost reported separately as extra.cold_sec)
+        timed("minhash_near_dups",
+              lambda: D.q_minhash_pairs(spark, SF_DIR).count(), warm=True)
+        timed("exact_dedup", lambda: D.q_dedup_exact(spark, SF_DIR).count())
+        timed("text_stats", lambda: D.q_text_stats(spark, SF_DIR).count())
+        timed("events_hourly", lambda: D.q_events_hourly(spark, SF_DIR).count())
+        timed("sessionize", lambda: D.q_session_stats(spark, SF_DIR).count())
+        timed("tpch_pricing", lambda: D.q_tpch_pricing(spark, SF_DIR).count())
+        timed("tpch_join_agg", lambda: D.q_tpch_join_agg(spark, SF_DIR).count())
+        timed("top_customers", lambda: D.q_top_customers(spark, SF_DIR).count())
+        timed("range_search", lambda: D.q_range_search(spark, SF_DIR).count())
+        timed("filtered_knn", lambda: D.q_filtered_knn(spark, SF_DIR).count())
+        timed("token_chunks", lambda: D.q_token_chunks(spark, SF_DIR).count())
+
+        if cold:
+            extra["cold_sec"] = cold
+    finally:
+        try:
+            spark.stop()
+        except Exception:
+            pass
+
+
+def main() -> None:
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+    timings: dict[str, float] = {}
+    extra: dict = {}
+
+    try:
+        _query_mix(timings, extra)
+    except Exception:
+        ERRORS["__query_mix__"] = traceback.format_exc()[-800:]
+
+    # 25k scale checkpoint in a FRESH session: neither block sees the
+    # other's broadcasts / caches / resident python workers (the r2 bench
+    # ran this first in the shared session and every query-mix number
+    # after it read 2-5x worse than r1)
+    try:
+        from vamana_spark.session import get_session
+
+        spark2 = get_session("vamana_spark_bench_25k")
+        try:
+            extra["scale_25k"] = _scale_25k_block(spark2)
+        finally:
+            spark2.stop()
+    except Exception:
+        ERRORS["scale_25k"] = traceback.format_exc()[-800:]
+
+    if ERRORS:
+        extra["errors"] = ERRORS
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -258,7 +325,6 @@ def main() -> None:
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -288,3 +288,34 @@ def test_delete_points_orphan_survivor_keeps_dense_graph(spark):
     )
     res = idx2.search(q, k=1).collect()
     assert len(res) == 1 and res[0].vec_id == 0
+
+
+def test_build_auto_shards_over_broadcast_ceiling(spark, embeddings, monkeypatch):
+    # over-threshold single-tier build must auto-route to the sharded
+    # tier instead of pulling the whole point set to the driver
+    # (VamanaIndex.build guard, mirrors the search-side _load_local one)
+    monkeypatch.setattr(VamanaIndex, "BROADCAST_TIER_MAX_BYTES", 0)
+    p = VamanaParams(dim=64, alpha=1.2, R=16, L=32, ef_search=48, seed=42)
+    assert p.num_shards == 1
+    idx = VamanaIndex.build(spark, embeddings, p)
+    assert p.num_shards > 1  # guard rewrote the tier
+    hc = idx.health_check()
+    assert hc["ok"], hc
+    idx.release()
+
+
+def test_build_phase_timings_diagnostic(spark, embeddings):
+    timings = {}
+    p = VamanaParams(
+        dim=64, alpha=1.2, R=16, L=32, ef_search=48, seed=42, num_shards=4
+    )
+    idx = VamanaIndex.build(spark, embeddings, p, phase_timings=timings)
+    for k in (
+        "checkpoint_pts_sec",
+        "centers_sec",
+        "assign_shard_kernels_sec",
+        "prune_fixup_sec",
+    ):
+        assert k in timings and timings[k] >= 0.0, timings
+    assert idx.health_check()["ok"]
+    idx.release()

@@ -356,6 +356,30 @@ def test_session_stats_counts(events):
     assert s.agg(F.sum("n_events")).first()[0] == events.count()
 
 
+def test_sessionize_ntz_ltz_parity(events):
+    """Schema-drift guard: the driver's events.parquet has shipped ts as
+    TIMESTAMP(NANOS), TIMESTAMP_NTZ, and TIMESTAMP across regenerations.
+    Sessionization must produce bit-identical output whether the column
+    arrives as NTZ or session-tz timestamp (session tz = UTC)."""
+    from vamana_spark.operators.events import session_stats, sessionize
+
+    ltz = events  # loader-normalized: regular TIMESTAMP
+    ntz = events.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    assert str(ntz.schema["ts"].dataType) != str(ltz.schema["ts"].dataType)
+
+    key = lambda df: sorted(
+        (r.event_id, r.session_seq)
+        for r in sessionize(df, 30).select("event_id", "session_seq").collect()
+    )
+    assert key(ntz) == key(ltz)
+
+    stats = lambda df: sorted(
+        (r.user_id, r.session_seq, r.n_events, r.duration_sec, r.sum_value)
+        for r in session_stats(df, 30).collect()
+    )
+    assert stats(ntz) == stats(ltz)
+
+
 # -------------------------------------------------------------- relational
 
 def test_pricing_summary(spark, sf_dir):

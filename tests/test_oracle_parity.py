@@ -2,8 +2,8 @@
 sf0.01 AND its DuckDB oracle SQL; compare row count + order-insensitive
 values. Queries without oracle SQL get a rows-run smoke check."""
 
-import math
 import os
+import struct
 
 import duckdb
 import pandas as pd
@@ -37,11 +37,10 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def _values_equal(a, b) -> bool:
     if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
-            return True
         # Bit-strict: the driver hashes raw bytes, where -0.0 != +0.0
-        # even though == says they match (the r1 q_knn_cosine failure).
-        return a == b and math.copysign(1.0, a) == math.copysign(1.0, b)
+        # (the r1 q_knn_cosine failure) and two NaNs with different
+        # payloads differ too — compare the IEEE-754 bytes, full stop.
+        return struct.pack("<d", a) == struct.pack("<d", b)
     return a == b
 
 

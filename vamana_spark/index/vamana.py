@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
@@ -77,6 +78,21 @@ class VamanaIndex:
         self._local: Optional[Tuple[np.ndarray, ...]] = None
         self._bcast = None  # broadcast (P, ids, padded adjacency), reused across searches
 
+    def release(self) -> None:
+        """Free executor-side state this index pinned: the search-form
+        broadcast and the driver-side matrix cache. Long-lived sessions
+        (benchmarks, services) that build many indexes should call this
+        when done with one — Spark's ContextCleaner only reclaims
+        broadcast blocks on driver GC, which is too lazy to keep repeated
+        build/search cycles from accumulating executor memory."""
+        if self._bcast is not None:
+            try:
+                self._bcast.destroy()
+            except Exception:
+                pass
+            self._bcast = None
+        self._local = None
+
     # ------------------------------------------------------------------ build
 
     @staticmethod
@@ -86,11 +102,16 @@ class VamanaIndex:
         params: VamanaParams,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        phase_timings: Optional[dict] = None,
     ) -> "VamanaIndex":
         """Build the index (reference: BuildIndex, vamana.h:221-332).
 
         Ordinals are assigned deterministically by ascending vec_id; all
         randomness flows from ``params.seed``.
+
+        ``phase_timings``: optional dict the sharded builder fills with
+        per-phase wall seconds (diagnostic; forces an extra edge
+        materialization, so don't pass it on the timed path).
         """
         params.validate()
         pts = df.select(
@@ -108,8 +129,16 @@ class VamanaIndex:
             )
 
         if params.num_shards <= 1:
-            return VamanaIndex._build_single(spark, pts, params)
-        return VamanaIndex._build_sharded(spark, pts, params)
+            # auto-tier guard: _build_single pulls the whole point set to
+            # the driver; past the broadcast-tier ceiling that's a driver
+            # OOM, so route to the sharded tier instead of attempting it.
+            # Mirrors the search-side guard in _load_local.
+            n_est = pts.count()
+            if n_est * params.dim * 4 > VamanaIndex.BROADCAST_TIER_MAX_BYTES:
+                params.num_shards = max(2, -(-n_est // DENSE_BUILD_MAX))
+            else:
+                return VamanaIndex._build_single(spark, pts, params)
+        return VamanaIndex._build_sharded(spark, pts, params, phase_timings)
 
     @staticmethod
     def _build_single(spark, pts: DataFrame, params: VamanaParams) -> "VamanaIndex":
@@ -131,7 +160,12 @@ class VamanaIndex:
         return VamanaIndex(spark, params, points_df, graph_df)
 
     @staticmethod
-    def _build_sharded(spark, pts: DataFrame, params: VamanaParams) -> "VamanaIndex":
+    def _build_sharded(
+        spark,
+        pts: DataFrame,
+        params: VamanaParams,
+        phase_timings: Optional[dict] = None,
+    ) -> "VamanaIndex":
         """Sharded build (DiskANN §4 recipe, SURVEY.md §7 M3 scale path).
 
         1. Pick ``num_shards`` centers from a seeded sample.
@@ -141,12 +175,21 @@ class VamanaIndex:
            shard's points, emitting GLOBAL-ordinal adjacency.
         4. Union shard edges; degree-cap re-prune per node with the
            paper's RobustPrune inside one more ``applyInPandas``.
+
+        ``phase_timings``: when a dict is passed, per-phase wall seconds
+        land in it (checkpoint / centers / assign+shard kernels / prune).
+        Diagnostic only — it forces the shard-edge stage to materialize
+        separately, which the fused production plan doesn't.
         """
         S = params.num_shards
+        _t0 = time.perf_counter()
         # materialize once: the shard pipeline traverses pts five times
         # (center sample, assign, edge joins, count, medoid) — without this
         # every traversal replays the scan + ordinal assignment
         pts = pts.localCheckpoint(eager=True)
+        if phase_timings is not None:
+            phase_timings["checkpoint_pts_sec"] = round(time.perf_counter() - _t0, 3)
+            _t0 = time.perf_counter()
         # balanced centers: a few Lloyd iterations over a seeded sample.
         # Random picks leave Voronoi cells skewed 10x, and the per-shard
         # build is superlinear in shard size — one fat shard straggles the
@@ -168,6 +211,9 @@ class VamanaIndex:
                 if mask.any():
                     C[j] = X[mask].mean(axis=0)
         bc = spark.sparkContext.broadcast(C)
+        if phase_timings is not None:
+            phase_timings["centers_sec"] = round(time.perf_counter() - _t0, 3)
+            _t0 = time.perf_counter()
 
         assign_schema = "ordinal long, shard int"
         ell = min(params.shard_overlap, S)
@@ -218,6 +264,14 @@ class VamanaIndex:
             return pd.DataFrame({"src": src, "dst": dst})
 
         edges = sharded.groupBy("shard").applyInPandas(build_shard, schema=edge_schema)
+        if phase_timings is not None:
+            # force the assign + per-shard-kernel stage on its own so its
+            # cost is separable from the prune/fix-up that follows
+            edges = edges.localCheckpoint(eager=True)
+            phase_timings["assign_shard_kernels_sec"] = round(
+                time.perf_counter() - _t0, 3
+            )
+            _t0 = time.perf_counter()
 
         # Degree-cap re-prune: nodes over R (union of 2 shard builds) get the
         # paper prune over their merged candidate set.
@@ -319,6 +373,14 @@ class VamanaIndex:
         # materialize the graph: searches call _load_local (twice: points +
         # graph) and would otherwise replay the entire shard build per call
         graph_df = graph_df.localCheckpoint(eager=True)
+        if phase_timings is not None:
+            phase_timings["prune_fixup_sec"] = round(time.perf_counter() - _t0, 3)
+        # the eager checkpoint above materialized every plan that read
+        # these broadcasts — free the executor blocks now rather than
+        # waiting on driver GC (repeated builds otherwise accumulate)
+        bc.destroy()
+        if "bP" in locals():
+            bP.destroy()
 
         params.n = n_total
         params.medoid = medoid_ordinal

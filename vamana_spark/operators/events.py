@@ -5,8 +5,17 @@ the Structured Streaming mirrors live in ``vamana_spark.streaming``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _epoch_sec(c: Column) -> Column:
+    """Fractional epoch seconds from a timestamp column, robust to the
+    input being TIMESTAMP or TIMESTAMP_NTZ: NTZ→double is an illegal cast
+    in Spark 4, but NTZ→TIMESTAMP is legal (session-tz interpretation,
+    exact under the UTC session tz) and TIMESTAMP→TIMESTAMP is a no-op.
+    """
+    return c.cast("timestamp").cast("double")
 
 
 def hourly_rollup(events: DataFrame) -> DataFrame:
@@ -64,7 +73,7 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     prev_ts = F.lag("ts").over(w)
     is_new = F.when(
         prev_ts.isNull()
-        | (F.col("ts").cast("double") - prev_ts.cast("double") > gap_minutes * 60),
+        | (_epoch_sec(F.col("ts")) - _epoch_sec(prev_ts) > gap_minutes * 60),
         1,
     ).otherwise(0)
     with_seq = events.withColumn("_new", is_new).withColumn(
@@ -84,7 +93,7 @@ def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("n_events"),
             F.round(
-                (F.max(F.col("ts").cast("double")) - F.min(F.col("ts").cast("double"))),
+                (F.max(_epoch_sec(F.col("ts"))) - F.min(_epoch_sec(F.col("ts")))),
                 3,
             ).alias("duration_sec"),
             F.round(F.sum("value"), 4).alias("sum_value"),

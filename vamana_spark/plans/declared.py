@@ -374,8 +374,9 @@ def q_ann_filtered(spark, sf_dir):
 
 @declare("q_recall_at_k")
 def q_recall_at_k(spark, sf_dir):
-    """R15: per-query recall@10 of ANN vs exact (avg asserted ≥ 0.8 in
-    tests, threshold from main.go:126)."""
+    """R15: per-query recall@10 of ANN vs exact; the ``ok`` column embeds
+    the avg ≥ 0.8 gate (threshold from main.go:126) so the driver's
+    rows-only record carries the assertion."""
     from vamana_spark import quality
 
     idx = _built_index(spark, sf_dir)
@@ -383,7 +384,7 @@ def q_recall_at_k(spark, sf_dir):
     q = _fixed_queries(e, 25)
     approx = idx.search(q, k=10)
     truth = exact.exact_knn(e, q, k=10)
-    return quality.recall_at_k(approx, truth, k=10)
+    return quality.recall_with_ok(approx, truth, k=10)
 
 
 @declare("q_ip_graph_recall")
@@ -406,7 +407,7 @@ def q_ip_graph_recall(spark, sf_dir):
     q = _fixed_queries(e, 25)
     approx = idx.search(q, k=10)
     truth = exact.exact_knn(e, q, k=10, metric="ip")
-    return quality.recall_at_k(approx, truth, k=10)
+    return quality.recall_with_ok(approx, truth, k=10)
 
 
 @declare("q_ivf_topk")
@@ -1227,7 +1228,8 @@ def q_session_stats(spark, sf_dir):
         .agg(
             F.count("*").cast("long").alias("n_events"),
             F.round(
-                F.max(F.col("ts").cast("double")) - F.min(F.col("ts").cast("double")),
+                F.max(F.col("ts").cast("timestamp").cast("double"))
+                - F.min(F.col("ts").cast("timestamp").cast("double")),
                 3,
             ).alias("duration_sec"),
             F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias(
@@ -1606,22 +1608,27 @@ def _built_partitioned(spark, sf_dir):
 @declare("q_partitioned_ann")
 def q_partitioned_ann(spark, sf_dir):
     """Beyond-broadcast tier: per-shard subindex fan-out search with
-    global top-k merge (rows-only; recall gated by q_partitioned_recall)."""
+    global top-k merge (rows-only; recall gated by q_partitioned_recall).
+    ``ok`` asserts the index really is multi-shard — a 1-shard build
+    would make this an accidental broadcast-tier test."""
     pidx = _built_partitioned(spark, sf_dir)
     q = _fixed_queries(_emb(spark, sf_dir), 25)
-    return pidx.search(q, k=10)
+    n_shards = pidx.shards_df.select("shard").distinct().count()
+    return pidx.search(q, k=10).withColumn("ok", F.lit(n_shards > 1))
 
 
 @declare("q_partitioned_recall")
 def q_partitioned_recall(spark, sf_dir):
     """Per-query recall@10 of the partitioned (exhaustive-probe) search
-    vs exact kNN."""
+    vs exact kNN; ``ok`` embeds the avg ≥ 0.8 gate."""
     from vamana_spark import quality
 
     pidx = _built_partitioned(spark, sf_dir)
     e = _emb(spark, sf_dir)
     q = _fixed_queries(e, 25)
-    return quality.recall_at_k(pidx.search(q, k=10), exact.exact_knn(e, q, k=10), k=10)
+    return quality.recall_with_ok(
+        pidx.search(q, k=10), exact.exact_knn(e, q, k=10), k=10
+    )
 
 
 @declare("q_index_append")
@@ -1647,7 +1654,13 @@ def q_index_append(spark, sf_dir):
     pidx = _PIDX_CACHE[key]
     e = _emb(spark, sf_dir)
     q = _fixed_queries(e, 25)
-    return quality.recall_at_k(pidx.search(q, k=10), exact.exact_knn(e, q, k=10), k=10)
+    res = pidx.search(q, k=10)
+    # appended points must actually be findable: at least one result from
+    # the held-out 20% (vec_id % 5 == 0) across the gate queries
+    n_appended_hits = res.where(F.col("vec_id") % 5 == 0).count()
+    return quality.recall_with_ok(
+        res, exact.exact_knn(e, q, k=10), k=10
+    ).withColumn("ok", F.col("ok") & F.lit(n_appended_hits > 0))
 
 
 @declare("q_index_delete")
@@ -1673,9 +1686,12 @@ def q_index_delete(spark, sf_dir):
     e = _emb(spark, sf_dir)
     q = _fixed_queries(e, 25)
     remaining = e.where(~(F.col("vec_id") % 10 == 3))
-    return quality.recall_at_k(
-        idx2.search(q, k=10), exact.exact_knn(remaining, q, k=10), k=10
-    )
+    res = idx2.search(q, k=10)
+    # deleted points must never surface in results (bounded scalar count)
+    n_deleted_hits = res.where(F.col("vec_id") % 10 == 3).count()
+    return quality.recall_with_ok(
+        res, exact.exact_knn(remaining, q, k=10), k=10
+    ).withColumn("ok", F.col("ok") & F.lit(n_deleted_hits == 0))
 
 
 @declare(
@@ -1781,3 +1797,52 @@ def q_graph_reachability(spark, sf_dir):
         [(rep["reachable"], rep["total"], float(rep["reachable_fraction"]), rep["rounds"])],
         "reachable long, total long, reachable_fraction double, rounds long",
     )
+
+
+# ======================================================================
+# ROTATION — driver-verification window management
+# ======================================================================
+# The correctness driver runs only the FIRST 50 registry slots each
+# round, so with 95 declared queries a static order leaves 45 forever
+# unverified. Round-robin policy: any query whose last CORRECTNESS_r{N}
+# row is >= 2 rounds old — or that has never been driver-run — enters
+# the front window; freshly-green queries rotate to the back (they stay
+# covered by the local bit-strict parity suite, tests/test_oracle_parity
+# .py, every round).
+#
+# Round-4 window (50): the 2 X7 regression proofs (NTZ fix), the 35
+# never-driver-run queries, the 10 last seen in r1 (TPC-H classics +
+# media), and 3 always-on canaries.
+_ROTATION_FRONT = [
+    # X7 regression proofs (broken in r3 by TIMESTAMP_NTZ drift)
+    "q_sessionize", "q_session_stats",
+    # never driver-run as of r3
+    "q_rollup_revenue", "q_cube_counts", "q_anti_join", "q_semi_join",
+    "q_intersect_buyers", "q_except_buyers", "q_string_funcs",
+    "q_date_funcs", "q_pivot_priority", "q_window_funcs", "q_json_extract",
+    "q_distinct_users", "q_approx_distinct", "q_percentiles",
+    "q_array_funcs", "q_asof_join", "q_shipping_priority", "q_custdist",
+    "q_promo_revenue", "q_large_orders", "q_idle_rich_customers",
+    "q_nation_trade_volume", "q_forecast_revenue", "q_returned_items",
+    "q_top_supplier", "q_small_qty_revenue", "q_discounted_revenue",
+    "q_partitioned_ann", "q_partitioned_recall", "q_index_append",
+    "q_index_delete", "q_knn_join_topk", "q_events_window", "q_knn_ip",
+    "q_graph_reachability",
+    # last driver row r1 (>= 2 rounds stale)
+    "q_tpch_pricing", "q_tpch_join_agg", "q_top_customers",
+    "q_order_priority", "q_part_supplier_volume", "q_regional_revenue",
+    "q_media_meta", "q_media_decode", "q_media_frames", "q_media_features",
+    # canaries (core surface, cheap, always verified)
+    "q_scan_embeddings", "q_knn_exact", "q_dedup_exact",
+]
+
+
+def _apply_rotation() -> None:
+    front = [k for k in _ROTATION_FRONT if k in QUERIES]
+    back = [k for k in QUERIES if k not in set(front)]
+    reordered = {k: QUERIES[k] for k in front + back}
+    QUERIES.clear()
+    QUERIES.update(reordered)
+
+
+_apply_rotation()

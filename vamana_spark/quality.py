@@ -30,6 +30,24 @@ def recall_at_k(approx: DataFrame, truth: DataFrame, k: int) -> DataFrame:
     return per_q
 
 
+def recall_with_ok(
+    approx: DataFrame, truth: DataFrame, k: int, threshold: float = 0.8
+) -> DataFrame:
+    """Per-query recall plus a hard ``ok`` assertion column: every row
+    carries ``avg(recall over ALL queries) >= threshold``, so a rows-only
+    correctness check still records a pass/fail signal instead of a bare
+    row count. The global window collapses to one partition — fine here
+    because the query set is a bounded gate sample (tens of rows), never
+    dataset-sized."""
+    from pyspark.sql import Window
+
+    per_q = recall_at_k(approx, truth, k)
+    w = Window.partitionBy()
+    return per_q.withColumn(
+        "ok", F.avg("recall").over(w) >= F.lit(float(threshold))
+    )
+
+
 def avg_recall(approx: DataFrame, truth: DataFrame, k: int) -> float:
     row = recall_at_k(approx, truth, k).agg(F.avg("recall").alias("r")).first()
     return float(row["r"]) if row["r"] is not None else 0.0

@@ -1,11 +1,13 @@
 """Canonical table loaders for the test-data star schema + pipeline tables.
 
-Centralizes the one genuine source-level quirk: ``events.ts`` is Parquet
-TIMESTAMP(NANOS), which Spark only reads via
-``spark.sql.legacy.parquet.nanosAsLong`` — so the loader converts the
-ns-long back to a proper timestamp (microsecond truncation, exact for
-µs-precision data). Everything else is a plain columnar Parquet scan that
-Catalyst prunes/pushes into.
+Centralizes the one genuine source-level quirk: ``events.ts`` has shipped
+in two physical forms across data regenerations — Parquet TIMESTAMP(NANOS)
+(readable only as an ns-long via ``spark.sql.legacy.parquet.nanosAsLong``)
+and plain ``timestamp[us]`` with ``isAdjustedToUTC=false`` (read by Spark
+4 as TIMESTAMP_NTZ). The loader normalizes BOTH to a regular session-tz
+timestamp so downstream operators see one stable type; exact because the
+session tz is pinned to UTC. Everything else is a plain columnar Parquet
+scan that Catalyst prunes/pushes into.
 """
 
 from __future__ import annotations
@@ -30,8 +32,17 @@ TABLE_NAMES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    if name == "events":
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, T.LongType):
+            # TIMESTAMP(NANOS) read as ns-long under nanosAsLong
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        elif isinstance(dt, T.TimestampNTZType):
+            # Parquet timestamp[us] with isAdjustedToUTC=false → TIMESTAMP_NTZ;
+            # exact under the UTC session tz set at session configure time
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
