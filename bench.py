@@ -68,11 +68,13 @@ def _scale_25k_block(spark) -> dict:
     def make_params():
         return VamanaParams(
             dim=64, alpha=1.2, R=32, L=64, ef_search=100, seed=42,
-            # 32 shards x overlap 4: dense-kernel work scales n^2*overlap^2/
-            # shards, so more+smaller shards cut total FLOPs AND use all 32
-            # cores; overlap 4 keeps stitching quality (recall 0.974, same
-            # as 16x3) while building ~12% faster
-            num_shards=32, shard_overlap=4,
+            # 64 shards x overlap 3: dense-kernel work scales
+            # n^2*overlap^2/shards, so more+smaller shards cut total FLOPs
+            # while the overlap keeps the stitched graph navigable.
+            # Measured at 25k (r4): 64x3 builds in ~10s at recall 0.915 vs
+            # 32x4's ~15s at 0.974 — the 2x-of-reference build bar wants
+            # the faster point and recall stays far above the 0.8 gate.
+            num_shards=64, shard_overlap=3,
         )
 
     build_sec = float("inf")  # best-of-2, same policy as timed()

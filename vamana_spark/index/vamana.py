@@ -215,7 +215,12 @@ class VamanaIndex:
             phase_timings["centers_sec"] = round(time.perf_counter() - _t0, 3)
             _t0 = time.perf_counter()
 
-        assign_schema = "ordinal long, shard int"
+        # carry the embedding THROUGH assignment instead of joining it
+        # back afterwards: build_shard needs only (ordinal, embedding), so
+        # emitting both here turns [mapInPandas → shuffle-join pts →
+        # shuffle groupBy(shard)] into [mapInPandas → shuffle
+        # groupBy(shard)] — one full shuffle of the point set saved
+        assign_schema = "ordinal long, shard int, embedding array<float>"
         ell = min(params.shard_overlap, S)
 
         def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -231,16 +236,21 @@ class VamanaIndex:
                     {
                         "ordinal": np.repeat(pdf["ordinal"].to_numpy(), ell),
                         "shard": near.ravel().astype(np.int32),
+                        "embedding": pdf["embedding"].to_numpy().repeat(ell),
                     }
                 )
                 yield out
 
-        assignments = pts.select("ordinal", "embedding").mapInPandas(
+        sharded = pts.select("ordinal", "embedding").mapInPandas(
             assign, schema=assign_schema
         )
-        sharded = assignments.join(pts, "ordinal")  # ordinal, shard, vec_id, embedding
 
-        edge_schema = "src long, dst long"
+        # per-node adjacency ARRAYS, not exploded (src, dst) pairs: the
+        # merge shuffle then moves n*overlap array rows instead of
+        # n*overlap*R scalar rows (~16x fewer rows for R=32), and the
+        # downstream merge is a cheap flatten instead of a million-row
+        # collect_set
+        edge_schema = "src long, dsts array<long>"
         R, L, alpha, seed, metric = params.R, params.L, params.alpha, params.seed, params.metric
         mips_m = params.mips_m
 
@@ -253,15 +263,12 @@ class VamanaIndex:
                 graph, _ = kernels.build_vamana_dense(P, R, alpha, seed + int(key[0]))
             else:
                 graph, _ = kernels.build_vamana(P, R, L, alpha, seed + int(key[0]))
-            src = np.concatenate(
-                [np.full(len(g), ords[i], dtype=np.int64) for i, g in enumerate(graph)]
-            ) if graph else np.array([], dtype=np.int64)
-            dst = (
-                np.concatenate([ords[np.asarray(g, dtype=np.int64)] for g in graph])
-                if graph
-                else np.array([], dtype=np.int64)
+            return pd.DataFrame(
+                {
+                    "src": ords,
+                    "dsts": [ords[np.asarray(g, dtype=np.int64)] for g in graph],
+                }
             )
-            return pd.DataFrame({"src": src, "dst": dst})
 
         edges = sharded.groupBy("shard").applyInPandas(build_shard, schema=edge_schema)
         if phase_timings is not None:
@@ -277,9 +284,11 @@ class VamanaIndex:
         # paper prune over their merged candidate set.
         prune_schema = "ordinal long, neighbors array<long>"
         alpha_f = float(params.alpha)
-        # ONE narrow shuffle on (src, dst) ints; collect_set dedups the
-        # overlap-shard duplicates without a separate distinct pass
-        agg = edges.groupBy("src").agg(F.collect_set("dst").alias("dsts"))
+        # ONE narrow shuffle of per-node arrays; flatten+distinct merges
+        # the overlap-shard duplicates without a row-per-edge explosion
+        agg = edges.groupBy("src").agg(
+            F.array_distinct(F.flatten(F.collect_list("dsts"))).alias("dsts")
+        )
 
         n_total = pts.count()
         if n_total * params.dim * 4 <= VamanaIndex.BROADCAST_TIER_MAX_BYTES:
