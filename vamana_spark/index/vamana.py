@@ -119,8 +119,10 @@ class VamanaIndex:
             F.col(vec_col).alias("embedding"),
         ).where(F.size(vec_col) == params.dim)  # dimension validation (§1.2)
         if params.max_points:
-            pts = pts.limit(params.max_points)
-        pts = assign_ordinals(pts, "vec_id", "ordinal")
+            # deterministic capacity cap: plain limit() can pick different
+            # rows on re-evaluation, and pts is evaluated more than once
+            # (kernel pull + lazy points_df)
+            pts = pts.orderBy("vec_id").limit(params.max_points)
         if params.metric == "ip" and params.mips_m is None:
             from vamana_spark.functions.vector import l2_norm
 
@@ -138,16 +140,28 @@ class VamanaIndex:
                 params.num_shards = max(2, -(-n_est // DENSE_BUILD_MAX))
             else:
                 return VamanaIndex._build_single(spark, pts, params)
+        # sharded tier: ordinals assigned distributedly (partition-offset
+        # scheme — no single-task global window)
+        pts = assign_ordinals(pts, "vec_id", "ordinal")
         return VamanaIndex._build_sharded(spark, pts, params, phase_timings)
 
     @staticmethod
     def _build_single(spark, pts: DataFrame, params: VamanaParams) -> "VamanaIndex":
-        pdf = pts.orderBy("ordinal").toPandas()
+        """Single-kernel tier. The whole point set comes to the driver
+        anyway (guarded upstream), so ordinals are assigned HERE — a
+        pandas sort + arange — instead of paying assign_ordinals' three
+        distributed jobs (range shuffle, count, offset pass) for data
+        that fits in one process. The (vec_id, ordinal) map rides back
+        out as a broadcast-joined mapping, so points_df keeps the exact
+        schema and semantics of the sharded tier."""
+        pdf = pts.toPandas()
         if pdf.empty:
             raise ValueError(
                 "VamanaIndex.build: no input rows (after dimension filter "
                 f"size(embedding) == {params.dim})"
             )
+        pdf = pdf.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+        pdf["ordinal"] = np.arange(len(pdf), dtype=np.int64)
         P = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
         P = _metric_transform(P, params.metric, params.mips_m)
         graph, medoid = _build_graph_kernel(P, params)
@@ -156,7 +170,12 @@ class VamanaIndex:
         # plain-Python values: robust whether or not Arrow conversion is on
         graph_rows = [(i, [int(x) for x in g]) for i, g in enumerate(graph)]
         graph_df = spark.createDataFrame(graph_rows, "ordinal long, neighbors array<long>")
-        points_df = pts.select("vec_id", "ordinal", "embedding")
+        ord_map = spark.createDataFrame(
+            pdf[["vec_id", "ordinal"]], "vec_id long, ordinal long"
+        )
+        points_df = pts.join(F.broadcast(ord_map), "vec_id").select(
+            "vec_id", "ordinal", "embedding"
+        )
         return VamanaIndex(spark, params, points_df, graph_df)
 
     @staticmethod
