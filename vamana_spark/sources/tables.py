@@ -43,6 +43,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # Parquet timestamp[us] with isAdjustedToUTC=false → TIMESTAMP_NTZ;
             # exact under the UTC session tz set at session configure time
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if name == "embeddings":
+        # same schema-drift class as events.ts (the r3 breakage): if a
+        # data regeneration ships the vector as array<double> (or the id
+        # as int32), every downstream float32 kernel would throw — pin
+        # the logical types here, once
+        et = df.schema["embedding"].dataType
+        if isinstance(et, T.ArrayType) and not isinstance(
+            et.elementType, T.FloatType
+        ):
+            df = df.withColumn("embedding", F.col("embedding").cast("array<float>"))
+        if not isinstance(df.schema["vec_id"].dataType, T.LongType):
+            df = df.withColumn("vec_id", F.col("vec_id").cast("long"))
     return df
 
 
