@@ -57,6 +57,25 @@ def test_streaming_sessions_bounded_state(spark, events, stream_source):
         assert all((b - a).total_seconds() > 0 for a, b in zip(starts, starts[1:]))
 
 
+def test_streaming_sessions_match_batch(spark, events, stream_source):
+    """Stream session_window == batch gap-sessionize on a closed input:
+    same per-session (user, n_events, sum_value) multiset. (Boundary
+    semantics agree except at EXACTLY-gap spacing, which µs-precision
+    synthetic data doesn't hit.)"""
+    from vamana_spark.operators.events import session_stats
+
+    stream = read_events_stream(spark, stream_source)
+    out = run_to_completion(
+        streaming_session_stats(stream), "t_stream_sessions_parity"
+    ).collect()
+    got = sorted((r.user_id, r.n_events, r.sum_value) for r in out)
+    want = sorted(
+        (r.user_id, r.n_events, r.sum_value)
+        for r in session_stats(events, 30).collect()
+    )
+    assert got == want
+
+
 def test_stateful_running_totals(spark, events, stream_source, tmp_path):
     """applyInPandasWithState accumulates across micro-batches; final
     per-user totals equal the batch aggregate."""
