@@ -462,6 +462,10 @@ def minhash_lsh_candidates(
             )
         ).alias("band_id", "band_hash"),
     )
+    # banded feeds FIVE downstream branches (overfull agg, small-pair a/b
+    # sides, over-cap reps/members) — without a persist each branch
+    # replays the per-doc signature UDF; 2 longs + id per row, tiny
+    banded = banded.persist()
     return _banded_pairs_capped(
         banded, ["band_id", "band_hash"], id_col, max_bucket_size=max_bucket_size
     )
@@ -683,8 +687,14 @@ def simhash_near_dups(
             )
         ).alias("band_id", "band_val"),
     )
+    # persist: _banded_pairs_capped reads this five ways (see the MinHash
+    # analogue) — without it each branch replays the token explode +
+    # 64-column vote aggregation
+    banded = banded.select(
+        id_col, F.col("simhash").alias("sig"), "band_id", "band_val"
+    ).persist()
     cand = _banded_pairs_capped(
-        banded.select(id_col, F.col("simhash").alias("sig"), "band_id", "band_val"),
+        banded,
         ["band_id", "band_val"],
         id_col,
         payload_cols=("sig",),
