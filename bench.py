@@ -99,8 +99,8 @@ def _scale_25k_block(spark) -> dict:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     ).cache()
     n_all = allq.count()
-    search_sec = float("inf")  # best-of-2, same policy as timed()
-    for _ in range(2):
+    search_sec = float("inf")  # best-of-3 (headline number, noisy box)
+    for _ in range(3):
         t0 = time.perf_counter()
         idx.search(allq, k=10).count()
         search_sec = min(search_sec, time.perf_counter() - t0)
@@ -209,7 +209,13 @@ def _query_mix(timings: dict, extra: dict) -> None:
                 )
             big = big.cache()
             n_big = big.count()
-            timed("ann_search_sustained", lambda: idx.search(big, k=10).count())
+            # reps=3: this is the headline qps number and the box has
+            # ±50% run-to-run noise — one more rep stabilizes the min
+            timed(
+                "ann_search_sustained",
+                lambda: idx.search(big, k=10).count(),
+                reps=3,
+            )
             if timings.get("ann_search_sustained"):
                 extra["ann_qps_sustained"] = round(
                     n_big / timings["ann_search_sustained"], 2
