@@ -413,9 +413,11 @@ def robust_prune_gather(
         Vsq = np.einsum("ijk,ijk->ij", V, V).astype(np.float64)
         pvec = P[node_ids[s:e]]                            # (b, dim)
         psq = np.einsum("ij,ij->i", pvec, pvec).astype(np.float64)
-        d_p = psq[:, None] + Vsq - 2.0 * np.einsum(
-            "ik,ijk->ij", pvec, V, optimize=True
-        )
+        # batched gemv via matmul (BLAS) — measurably faster than the
+        # equivalent einsum for this (b, C, dim) x (b, dim) contraction
+        d_p = psq[:, None] + Vsq - 2.0 * np.matmul(
+            V, pvec[:, :, None]
+        )[:, :, 0]
         d_p[~valid] = np.inf
         order = np.argsort(d_p, axis=1, kind="stable")
         cc = np.take_along_axis(cc, order, axis=1)
@@ -449,7 +451,7 @@ def robust_prune_gather(
             d_star = (
                 Vsq[active, first][:, None]
                 + Vsq[active]
-                - 2.0 * np.einsum("ik,ijk->ij", sv, V[active], optimize=True)
+                - 2.0 * np.matmul(V[active], sv[:, :, None])[:, :, 0]
             )
             kill = (alpha * d_star <= d_p[active]) & alive[active]
             alive[active] &= ~kill
