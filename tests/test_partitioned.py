@@ -150,3 +150,40 @@ def test_delete_points_rebuilds_only_touched_shards(spark, embeddings, queries):
     truth = exact.exact_knn_batch(remaining, queries, k=10)
     r = quality.avg_recall(idx2.search(queries, k=10), truth, k=10)
     assert r >= 0.8, f"post-delete partitioned recall {r}"
+
+
+def test_pq_search_recall(pidx, embeddings, queries):
+    """ADC graph walk + exact re-rank: recall@10 >= 0.8 vs exact kNN
+    (the q_partitioned_pq invariant)."""
+    truth = exact.exact_knn(embeddings, queries, k=10)
+    approx = pidx.search_pq(queries, k=10, pq_m=8)
+    r = quality.avg_recall(approx, truth, k=10)
+    assert r >= 0.8, f"partitioned PQ recall@10 = {r}"
+
+
+def test_pq_pack_excludes_float_matrix(pidx):
+    """The beyond-RAM pack must hold codes, not the float32 points: the
+    pq blob for a shard is smaller than the flat blob. (ksub=16 here —
+    at test scale n ≈ ksub so a full 256-entry codebook would rival the
+    point matrix it replaces; at real shard sizes codes dominate.)"""
+    flat = {r.shard: len(r.blob) for r in pidx._packed_df("flat").collect()}
+    pq = {r.shard: len(r.blob) for r in pidx._packed_df("pq", 8, 16).collect()}
+    for s, fb in flat.items():
+        assert pq[s] < fb, (s, pq[s], fb)
+
+
+def test_search_plan_no_driver_collect_no_cross_product(pidx, queries):
+    """r4 verdict items 1-2: routing is an executor-side mapInPandas +
+    cogroup on the shard key — the plan has the CoGroup pandas operator
+    and no cartesian/nested-loop join anywhere."""
+    res = pidx.search(queries, k=5)
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        res.explain("formatted")
+    p = buf.getvalue()
+    assert "FlatMapCoGroupsInPandas" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p

@@ -761,3 +761,148 @@ def search_topk_batch(
         hops,
         comps,
     )
+
+
+def search_topk_batch_adc(
+    codes: np.ndarray,
+    cents: np.ndarray,
+    nbr_mat: np.ndarray,
+    medoid: int,
+    Q: np.ndarray,
+    k: int,
+    ef_search: int,
+    expand: int = 8,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Lockstep batched beam search where node distances come from PQ
+    codes via an asymmetric-distance (ADC) lookup table instead of the
+    full float matrix — the DiskANN beyond-RAM serving recipe the
+    reference's paper describes (readme.md:3; graph walk semantics as in
+    Search, vamana.h:492-546): the walk touches ONLY the codes
+    (``n*m`` bytes, ~``dim*4/m``× smaller than float32 points), and the
+    caller exact-re-ranks the returned shortlist from full vectors kept
+    at rest (parquet), never memory-resident.
+
+    ``codes``: (n, m) uint8 PQ codes; ``cents``: (m, ksub, dsub)
+    per-subspace codebooks; ``Q``: (nq, dim) raw query vectors (the LUT
+    is built here, once per call, per query).
+
+    Same lockstep/expand-B structure as ``search_topk_batch``'s bitmap
+    path; query batches larger than the bitmap budget are chunked (the
+    dataset is never chunked — shard size is the caller's memory unit).
+
+    Returns ``(row_idx, ids, adc_dists)`` flat top-k per query row
+    (ranks ascend within a row); distances are APPROXIMATE (ADC).
+    """
+    nq, dim = Q.shape
+    n = codes.shape[0]
+    if nq == 0 or n == 0:
+        z = np.array([], dtype=np.int64)
+        return z, z, np.array([], dtype=np.float64)
+    max_cells = 256_000_000
+    if nq * n > max_cells:
+        step = max(1, max_cells // max(n, 1))
+        rs, ids_, ds = [], [], []
+        for lo in range(0, nq, step):
+            r, i, d = search_topk_batch_adc(
+                codes, cents, nbr_mat, medoid, Q[lo : lo + step],
+                k, ef_search, expand,
+            )
+            rs.append(r + lo)
+            ids_.append(i)
+            ds.append(d)
+        return np.concatenate(rs), np.concatenate(ids_), np.concatenate(ds)
+
+    m, ksub, dsub = cents.shape
+    k = min(k, n)
+    ef = max(ef_search, k)
+    max_hops = 4 * ef + 8
+
+    # LUT[q, j, c] = ||Q[q, sub_j] - cents[j, c]||^2  (nq*m*ksub doubles)
+    Qd = Q.astype(np.float64, copy=False)
+    Cd = cents.astype(np.float64, copy=False)
+    lut = np.empty((nq, m, ksub))
+    for j in range(m):
+        sub = Qd[:, j * dsub : (j + 1) * dsub]
+        lut[:, j, :] = (
+            np.einsum("ij,ij->i", sub, sub)[:, None]
+            + np.einsum("ij,ij->i", Cd[j], Cd[j])[None, :]
+            - 2.0 * (sub @ Cd[j].T)
+        )
+    codes = np.ascontiguousarray(codes)
+    _jj = np.arange(m)
+
+    def adc(pts: np.ndarray, qrow: np.ndarray) -> np.ndarray:
+        # dist[t] = sum_j lut[qrow[t], j, codes[pts[t], j]]
+        return lut[qrow[:, None], _jj[None, :], codes[pts]].sum(axis=1)
+
+    beam_ids = np.full((nq, ef), -1, dtype=np.int64)
+    beam_d = np.full((nq, ef), np.inf)
+    beam_vis = np.zeros((nq, ef), dtype=bool)
+    arange_nq = np.arange(nq)
+    start_nodes = np.full(nq, int(medoid), dtype=np.int64)
+    beam_ids[:, 0] = start_nodes
+    beam_d[:, 0] = adc(start_nodes, arange_nq)
+    seen_map = np.zeros((nq, n), dtype=bool)
+    seen_map[arange_nq, start_nodes] = True
+    B = max(1, min(int(expand), ef))
+    Rmax = nbr_mat.shape[1]
+
+    for _hop in range(max_hops):
+        bd = np.where(beam_vis | (beam_ids < 0), np.inf, beam_d)
+        psel = (
+            np.argpartition(bd, B - 1, axis=1)[:, :B]
+            if bd.shape[1] > B
+            else np.broadcast_to(np.arange(bd.shape[1]), (nq, bd.shape[1]))
+        )
+        pdist = np.take_along_axis(bd, psel, axis=1)
+        emask = np.isfinite(pdist)
+        rows = np.flatnonzero(emask.any(axis=1))
+        if rows.size == 0:
+            break
+        ra = rows.size
+        width = psel.shape[1] * Rmax
+        cdm = np.full((ra, width), np.inf)
+        idm = np.full((ra, width), -1, dtype=np.int64)
+        rmask = emask[rows]
+        rsel = psel[rows]
+        for c in range(psel.shape[1]):
+            cm = rmask[:, c]
+            if not cm.any():
+                continue
+            ri = np.flatnonzero(cm)
+            erow = rows[ri]
+            eslot = rsel[ri, c]
+            cur = beam_ids[erow, eslot]
+            beam_vis[erow, eslot] = True
+            cand = nbr_mat[cur]
+            valid = cand >= 0
+            safe = np.clip(cand, 0, n - 1)
+            new = valid & ~seen_map[erow[:, None], safe]
+            fr, fc = np.nonzero(new)
+            pts, qrow = safe[fr, fc], erow[fr]
+            seen_map[qrow, pts] = True
+            cdm[ri[fr], c * Rmax + fc] = adc(pts, qrow)
+            idm[ri[fr], c * Rmax + fc] = pts
+        all_ids = np.concatenate([beam_ids[rows], idm], axis=1)
+        all_d = np.concatenate([beam_d[rows], cdm], axis=1)
+        all_vis = np.concatenate(
+            [beam_vis[rows], np.zeros((ra, width), dtype=bool)], axis=1
+        )
+        sel = np.argpartition(all_d, ef - 1, axis=1)[:, :ef]
+        beam_ids[rows] = np.take_along_axis(all_ids, sel, axis=1)
+        beam_d[rows] = np.take_along_axis(all_d, sel, axis=1)
+        beam_vis[rows] = np.take_along_axis(all_vis, sel, axis=1)
+
+    out_rows, out_ids, out_d = [], [], []
+    order_d = np.where(beam_ids < 0, np.inf, beam_d)
+    for r in range(nq):
+        o = np.lexsort((beam_ids[r], order_d[r]))
+        o = o[np.isfinite(order_d[r][o])][:k]
+        out_rows.append(np.full(o.size, r, dtype=np.int64))
+        out_ids.append(beam_ids[r][o])
+        out_d.append(beam_d[r][o])
+    return (
+        np.concatenate(out_rows) if out_rows else np.array([], dtype=np.int64),
+        np.concatenate(out_ids) if out_ids else np.array([], dtype=np.int64),
+        np.concatenate(out_d) if out_d else np.array([], dtype=np.float64),
+    )

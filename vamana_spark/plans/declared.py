@@ -1631,6 +1631,23 @@ def q_partitioned_recall(spark, sf_dir):
     )
 
 
+@declare("q_partitioned_pq")
+def q_partitioned_pq(spark, sf_dir):
+    """Beyond-RAM serving tier (DiskANN recipe, reference readme.md:3):
+    ADC beam search over per-shard PQ codes — shard tasks hold codes,
+    not the float matrix — with exact re-rank of the merged shortlist
+    from vectors at rest. ``ok`` embeds the recall@10 >= 0.8 gate vs
+    exact kNN (rows-only)."""
+    from vamana_spark import quality
+
+    pidx = _built_partitioned(spark, sf_dir)
+    e = _emb(spark, sf_dir)
+    q = _fixed_queries(e, 25)
+    return quality.recall_with_ok(
+        pidx.search_pq(q, k=10), exact.exact_knn(e, q, k=10), k=10
+    )
+
+
 @declare("q_index_append")
 def q_index_append(spark, sf_dir):
     """Incremental maintenance (reference AddPoint-after-build,
