@@ -220,18 +220,56 @@ def _query_mix(timings: dict, extra: dict) -> None:
                 extra["ann_qps_sustained"] = round(
                     n_big / timings["ann_search_sustained"], 2
                 )
+            # --- partitioned serving tier (the 100x scale path), benched
+            # every round so it stays bench-visible (r4 verdict #8) —
+            # same query load as ann_search_sustained for a fair qps bar
+            from vamana_spark.index.partitioned import PartitionedVamanaIndex
+
+            def build_pidx():
+                pparams = VamanaParams(
+                    dim=64, alpha=1.2, R=32, L=64, ef_search=100, seed=42
+                )
+                return PartitionedVamanaIndex.build(
+                    spark, emb, pparams, num_shards=8
+                )
+
+            pidx = timed("partitioned_build", build_pidx, reps=1)
+            if pidx is not None:
+                pidx.shards_df = pidx.shards_df.cache()
+                pidx.search(allq.limit(5), k=10).count()  # warm pack+workers
+                timed(
+                    "partitioned_search",
+                    lambda: pidx.search(big, k=10).count(),
+                    reps=3,
+                )
+                if timings.get("partitioned_search"):
+                    extra["partitioned_qps_sustained"] = round(
+                        n_big / timings["partitioned_search"], 2
+                    )
+                pidx.search_pq(allq.limit(5), k=10).count()  # warm pq pack
+                timed(
+                    "partitioned_pq_search",
+                    lambda: pidx.search_pq(big, k=10).count(),
+                    reps=3,
+                )
+                if timings.get("partitioned_pq_search"):
+                    extra["partitioned_pq_qps_sustained"] = round(
+                        n_big / timings["partitioned_pq_search"], 2
+                    )
+                pidx.unpersist_packed()
+                pidx.shards_df.unpersist()
             big.unpersist()
             approx = idx.search(queries, k=10).cache()
             timed("ann_search_fixed", lambda: approx.count())
-            truth = timed(
-                "knn_exact", lambda: exact.exact_knn(emb, queries, k=10).cache()
+            # time the real scan work each rep (ADVICE r4: the old lambda only
+            # built the lazy plan); the cached copy below is for recall only
+            timed("knn_exact", lambda: exact.exact_knn(emb, queries, k=10).count())
+            truth = exact.exact_knn(emb, queries, k=10).cache()
+            truth.count()
+            extra["recall_at_10"] = round(
+                quality.avg_recall(approx, truth, k=10), 4
             )
-            if truth is not None:
-                truth.count()
-                extra["recall_at_10"] = round(
-                    quality.avg_recall(approx, truth, k=10), 4
-                )
-                truth.unpersist()
+            truth.unpersist()
             approx.unpersist()
             if timings.get("ann_search_full"):
                 extra["ann_qps"] = round(n_vec / timings["ann_search_full"], 2)

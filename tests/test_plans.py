@@ -254,3 +254,17 @@ def test_repetition_stats_groups_have_partials(spark, sf_dir):
     p = plan(DD.QUERIES["q_repetition_stats"](spark, sf_dir))
     assert "partial" in p.lower(), p
     assert "CartesianProduct" not in p, p
+
+
+def test_embedding_near_dups_auto_routes_past_size_guard(spark, sf_dir):
+    """r4 verdict #3: above max_exact_rows the operator must switch to
+    LSH blocking (equi-join on band value) — no cartesian product; below
+    it the exact all-pairs form remains for oracle parity."""
+    emb = D._emb(spark, sf_dir)
+    big = plan(dedup.embedding_near_dups(emb, threshold=0.9, max_exact_rows=10))
+    assert "CartesianProduct" not in big, big
+    assert "BroadcastNestedLoopJoin" not in big, big
+    small = plan(
+        dedup.embedding_near_dups(emb, threshold=0.9, max_exact_rows=10**9)
+    )
+    assert "BroadcastNestedLoopJoin" in small or "CartesianProduct" in small, small

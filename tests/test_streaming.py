@@ -162,3 +162,102 @@ def test_streaming_ann_search_matches_batch(spark, embeddings, tmp_path):
     got = sorted(((r.query_id, r.rank, r.vec_id) for r in out.collect()))
     want = sorted(((r.query_id, r.rank, r.vec_id) for r in batch.collect()))
     assert got == want and got
+
+
+def test_streaming_minhash_dedup_matches_batch(spark, documents, tmp_path):
+    """Near-dup dedup parity on a closed input: the streaming banded
+    first-writer-wins semantics == the batch analogue (winner per LSH
+    bucket = min (ts, doc_id); survivor = won every band).
+
+    Input is ONE sorted single-partition file per micro-batch so the
+    stream's first-processed == min-(ts, doc_id) — making the streaming
+    result deterministic and batch-comparable."""
+    from pyspark.sql import Window
+
+    from vamana_spark.operators.dedup import (
+        _shingle_udf,
+        _signature_udf,
+        band_hash_array,
+    )
+    from vamana_spark.streaming.dedup import streaming_minhash_dedup
+
+    base = (
+        documents.select("doc_id", "text")
+        .where(F.col("doc_id") < 60)
+        .withColumn(
+            "ts",
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")) +
+            F.make_interval(secs=F.col("doc_id").cast("double")),
+        )
+    )
+    # near-dup copies: same text, new ids, 2 minutes later (inside the
+    # watermark horizon) — every copy must be dropped
+    dups = (
+        base.where(F.col("doc_id") % 3 == 0)
+        .select(
+            (F.col("doc_id") + 10_000).alias("doc_id"),
+            "text",
+            (F.col("ts") + F.expr("INTERVAL 2 MINUTES")).alias("ts"),
+        )
+    )
+    # sentinel far in the future: advances the watermark so the final
+    # no-data batch flushes every closed window before termination
+    sentinel = spark.createDataFrame(
+        [(99_999, "sentinel flush document with enough words to shingle")],
+        "doc_id long, text string",
+    ).withColumn("ts", F.to_timestamp(F.lit("2024-06-01 00:00:00")))
+
+    d = str(tmp_path / "docs_stream")
+    allrows = base.unionByName(dups).unionByName(sentinel)
+    allrows.coalesce(1).sortWithinPartitions("ts", "doc_id").write.mode(
+        "overwrite"
+    ).parquet(d)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .format("parquet")
+        .load(d)
+    )
+    q = (
+        streaming_minhash_dedup(
+            stream, watermark="30 minutes", window="1 minute", bands=16
+        )
+        .writeStream.format("memory")
+        .queryName("t_stream_minhash")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_minhash"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.doc_id for r in spark.table("t_stream_minhash").collect()}
+
+    # batch analogue of the same semantics
+    sigs = allrows.select(
+        "doc_id",
+        "ts",
+        _signature_udf(64)(_shingle_udf(3)(F.col("text"))).alias("minhash"),
+    )
+    banded = sigs.select(
+        "doc_id",
+        "ts",
+        F.posexplode(band_hash_array("minhash", 64, 16)).alias(
+            "band_id", "band_hash"
+        ),
+    )
+    w = Window.partitionBy("band_id", "band_hash").orderBy("ts", "doc_id")
+    winners = banded.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    want = {
+        r.doc_id
+        for r in winners.groupBy("doc_id")
+        .agg(F.count("*").alias("won"))
+        .where(F.col("won") == 16)
+        .collect()
+        if r.doc_id != 99_999  # sentinel's window never closes in-stream
+    }
+    assert 99_999 not in got
+    assert got == want, (sorted(got - want), sorted(want - got))
+    # and the operator actually dropped every injected near-dup copy
+    assert not any(d >= 10_000 for d in got)

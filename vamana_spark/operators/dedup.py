@@ -355,6 +355,29 @@ def minhash_signatures(
     return mins.select(F.col(id_col), sig.alias("minhash"))
 
 
+def band_hash_array(minhash_col: str, num_hashes: int, bands: int):
+    """array<long>[bands]: xxhash64 of each band's signature slice —
+    the LSH bucket keys. A pure column expression (stateless), so the
+    same banding serves the batch candidate join AND the streaming
+    dedup state key (streaming/dedup.streaming_minhash_dedup)."""
+    assert num_hashes % bands == 0
+    rpb = num_hashes // bands
+    return F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(minhash_col)[b * rpb + r].cast("string")
+                        for r in range(rpb)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def _banded_pairs_capped(
     banded: DataFrame,
     band_keys: list,
@@ -445,26 +468,16 @@ def minhash_lsh_candidates(
     )
     banded = sigs.select(
         F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("minhash")[b * rows_per_band + r].cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_id", "band_hash"),
+        F.posexplode(band_hash_array("minhash", num_hashes, bands)).alias(
+            "band_id", "band_hash"
+        ),
     )
     # banded feeds FIVE downstream branches (overfull agg, small-pair a/b
     # sides, over-cap reps/members) — without a persist each branch
-    # replays the per-doc signature UDF; 2 longs + id per row, tiny
+    # replays the per-doc signature UDF; 2 longs + id per row, tiny.
+    # Cache ownership: these blocks live until the session ends (or
+    # spark.catalog.clearCache()) — callers running many dedup passes in
+    # one long-lived session own that cleanup (ADVICE r4).
     banded = banded.persist()
     return _banded_pairs_capped(
         banded, ["band_id", "band_hash"], id_col, max_bucket_size=max_bucket_size
@@ -712,14 +725,39 @@ def embedding_near_dups(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_exact_rows: int = 100_000,
+    lsh_num_planes: int = 16,
+    lsh_bands: int = 4,
 ) -> DataFrame:
     """Pairs of vectors with cosine similarity >= threshold.
 
-    Exact all-pairs form (broadcast self-join) for modest n / oracle
-    parity; at scale, route through VamanaIndex.search or LSH blocking
-    (similarity.lsh_similarity_join) instead of the cross product.
+    Auto-tiered (r4 verdict #3, same pattern as the index build guard,
+    vamana.py auto-tier): at or below ``max_exact_rows`` the exact
+    all-pairs broadcast self-join runs (oracle parity — every true pair
+    emitted); above it the plan switches to random-hyperplane LSH
+    blocking (equi-join on band value, ``similarity.lsh_similarity_join``)
+    with exact cosine verification on candidates only — no cross
+    product at scale, at the standard LSH recall trade (a true pair
+    colliding in no band is missed; plane/band counts tune that).
     """
     from vamana_spark.functions.vector import cosine_distance
+
+    if emb.count() > max_exact_rows:
+        from vamana_spark.operators.similarity import lsh_similarity_join
+
+        cand = lsh_similarity_join(
+            emb,
+            num_planes=lsh_num_planes,
+            bands=lsh_bands,
+            max_cosine_dist=1.0 - threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        return cand.select(
+            "a_id",
+            "b_id",
+            F.round(F.lit(1.0) - F.col("cos_dist"), 4).alias("cosine_sim"),
+        ).where(F.col("cosine_sim") >= threshold)
 
     a = emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_v"))
     b = emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_v"))

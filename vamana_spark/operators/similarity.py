@@ -72,9 +72,16 @@ def ivf_build(
     iters: int = 5,
 ) -> DataFrame:
     """IVF coarse quantizer: Lloyd's k-means (seeded, few iters) run as
-    repeated mapInPandas-assign + groupBy-centroid-update; returns the
-    assignment DataFrame (vec_id, list_id) and stashes centers in
-    ``.attrs``-style return (centers as a local ndarray on the driver).
+    repeated mapInPandas passes; returns the assignment DataFrame
+    (vec_id, list_id) and stashes centers in ``.attrs``-style return
+    (centers as a local ndarray on the driver).
+
+    Centroid update shape (r4 verdict #5): each Lloyd pass fuses assign
+    + per-list (sum-vector, count) partials INSIDE the one mapInPandas
+    over the data — what reaches the driver is ``num_lists`` rows per
+    partition (a few KB), reduced in numpy. No join-back, no
+    ``posexplode`` of the full dataset, zero shuffles per iteration —
+    vs the old plan's full-data join + dim×n-row shuffle, ×iters.
 
     The assignment join key (list_id) is what kills the cross product at
     scale: probing c of C lists scans ~n*c/C vectors.
@@ -91,37 +98,41 @@ def ivf_build(
     for _ in range(iters):
         bc = spark.sparkContext.broadcast(C)
 
-        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             Cv = bc.value
+            k_, d_ = Cv.shape
+            S = np.zeros((k_, d_))
+            cnt = np.zeros(k_, dtype=np.int64)
             for pdf in batches:
                 if pdf.empty:
                     continue
                 X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-                d = exact._dist_matrix(X, Cv, "l2sq")
-                out = pd.DataFrame(
+                a = exact._dist_matrix(X, Cv, "l2sq").argmin(axis=1)
+                for j in np.unique(a):
+                    S[j] += X[a == j].sum(axis=0)
+                cnt += np.bincount(a, minlength=k_)
+            nz = np.flatnonzero(cnt)
+            if nz.size:
+                yield pd.DataFrame(
                     {
-                        "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
-                        "list_id": d.argmin(axis=1).astype(np.int32),
+                        "list_id": nz.astype(np.int32),
+                        "cnt": cnt[nz],
+                        "vsum": list(S[nz]),
                     }
                 )
-                yield out
 
-        assigned = emb.select(id_col, vec_col).mapInPandas(
-            assign, schema="vec_id long, list_id int"
-        )
-        # centroid update: posexplode + groupBy(list_id, pos) — map-side partials
         upd = (
-            assigned.join(
-                emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")),
-                "vec_id",
-            )
-            .select("list_id", F.posexplode("_v").alias("pos", "v"))
-            .groupBy("list_id", "pos")
-            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            emb.select(vec_col)
+            .mapInPandas(partials, schema="list_id int, cnt long, vsum array<double>")
             .toPandas()
         )
-        for lid, grp in upd.groupby("list_id"):
-            C[int(lid)] = grp.sort_values("pos")["m"].to_numpy()
+        S = np.zeros_like(C)
+        cnt = np.zeros(num_lists, dtype=np.int64)
+        for lid, c_, vs in zip(upd["list_id"], upd["cnt"], upd["vsum"]):
+            S[int(lid)] += np.asarray(vs, dtype=np.float64)
+            cnt[int(lid)] += int(c_)
+        nz = cnt > 0
+        C[nz] = S[nz] / cnt[nz, None]  # empty lists keep their old center
 
     bc = spark.sparkContext.broadcast(C)
 

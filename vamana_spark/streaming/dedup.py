@@ -41,3 +41,75 @@ def streaming_content_dedup(
         .dropDuplicatesWithinWatermark(["_ck"])
         .drop("_ck")
     )
+
+
+def streaming_minhash_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    window: str = "10 minutes",
+) -> DataFrame:
+    """NEAR-dup dedup on a document stream — banded MinHash with
+    first-writer-wins LSH buckets (r4 verdict #7).
+
+    Stages:
+    1. stateless — per-row MinHash signature (the same Arrow UDFs the
+       batch operator uses, operators/dedup.py) exploded into ``bands``
+       LSH bucket keys per doc;
+    2. stateful — ``dropDuplicatesWithinWatermark`` on (band_id,
+       band_hash): the first doc to write an LSH bucket within the
+       watermark horizon owns it; state is one entry per distinct
+       bucket per horizon (bounded, like the exact dedup above);
+    3. stateful — a doc SURVIVES iff it won ALL its bands: losing any
+       band means an in-horizon predecessor collided there — an LSH
+       near-dup candidate — so the doc is dropped. Candidate==dup is
+       the streaming trade: the batch operator re-verifies candidates
+       with exact Jaccard (a join), which an unbounded stream can't
+       afford; band/hash counts tune the false-positive rate instead.
+
+    Chained stateful operators run in append mode (Spark >= 3.5); the
+    survivors aggregate is keyed by (event-time window, doc), so rows
+    emit once the watermark passes their window.
+
+    Returns (doc_id, window_start, bands_won) for surviving docs.
+    """
+    from vamana_spark.operators.dedup import (
+        _shingle_udf,
+        _signature_udf,
+        band_hash_array,
+    )
+
+    sigs = docs.select(
+        F.col(id_col),
+        F.col(ts_col),
+        _signature_udf(num_hashes)(
+            _shingle_udf(shingle_n)(F.col(text_col))
+        ).alias("minhash"),
+    )
+    banded = sigs.select(
+        id_col,
+        ts_col,
+        F.posexplode(band_hash_array("minhash", num_hashes, bands)).alias(
+            "band_id", "band_hash"
+        ),
+    )
+    winners = banded.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["band_id", "band_hash"]
+    )
+    return (
+        winners.groupBy(F.window(ts_col, window).alias("w"), F.col(id_col))
+        .agg(F.count("*").cast("int").alias("bands_won"))
+        .where(F.col("bands_won") == bands)
+        .select(
+            F.col(id_col),
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "bands_won",
+        )
+    )
