@@ -1827,28 +1827,30 @@ def q_graph_reachability(spark, sf_dir):
 # covered by the local bit-strict parity suite, tests/test_oracle_parity
 # .py, every round).
 #
-# Round-4 window (50): the 2 X7 regression proofs (NTZ fix), the 35
-# never-driver-run queries, the 10 last seen in r1 (TPC-H classics +
-# media), and 3 always-on canaries.
+# Round-5 window (49): the 45 queries whose most recent driver row is
+# r03 (they became the >= 2-rounds-stale set once r04 verified the other
+# window), the new never-driver-run q_partitioned_pq, and the 3 always-on
+# canaries. The entire r04-green window rotates to the back (still
+# covered every round by the local bit-strict parity suite,
+# tests/test_oracle_parity.py).
 _ROTATION_FRONT = [
-    # X7 regression proofs (broken in r3 by TIMESTAMP_NTZ drift)
-    "q_sessionize", "q_session_stats",
-    # never driver-run as of r3
-    "q_rollup_revenue", "q_cube_counts", "q_anti_join", "q_semi_join",
-    "q_intersect_buyers", "q_except_buyers", "q_string_funcs",
-    "q_date_funcs", "q_pivot_priority", "q_window_funcs", "q_json_extract",
-    "q_distinct_users", "q_approx_distinct", "q_percentiles",
-    "q_array_funcs", "q_asof_join", "q_shipping_priority", "q_custdist",
-    "q_promo_revenue", "q_large_orders", "q_idle_rich_customers",
-    "q_nation_trade_volume", "q_forecast_revenue", "q_returned_items",
-    "q_top_supplier", "q_small_qty_revenue", "q_discounted_revenue",
-    "q_partitioned_ann", "q_partitioned_recall", "q_index_append",
-    "q_index_delete", "q_knn_join_topk", "q_events_window", "q_knn_ip",
-    "q_graph_reachability",
-    # last driver row r1 (>= 2 rounds stale)
-    "q_tpch_pricing", "q_tpch_join_agg", "q_top_customers",
-    "q_order_priority", "q_part_supplier_volume", "q_regional_revenue",
-    "q_media_meta", "q_media_decode", "q_media_frames", "q_media_features",
+    # last driver row r03 — now the stale set
+    "q_get_point", "q_distance_pair", "q_knn_batch",
+    "q_1nn_start_resolution", "q_medoid_exact", "q_knn_cosine",
+    "q_vector_norms", "q_degree_stats", "q_ann_search", "q_range_search",
+    "q_filtered_knn", "q_ann_filtered", "q_recall_at_k",
+    "q_ip_graph_recall", "q_ivf_topk", "q_lsh_join", "q_minhash_pairs",
+    "q_simhash_near_dups", "q_dup_groups", "q_text_stats",
+    "q_grouped_text_stats", "q_language_id", "q_fingerprint",
+    "q_quality_score", "q_unigram_logprob", "q_repetition_stats",
+    "q_token_entropy", "q_token_chunks", "q_random_vectors",
+    "q_token_histogram", "q_tfidf_top_terms", "q_ngram_jaccard",
+    "q_dup_clusters", "q_corpus_dedup", "q_stratified_sample",
+    "q_train_test_split", "q_contamination", "q_weighted_sample",
+    "q_embedding_near_dups", "q_scalar_quantize", "q_sq_knn", "q_pq_knn",
+    "q_ivfpq_knn", "q_events_hourly", "q_top_users",
+    # new this round, never driver-run
+    "q_partitioned_pq",
     # canaries (core surface, cheap, always verified)
     "q_scan_embeddings", "q_knn_exact", "q_dedup_exact",
 ]
