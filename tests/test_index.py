@@ -188,7 +188,10 @@ def test_ip_metric_index_recall(spark, embeddings, queries):
         dim=64, alpha=1.2, R=32, L=64, ef_search=96, seed=42, metric="ip"
     )
     idx = VamanaIndex.build(spark, embeddings, params)
-    assert params.mips_m is not None and params.mips_m > 0
+    # build never mutates the caller's params (ADVICE r4); the filled
+    # copy rides on the index
+    assert params.mips_m is None
+    assert idx.params.mips_m is not None and idx.params.mips_m > 0
     truth = exact.exact_knn(embeddings, queries, k=10, metric="ip")
     got = idx.search(queries, k=10)
     r = quality.avg_recall(got, truth, k=10)
@@ -298,7 +301,8 @@ def test_build_auto_shards_over_broadcast_ceiling(spark, embeddings, monkeypatch
     p = VamanaParams(dim=64, alpha=1.2, R=16, L=32, ef_search=48, seed=42)
     assert p.num_shards == 1
     idx = VamanaIndex.build(spark, embeddings, p)
-    assert p.num_shards > 1  # guard rewrote the tier
+    assert p.num_shards == 1  # caller's params untouched (ADVICE r4)
+    assert idx.params.num_shards > 1  # guard rewrote the tier on the copy
     hc = idx.health_check()
     assert hc["ok"], hc
     idx.release()

@@ -581,8 +581,10 @@ def search_topk_batch(
     nearest UNVISITED beam entries per query instead of one — the beam
     converges in ~ef/expand Python iterations instead of ~ef, cutting
     interpreter+argpartition overhead ~expand× for the same total
-    distance work. Exploration is a superset of single-expansion, so the
-    visited set (and therefore recall) can only match or improve; the
+    distance work. Expanding B entries changes beam eviction order, so
+    the visited set is not a strict superset of single-expansion;
+    recall is empirically equal-or-better at the tested operating
+    points (the recall gate tests are the actual guarantee). The
     result is still the top-k of the ef best visited nodes.
 
     Returns (row_idx, ids, dists, hops, dist_comps): flat top-k results,

@@ -158,6 +158,11 @@ class PartitionedVamanaIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
     ) -> "PartitionedVamanaIndex":
+        import dataclasses
+
+        # never mutate the caller's params (ADVICE r4, same as
+        # VamanaIndex.build): the copy carries n/num_shards on the index
+        params = dataclasses.replace(params)
         params.validate()
         pts = df.select(
             F.col(id_col).cast("long").alias("vec_id"),

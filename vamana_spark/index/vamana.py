@@ -112,7 +112,15 @@ class VamanaIndex:
         ``phase_timings``: optional dict the sharded builder fills with
         per-phase wall seconds (diagnostic; forces an extra edge
         materialization, so don't pass it on the timed path).
+
+        The caller's ``params`` is never mutated (ADVICE r4): build
+        works on a copy — the auto-tier guard rewrites num_shards, and
+        build fills n/medoid/mips_m — and the copy rides on the
+        returned index (``index.params``).
         """
+        import dataclasses
+
+        params = dataclasses.replace(params)
         params.validate()
         pts = df.select(
             F.col(id_col).cast("long").alias("vec_id"),

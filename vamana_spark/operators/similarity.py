@@ -169,25 +169,40 @@ def ivf_topk(
 ) -> DataFrame:
     """Approximate top-k: probe the ``nprobe`` nearest IVF lists per query.
 
-    Plan: queries×lists assignment is computed driver-side against the
-    (tiny) center matrix; the candidate scan is an equi-join on list_id
-    followed by the same partial-top-k merge as exact_knn_batch — no
-    cross product, shuffle carries only candidate rows.
+    Plan: queries×lists probe assignment is a ``mapInPandas`` against
+    the broadcast (tiny) center matrix — executor-side, so the query
+    stream never collects to the driver (same fix class as the
+    partitioned index's ``_route``, r4 verdict #2); the candidate scan
+    is an equi-join on list_id followed by the same partial-top-k merge
+    as exact_knn_batch — no cross product, shuffle carries only
+    candidate rows.
     """
     spark = emb.sparkSession
     assignments = ivf_build(emb, num_lists, id_col, vec_col, seed)
     C = assignments._ivf_centers
 
-    qrows = queries.select("query_id", "query_vec").toPandas()
-    Q = np.stack(qrows["query_vec"].to_numpy()).astype(np.float64)
-    qd = exact._dist_matrix(Q, C, "l2sq")
-    probe = np.argsort(qd, axis=1)[:, :nprobe]
-    probe_rows = [
-        (int(qid), int(lid))
-        for qid, lids in zip(qrows["query_id"].to_numpy(dtype=np.int64), probe)
-        for lid in lids
-    ]
-    probes = spark.createDataFrame(probe_rows, "query_id long, list_id int")
+    bcC = spark.sparkContext.broadcast(C)
+    take = int(min(nprobe, C.shape[0]))
+
+    def route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Cv = bcC.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = np.stack(pdf["query_vec"].to_numpy()).astype(np.float64)
+            qd = exact._dist_matrix(Q, Cv, "l2sq")
+            if take >= Cv.shape[0]:
+                pr = np.broadcast_to(np.arange(Cv.shape[0]), qd.shape)
+            else:
+                pr = np.argpartition(qd, take - 1, axis=1)[:, :take]
+            rep = np.repeat(pdf["query_id"].to_numpy(dtype=np.int64), take)
+            yield pd.DataFrame(
+                {"query_id": rep, "list_id": np.asarray(pr).ravel().astype(np.int32)}
+            )
+
+    probes = queries.select("query_id", "query_vec").mapInPandas(
+        route, schema="query_id long, list_id int"
+    )
 
     cands = (
         assignments.join(F.broadcast(probes), "list_id")
