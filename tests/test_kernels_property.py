@@ -138,3 +138,102 @@ def test_beam_build_recall_small():
         hits += len(set(rid[rq == r].tolist()) & truth)
     recall = hits / (len(Q) * 10)
     assert recall >= 0.8, recall
+
+
+def _toy_pq(P, m, seed=0):
+    """Shard-local PQ artifacts for a point matrix (ksub=min(16, n))."""
+    from vamana_spark.operators.quantization import _kmeans
+
+    n, dim = P.shape
+    dsub = dim // m
+    ksub = min(16, n)
+    X = P.astype(np.float64)
+    cents = np.stack(
+        [_kmeans(X[:, j * dsub : (j + 1) * dsub], ksub, seed + j, 5) for j in range(m)]
+    ).astype(np.float32)
+    codes = np.empty((n, m), dtype=np.uint8)
+    for j in range(m):
+        sub = X[:, j * dsub : (j + 1) * dsub]
+        Cj = cents[j].astype(np.float64)
+        d = (
+            (sub * sub).sum(1)[:, None]
+            + (Cj * Cj).sum(1)[None, :]
+            - 2.0 * (sub @ Cj.T)
+        )
+        codes[:, j] = d.argmin(axis=1)
+    return codes, cents
+
+
+def _adc_brute(codes, cents, Q):
+    """dist[q, p] = sum_j ||Q[q, sub_j] - cents[j, codes[p, j]]||^2."""
+    m, ksub, dsub = cents.shape
+    nq, n = Q.shape[0], codes.shape[0]
+    out = np.zeros((nq, n))
+    Cd = cents.astype(np.float64)
+    Qd = Q.astype(np.float64)
+    for j in range(m):
+        diff = Qd[:, j * dsub : (j + 1) * dsub][:, None, :] - Cd[j][codes[:, j]][None, :, :]
+        out += (diff * diff).sum(axis=2)
+    return out
+
+
+adc_points_strategy = st.tuples(
+    st.integers(4, 50), st.sampled_from([4, 8]), st.integers(0, 2**31 - 1)
+).map(
+    lambda t: np.random.default_rng(t[2])
+    .standard_normal((t[0], t[1] * 2))
+    .astype(np.float32)
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(P=adc_points_strategy, k=st.integers(1, 6))
+def test_adc_search_matches_brute_adc(P, k):
+    """search_topk_batch_adc with ef >= n returns exactly the top-k of
+    the brute-force ADC distance matrix (ties broken by node id), and
+    the reported distances equal the LUT sums."""
+    n, dim = P.shape
+    m = dim // 2
+    graph, medoid = kernels.build_vamana_dense(P, 8, 1.2)
+    indptr, nbrs = kernels._to_csr(graph, n)
+    nbr_mat = kernels.pad_adjacency(indptr, nbrs, n)
+    codes, cents = _toy_pq(P, m)
+    Q = P[: min(4, n)]
+    rq, rid, rd = kernels.search_topk_batch_adc(
+        codes, cents, nbr_mat, medoid, Q, k, n + 8
+    )
+    truth = _adc_brute(codes, cents, Q)
+    kk = min(k, n)
+    for r in range(Q.shape[0]):
+        ids = rid[rq == r]
+        ds = rd[rq == r]
+        assert len(ids) == kk
+        assert (np.diff(ds) >= -1e-9).all()
+        want = np.lexsort((np.arange(n), truth[r]))[:kk]
+        assert ids.tolist() == want.tolist()
+        np.testing.assert_allclose(ds, truth[r][want], rtol=1e-6, atol=1e-8)
+
+
+def test_adc_search_chunks_large_query_batches():
+    """The query-chunking path (bitmap budget) returns identical results
+    to an unchunked call."""
+    rng = np.random.default_rng(7)
+    n, dim, m = 40, 8, 4
+    P = rng.standard_normal((n, dim)).astype(np.float32)
+    graph, medoid = kernels.build_vamana_dense(P, 8, 1.2)
+    indptr, nbrs = kernels._to_csr(graph, n)
+    nbr_mat = kernels.pad_adjacency(indptr, nbrs, n)
+    codes, cents = _toy_pq(P, m)
+    Q = rng.standard_normal((30, dim)).astype(np.float32)
+    a = kernels.search_topk_batch_adc(codes, cents, nbr_mat, medoid, Q, 3, n + 8)
+    # chunking recursion == slicing by hand: per-query independence
+    lo = kernels.search_topk_batch_adc(codes, cents, nbr_mat, medoid, Q[:11], 3, n + 8)
+    hi = kernels.search_topk_batch_adc(codes, cents, nbr_mat, medoid, Q[11:], 3, n + 8)
+    merged = (
+        np.concatenate([lo[0], hi[0] + 11]),
+        np.concatenate([lo[1], hi[1]]),
+        np.concatenate([lo[2], hi[2]]),
+    )
+    assert merged[0].tolist() == a[0].tolist()
+    assert merged[1].tolist() == a[1].tolist()
+    np.testing.assert_allclose(merged[2], a[2], rtol=1e-12)
