@@ -187,3 +187,35 @@ def test_search_plan_no_driver_collect_no_cross_product(pidx, queries):
     assert "FlatMapCoGroupsInPandas" in p, p
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_overlap_build_and_nprobe_recall(spark, embeddings, queries):
+    """DiskANN ell-closest-center overlap: 2x storage, each point in 2
+    shards; results stay duplicate-free and nprobe<S recall strictly
+    improves over the non-overlap layout (both seeded/deterministic)."""
+    params = VamanaParams(dim=64, alpha=1.2, R=24, L=48, ef_search=64, seed=42)
+    flat = PartitionedVamanaIndex.build(spark, embeddings, params, num_shards=4)
+    ov = PartitionedVamanaIndex.build(
+        spark, embeddings, params, num_shards=4, overlap=2
+    )
+    n = embeddings.count()
+    assert ov.shards_df.count() == 2 * n
+    assert ov.params.shard_overlap == 2
+    truth = exact.exact_knn(embeddings, queries, k=10)
+    res = ov.search(queries, k=10)
+    # no (query, point) duplicates despite two copies per point
+    assert (
+        res.groupBy("query_id", "vec_id").count().where(F.col("count") > 1).count()
+        == 0
+    )
+    assert quality.avg_recall(res, truth, k=10) >= 0.8
+    r_flat = quality.avg_recall(flat.search(queries, k=10, nprobe=2), truth, k=10)
+    r_ov = quality.avg_recall(ov.search(queries, k=10, nprobe=2), truth, k=10)
+    assert r_ov > r_flat, (r_ov, r_flat)
+    # PQ serving path dedupes the re-rank join too
+    rpq = ov.search_pq(queries, k=10)
+    assert (
+        rpq.groupBy("query_id", "vec_id").count().where(F.col("count") > 1).count()
+        == 0
+    )
+    assert quality.avg_recall(rpq, truth, k=10) >= 0.8

@@ -157,13 +157,22 @@ class PartitionedVamanaIndex:
         num_shards: int = 8,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        overlap: int = 1,
     ) -> "PartitionedVamanaIndex":
+        """``overlap``: assign each point to its ``overlap`` nearest
+        centers (DiskANN's ell-closest-center recipe). overlap=1 is
+        plain partitioning; overlap=2 doubles index storage but puts
+        each true neighbor in 2 shards, which is what makes nprobe<S
+        serving recall viable on weakly-clustered data. Search dedupes
+        (query_id, vec_id) before ranking, so results are unaffected
+        semantically."""
         import dataclasses
 
         # never mutate the caller's params (ADVICE r4, same as
         # VamanaIndex.build): the copy carries n/num_shards on the index
         params = dataclasses.replace(params)
         params.validate()
+        overlap = max(1, min(int(overlap), num_shards))
         pts = df.select(
             F.col(id_col).cast("long").alias("vec_id"),
             F.col(vec_col).alias("embedding"),
@@ -195,9 +204,16 @@ class PartitionedVamanaIndex:
                     continue
                 X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
                 d = exact._dist_matrix(X, Cv.astype(np.float64), "l2sq")
-                pdf = pdf[["vec_id", "embedding"]].copy()
-                pdf["shard"] = d.argmin(axis=1).astype(np.int32)
-                yield pdf
+                if overlap == 1:
+                    sh = d.argmin(axis=1)[:, None]
+                elif overlap >= d.shape[1]:
+                    sh = np.broadcast_to(np.arange(d.shape[1]), d.shape)
+                else:
+                    sh = np.argpartition(d, overlap - 1, axis=1)[:, :overlap]
+                rep = np.repeat(np.arange(len(pdf)), sh.shape[1])
+                out = pdf[["vec_id", "embedding"]].iloc[rep].copy()
+                out["shard"] = np.asarray(sh).ravel().astype(np.int32)
+                yield out
 
         assigned = pts.mapInPandas(
             assign, schema="vec_id long, embedding array<float>, shard int"
@@ -234,6 +250,7 @@ class PartitionedVamanaIndex:
         )
         params.n = pts.count()
         params.num_shards = num_shards
+        params.shard_overlap = overlap
         return PartitionedVamanaIndex(spark, params, shards_df, C)
 
     # ----------------------------------------------------------------- search
@@ -257,6 +274,23 @@ class PartitionedVamanaIndex:
         for df in self._packed.values():
             df.unpersist()
         self._packed.clear()
+
+    def _overlap(self) -> int:
+        return max(1, int(getattr(self.params, "shard_overlap", 1) or 1))
+
+    def _dedupe_overlap(self, partial: DataFrame) -> DataFrame:
+        """overlap>1 puts a point in several shards; keep one candidate
+        row per (query, point) before ranking (copies tie on dist)."""
+        if self._overlap() <= 1:
+            return partial
+        wdd = Window.partitionBy("query_id", "vec_id").orderBy(
+            F.col("dist").asc()
+        )
+        return (
+            partial.withColumn("_dd", F.row_number().over(wdd))
+            .where(F.col("_dd") == 1)
+            .drop("_dd")
+        )
 
     def _route(
         self, queries: DataFrame, nprobe: int, query_id_col: str, query_vec_col: str
@@ -390,7 +424,9 @@ class PartitionedVamanaIndex:
                 }
             )
 
-        partial = self._cogrouped_partial(packed, routed, search_shard)
+        partial = self._dedupe_overlap(
+            self._cogrouped_partial(packed, routed, search_shard)
+        )
         w = Window.partitionBy("query_id").orderBy(
             F.col("dist").asc(), F.col("vec_id").asc()
         )
@@ -454,7 +490,9 @@ class PartitionedVamanaIndex:
                 {"query_id": qids[rq], "vec_id": ids[rid], "dist": rd}
             )
 
-        partial = self._cogrouped_partial(packed, routed, search_shard)
+        partial = self._dedupe_overlap(
+            self._cogrouped_partial(packed, routed, search_shard)
+        )
         # cut the nprobe*kprime candidate rows per query down to the
         # global ADC top-kprime BEFORE touching full vectors — the
         # re-rank join then moves kprime rows per query, not
@@ -470,6 +508,8 @@ class PartitionedVamanaIndex:
         # exact re-rank: equi-joins only; vectors read back for the
         # shortlist rows alone (AQE broadcasts the small side)
         p = self.shards_df.select("vec_id", F.col("embedding").alias("_pv"))
+        if self._overlap() > 1:  # one vector row per point for the join
+            p = p.dropDuplicates(["vec_id"])
         q = queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(query_vec_col).alias("_qv"),
@@ -566,6 +606,8 @@ def add_points(
         F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("embedding")
     ).where(F.size(vec_col) == params.dim)
 
+    overlap = index._overlap()  # appended points honor the index layout
+
     def assign(batches):
         Cv = bc.value
         for pdf in batches:
@@ -573,9 +615,16 @@ def add_points(
                 continue
             X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             d = _exact._dist_matrix(X, Cv.astype(np.float64), "l2sq")
-            pdf = pdf[["vec_id", "embedding"]].copy()
-            pdf["shard"] = d.argmin(axis=1).astype(np.int32)
-            yield pdf
+            if overlap == 1:
+                sh = d.argmin(axis=1)[:, None]
+            elif overlap >= d.shape[1]:
+                sh = np.broadcast_to(np.arange(d.shape[1]), d.shape)
+            else:
+                sh = np.argpartition(d, overlap - 1, axis=1)[:, :overlap]
+            rep = np.repeat(np.arange(len(pdf)), sh.shape[1])
+            out = pdf[["vec_id", "embedding"]].iloc[rep].copy()
+            out["shard"] = np.asarray(sh).ravel().astype(np.int32)
+            yield out
 
     assigned = pts.mapInPandas(
         assign, schema="vec_id long, embedding array<float>, shard int"
@@ -651,7 +700,8 @@ def delete_points(
     present = index.shards_df.join(F.broadcast(doomed), "vec_id").select(
         "shard", "vec_id"
     )
-    n_gone = present.count()
+    # overlap layouts hold several copies of a point — n counts POINTS
+    n_gone = present.select("vec_id").distinct().count()
     if n_gone == 0:
         return index
     touched = [r["shard"] for r in present.select("shard").distinct().collect()]
