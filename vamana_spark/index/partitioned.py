@@ -467,6 +467,12 @@ class PartitionedVamanaIndex:
         nprobe = S if nprobe is None else min(nprobe, S)
         ef = int(ef_search or self.params.ef_search)
         kprime = int(rerank or max(4 * k, 32))
+        # per-shard ADC emission: 2x the fair share of the global
+        # shortlist (floor k). Emitting the full kprime per shard made
+        # the merge shuffle nprobe*kprime rows per query (5M rows at the
+        # bench load) for candidates the global cut discards anyway;
+        # recall is gated (>=0.8 ok-col + tests), not inferred.
+        pk = max(k, min(kprime, 2 * -(-kprime // max(nprobe, 1))))
 
         packed = self._packed_df("pq", pq_m, pq_ksub)
         routed = self._route(queries, nprobe, query_id_col, query_vec_col)
@@ -483,7 +489,7 @@ class PartitionedVamanaIndex:
             qids = right["query_id"].to_numpy(dtype=np.int64)
             n_sh = codes.shape[0]
             rq, rid, rd = kernels.search_topk_batch_adc(
-                codes, cents, nbr, medoid, Q, kprime,
+                codes, cents, nbr, medoid, Q, pk,
                 _ef_for_shard(max(ef, kprime), kprime, n_sh),
             )
             return pd.DataFrame(
