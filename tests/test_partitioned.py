@@ -219,3 +219,22 @@ def test_overlap_build_and_nprobe_recall(spark, embeddings, queries):
         == 0
     )
     assert quality.avg_recall(rpq, truth, k=10) >= 0.8
+
+
+def test_save_load_roundtrip_preserves_overlap(tmp_path, spark, embeddings, queries):
+    params = VamanaParams(dim=64, alpha=1.2, R=24, L=48, ef_search=64, seed=42)
+    ov = PartitionedVamanaIndex.build(
+        spark, embeddings, params, num_shards=4, overlap=2
+    )
+    path = str(tmp_path / "pidx_ov")
+    ov.save(path)
+    loaded = PartitionedVamanaIndex.load(spark, path)
+    assert loaded.params.shard_overlap == 2
+    a = sorted(
+        (r.query_id, r.rank, r.vec_id) for r in ov.search(queries, k=5).collect()
+    )
+    b = sorted(
+        (r.query_id, r.rank, r.vec_id)
+        for r in loaded.search(queries, k=5).collect()
+    )
+    assert a == b and a

@@ -261,3 +261,48 @@ def test_streaming_minhash_dedup_matches_batch(spark, documents, tmp_path):
     assert got == want, (sorted(got - want), sorted(want - got))
     # and the operator actually dropped every injected near-dup copy
     assert not any(d >= 10_000 for d in got)
+
+
+def test_streaming_partitioned_search_matches_batch(spark, embeddings, tmp_path):
+    """Partitioned-tier serving on a stream (foreachBatch over the
+    static packed index, flat AND beyond-RAM PQ): per-query rows equal
+    the batch search regardless of micro-batching."""
+    from vamana_spark import VamanaParams
+    from vamana_spark.index.partitioned import PartitionedVamanaIndex
+    from vamana_spark.streaming.search import (
+        read_query_stream,
+        streaming_partitioned_search,
+    )
+
+    params = VamanaParams(dim=64, alpha=1.2, R=24, L=48, ef_search=64, seed=21)
+    pidx = PartitionedVamanaIndex.build(spark, embeddings, params, num_shards=4)
+    pidx.shards_df = pidx.shards_df.cache()
+    q = embeddings.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    src = str(tmp_path / "pqstream")
+    q.where(F.col("query_id") < 250).coalesce(1).write.parquet(src + "/a")
+    q.where(F.col("query_id") >= 250).coalesce(1).write.parquet(src + "/b")
+    import glob
+    import os
+    import shutil
+
+    os.makedirs(src + "/in", exist_ok=True)
+    for i, f in enumerate(glob.glob(src + "/*/part-*.parquet")):
+        shutil.copy(f, f"{src}/in/batch{i}.parquet")
+
+    for use_pq in (False, True):
+        got_rows = []
+        query = streaming_partitioned_search(
+            pidx,
+            read_query_stream(spark, src + "/in"),
+            k=5,
+            use_pq=use_pq,
+            sink=lambda df, _bid: got_rows.extend(df.collect()),
+            checkpoint_dir=str(tmp_path / f"ckpt_pq{use_pq}"),
+        )
+        query.awaitTermination()
+        batch = (pidx.search_pq if use_pq else pidx.search)(q, k=5)
+        got = sorted((r.query_id, r.rank, r.vec_id) for r in got_rows)
+        want = sorted((r.query_id, r.rank, r.vec_id) for r in batch.collect())
+        assert got == want and got, f"use_pq={use_pq}"

@@ -60,3 +60,43 @@ def run_search_to_completion(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def streaming_partitioned_search(
+    index,
+    query_stream: DataFrame,
+    k: int = 10,
+    nprobe: int | None = None,
+    use_pq: bool = False,
+    sink=None,
+    checkpoint_dir: str | None = None,
+    trigger: dict | None = None,
+):
+    """Serve a ``PartitionedVamanaIndex`` — including its beyond-RAM PQ
+    path — against a query stream.
+
+    The partitioned search is a cogroup + window plan, operator shapes
+    Structured Streaming cannot run incrementally, so each micro-batch
+    executes the BATCH plan against the static index (packed shards
+    stay persisted across batches) inside ``foreachBatch`` — the
+    standard pattern for stream-static work the engine can't express
+    natively. ``sink(result_df, batch_id)`` receives each batch's
+    results; per-query output is independent of batching (same rows as
+    the batch search), with the usual foreachBatch idempotence caveats
+    on retries.
+
+    Returns the started ``StreamingQuery``.
+    """
+    if sink is None:
+        raise ValueError("sink(result_df, batch_id) callback is required")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        fn = index.search_pq if use_pq else index.search
+        sink(fn(batch_df, k, nprobe=nprobe), batch_id)
+
+    w = query_stream.writeStream.foreachBatch(process)
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.trigger(**(trigger or {"availableNow": True})).start()
