@@ -657,3 +657,22 @@ def test_random_vectors_deterministic_and_partition_invariant(spark):
     assert len(set(flat)) > len(flat) * 0.99  # no degenerate collisions
     c = {r.vec_id: r.embedding for r in random_vectors(spark, 50, 8, seed=4).collect()}
     assert c != av  # seed changes the stream
+
+
+def test_pii_scrub_replaces_each_class(spark):
+    from vamana_spark.operators.text import pii_scrub
+
+    rows = [
+        (1, "write to jane.doe+x@corp.example.org today"),
+        (2, "ssn is 123-45-6789 ok"),
+        (3, "server at 192.168.0.17 responded"),
+        (4, "call +1 (415) 555-0199 now"),
+        (5, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in pii_scrub(df).collect()}
+    assert got[1] == "write to <EMAIL> today"
+    assert got[2] == "ssn is <SSN> ok"
+    assert got[3] == "server at <IP> responded"
+    assert got[4] == "call <PHONE> now"
+    assert got[5] == "no pii here at all"

@@ -18,6 +18,9 @@ search → recall, main.cpp:33-168) plus the pipeline operators:
           --radius R
   delete  --index idx_dir --ids ids.parquet --output new_idx_dir
   chunk   --input docs.parquet --output out.parquet [--max-len --stride]
+  pbuild  --input emb.parquet --output idx_dir [--shards --overlap ...]
+  psearch --index idx_dir --queries q.parquet --output out.parquet
+          [--k --nprobe --pq]
   bench   (same as bench.py)
 
 Query parquet schema: (query_id long, query_vec array<float>).
@@ -222,6 +225,43 @@ def cmd_chunk(args) -> int:
     return 0
 
 
+def cmd_pbuild(args) -> int:
+    from vamana_spark import VamanaParams
+    from vamana_spark.index.partitioned import PartitionedVamanaIndex
+
+    spark = _spark("vamana-pbuild")
+    df = spark.read.parquet(args.input)
+    dim = df.selectExpr(f"size({args.vec_col}) d").first()["d"]
+    params = VamanaParams(
+        dim=dim, alpha=args.alpha, R=args.R, L=args.L,
+        ef_search=args.ef_search, seed=args.seed,
+    )
+    idx = PartitionedVamanaIndex.build(
+        spark, df, params, num_shards=args.shards,
+        id_col=args.id_col, vec_col=args.vec_col, overlap=args.overlap,
+    )
+    idx.save(args.output)
+    print(json.dumps({"n": idx.params.n, "shards": idx.params.num_shards,
+                      "overlap": idx.params.shard_overlap,
+                      "health": idx.health_check()}))
+    return 0
+
+
+def cmd_psearch(args) -> int:
+    from vamana_spark.index.partitioned import PartitionedVamanaIndex
+
+    spark = _spark("vamana-psearch")
+    idx = PartitionedVamanaIndex.load(spark, args.index)
+    q = spark.read.parquet(args.queries)
+    fn = idx.search_pq if args.pq else idx.search
+    out = fn(q, k=args.k, nprobe=args.nprobe)
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"queries": q.count(), "result_rows": out.count(),
+                      "k": args.k, "pq": bool(args.pq),
+                      "nprobe": args.nprobe}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="vamana_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -330,6 +370,29 @@ def main(argv=None) -> int:
     ch.add_argument("--text-col", dest="text_col", default="text")
     ch.add_argument("--id-col", dest="id_col", default="doc_id")
     ch.set_defaults(fn=cmd_chunk)
+
+    pb = sub.add_parser("pbuild")
+    pb.add_argument("--input", required=True)
+    pb.add_argument("--output", required=True)
+    pb.add_argument("--id-col", dest="id_col", default="vec_id")
+    pb.add_argument("--vec-col", dest="vec_col", default="embedding")
+    pb.add_argument("--R", type=int, default=32)
+    pb.add_argument("--L", type=int, default=64)
+    pb.add_argument("--alpha", type=float, default=1.2)
+    pb.add_argument("--ef-search", dest="ef_search", type=int, default=100)
+    pb.add_argument("--seed", type=int, default=42)
+    pb.add_argument("--shards", type=int, default=8)
+    pb.add_argument("--overlap", type=int, default=1)
+    pb.set_defaults(fn=cmd_pbuild)
+
+    ps = sub.add_parser("psearch")
+    ps.add_argument("--index", required=True)
+    ps.add_argument("--queries", required=True)
+    ps.add_argument("--output", required=True)
+    ps.add_argument("--k", type=int, default=10)
+    ps.add_argument("--nprobe", type=int, default=None)
+    ps.add_argument("--pq", action="store_true")
+    ps.set_defaults(fn=cmd_psearch)
 
     be = sub.add_parser("bench")
     be.set_defaults(fn=cmd_bench)

@@ -391,3 +391,37 @@ def tfidf_terms(
         .orderBy(F.col("df").desc(), "term")
         .limit(top_n)
     )
+
+
+# --------------------------------------------------------------- PII scrub
+
+# Patterns restricted to syntax Java regex and RE2 (DuckDB) interpret
+# identically — no lookaround, no backreferences — so the oracle can
+# replicate the scrub verbatim. Order matters: email before phone (an
+# address's digits must not be half-eaten as a phone), SSN and IPv4
+# before the generic digit-run phone pattern.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\d{3}-\d{2}-\d{4}", "<SSN>"),
+    (r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"),
+    (r"\+?[0-9][0-9()\s.-]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Replace emails / SSNs / IPv4s / phone-like digit runs with typed
+    placeholder tokens — the standard pre-training PII pass.
+
+    Pure Catalyst (chained ``regexp_replace``): map-only projection,
+    whole-stage codegen'd, zero shuffles — scales as a scan. Regex
+    scrubbing is a heuristic (over- and under-matches are inherent);
+    the pattern list is overridable per corpus policy.
+    """
+    col = F.col(text_col)
+    for pat, repl in patterns or PII_PATTERNS:
+        col = F.regexp_replace(col, pat, repl)
+    return df.withColumn(text_col, col)

@@ -1816,6 +1816,45 @@ def q_graph_reachability(spark, sf_dir):
     )
 
 
+@declare(
+    "q_pii_scrub",
+    r"""
+    SELECT doc_id,
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        text || ' contact a' || CAST(doc_id AS VARCHAR)
+             || '@ex.com ip 10.0.' || CAST(doc_id % 200 AS VARCHAR)
+             || '.7 ssn 123-45-6789 tel +1 (415) 555-0199',
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\d{3}-\d{2}-\d{4}', '<SSN>', 'g'),
+        '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g'),
+        '\+?[0-9][0-9()\s.-]{6,}[0-9]', '<PHONE>', 'g') AS text
+    FROM documents
+    """,
+)
+def q_pii_scrub(spark, sf_dir):
+    """PII scrub (training-data pre-processing pass): emails / SSNs /
+    IPv4s / phone-like digit runs replaced by typed tokens via chained
+    regexp_replace — map-only, codegen'd, zero shuffles. The query
+    appends deterministic doc_id-derived PII to each document so the
+    scrub is exercised on every row; patterns are restricted to
+    Java-regex/RE2-identical syntax so DuckDB replicates it verbatim."""
+    from vamana_spark.operators import text as T
+
+    d = _docs(spark, sf_dir)
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact a"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex.com ip 10.0."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".7 ssn 123-45-6789 tel +1 (415) 555-0199"),
+        ).alias("text"),
+    )
+    return T.pii_scrub(aug).select("doc_id", "text")
+
+
 # ======================================================================
 # ROTATION — driver-verification window management
 # ======================================================================
