@@ -116,6 +116,36 @@ def _scale_25k_block(spark) -> dict:
         "qps_sustained": round(n_all / search_sec, 1),
         "recall_at_10": recall,
     }
+
+    # partitioned serving tier at the same 25k scale (crash-isolated:
+    # a failure records an error entry, never zeroes the block)
+    try:
+        from vamana_spark.index.partitioned import PartitionedVamanaIndex
+
+        t0 = time.perf_counter()
+        pidx = PartitionedVamanaIndex.build(
+            spark, emb, make_params(), num_shards=8
+        )
+        pidx.shards_df = pidx.shards_df.cache()
+        pidx.search(q.limit(5), k=10).count()  # materialize cache + pack
+        p_build = round(time.perf_counter() - t0, 3)
+        p_search = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            pidx.search(allq, k=10).count()
+            p_search = min(p_search, time.perf_counter() - t0)
+        p_recall = round(
+            quality.avg_recall(pidx.search(q, k=10), truth, k=10), 4
+        )
+        out["partitioned"] = {
+            "build_plus_pack_sec": p_build,
+            "qps_sustained": round(n_all / p_search, 1),
+            "recall_at_10": p_recall,
+        }
+        pidx.unpersist_packed()
+        pidx.shards_df.unpersist()
+    except Exception as e:
+        ERRORS["scale_25k_partitioned"] = f"{type(e).__name__}: {e}"[:500]
     base_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BASELINE_LOCAL_25K.json"
     )
