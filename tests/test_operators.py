@@ -676,3 +676,72 @@ def test_pii_scrub_replaces_each_class(spark):
     assert got[3] == "server at <IP> responded"
     assert got[4] == "call <PHONE> now"
     assert got[5] == "no pii here at all"
+
+
+def test_gopher_filter_rules_fire_individually(spark):
+    from vamana_spark.operators.text import gopher_quality_filter
+
+    good = (
+        "the cat sat with the dog and that was all they have done today " * 5
+    ).strip()  # 65 words, stopword-rich, all alphabetic
+    rows = [
+        (1, good),
+        (2, "short doc here"),  # fails word-count floor
+        (3, good + " ###### #### ##### ### " * 6),  # symbol ratio blown
+        (4, ("42 " * 30 + "the cat have " * 10).strip()),  # alpha frac low
+        (5, "\n".join(["- bullet point here"] * 10)),  # all-bullet lines
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_quality_filter(df).collect()}
+    assert got[1].gopher_pass
+    assert not got[2].gopher_pass and got[2].n_words == 3
+    assert not got[3].gopher_pass and got[3].symbol_word_ratio > 0.1
+    assert got[4].alpha_word_frac < 1.0
+    assert not got[5].gopher_pass and got[5].bullet_line_frac == 1.0
+    assert got[1].stop_hits >= 2
+
+
+def test_c4_clean_keeps_only_terminal_sentences(spark):
+    from vamana_spark.operators.text import c4_clean
+
+    doc = "\n".join(
+        [
+            "This is a proper sentence.",
+            "no punct line with words",
+            "Short.",  # < 3 words
+            "We use javascript here, sadly.",
+            'A quoted line ends well."',
+            "Another good sentence ends here!",
+        ]
+    )
+    rows = [(1, doc), (2, "Lorem ipsum only { x }. But has sentences. Three of them here.")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in c4_clean(df, min_sentences=2).collect()}
+    assert got[1].n_lines == 6 and got[1].n_kept == 3
+    assert "javascript" not in got[1].clean_text
+    assert "no punct" not in got[1].clean_text
+    assert got[1].doc_pass
+    # lorem ipsum + brace veto the doc even with enough sentences
+    assert not got[2].doc_pass and got[2].n_sentences >= 2
+
+
+def test_pack_documents_prefix_sum_layout(documents):
+    from vamana_spark.operators.text import pack_documents
+
+    out = pack_documents(documents, budget=64, n_buckets=4).collect()
+    assert len(out) == documents.count()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for b, rows in by_bucket.items():
+        rows.sort(key=lambda r: r.doc_id)
+        run = 0
+        for r in rows:
+            assert r.tok_offset == run  # contiguous concatenation
+            assert r.seq_bin == run // 64
+            assert r.begin_pos == run % 64
+            expect_straddle = r.n_tokens > 0 and (
+                (run + r.n_tokens - 1) // 64 != run // 64
+            )
+            assert r.straddles == expect_straddle
+            run += r.n_tokens

@@ -393,6 +393,191 @@ def tfidf_terms(
     )
 
 
+# ------------------------------------------------- corpus quality filters
+
+# the 8 "must contain 2 of these" words from the published Gopher rules
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_filter(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Document-level Gopher quality rules (Rae et al. 2021, table A1) —
+    the published heuristic gate pretraining pipelines run before
+    model-based filtering. Emits every signal plus the combined
+    ``gopher_pass`` verdict so downstream mixes can re-threshold.
+
+    Rules: 50 <= words <= 100k; 3 <= mean word length <= 10; symbol
+    ('#'/'...') to word ratio < 0.1; < 90% of lines bullet-started;
+    < 30% of lines ellipsis-ended; > 80% of words contain an alphabetic
+    character; >= 2 of the 8 required stopwords present.
+
+    Scale shape: pure Catalyst expressions over one row at a time —
+    map-only, whole-stage codegen'd, zero shuffles. All ratios are
+    exact-integer divisions, so any engine reproduces them bit-for-bit.
+    """
+    ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    lines = F.transform(F.split(F.col(text_col), "\n"), F.trim)
+    n_words = F.size(ws)
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    dn = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_len = F.aggregate(
+        ws, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+    ) / dn
+    sym_ratio = F.regexp_count(F.col(text_col), F.lit(r"#|\.\.\.")).cast(
+        "double"
+    ) / dn
+    alpha_frac = F.size(
+        F.filter(ws, lambda t: t.rlike("[A-Za-z]"))
+    ).cast("double") / dn
+    bullet_frac = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^[-*•]"))
+    ).cast("double") / n_lines.cast("double")
+    ellipsis_frac = F.size(
+        F.filter(lines, lambda l: l.rlike(r"\.\.\.$"))
+    ).cast("double") / n_lines.cast("double")
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(ws, F.lower),
+            F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS]),
+        )
+    )
+    gopher_pass = (
+        n_words.between(50, 100_000)
+        & mean_len.between(3.0, 10.0)
+        & (sym_ratio < 0.1)
+        & (bullet_frac < 0.9)
+        & (ellipsis_frac < 0.3)
+        & (alpha_frac > 0.8)
+        & (stop_hits >= 2)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(sym_ratio, 4).alias("symbol_word_ratio"),
+        F.round(alpha_frac, 4).alias("alpha_word_frac"),
+        F.round(bullet_frac, 4).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 4).alias("ellipsis_line_frac"),
+        stop_hits.cast("long").alias("stop_hits"),
+        gopher_pass.alias("gopher_pass"),
+    )
+
+
+def c4_clean(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    min_line_words: int = 3, min_sentences: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep
+    lines that end in terminal punctuation, have >= ``min_line_words``
+    words, and don't mention javascript; flag documents containing
+    "lorem ipsum" or '{' or with fewer than ``min_sentences`` sentences
+    left after cleaning.
+
+    Returns (id, n_lines, n_kept, n_sentences, doc_pass, clean_text).
+    Map-only Catalyst expressions (split / filter-lambda / rlike) —
+    zero shuffles; the regexes stay in Java/RE2-common syntax so an
+    oracle engine replicates the clean verbatim.
+    """
+    lines = F.transform(F.split(F.col(text_col), "\n"), F.trim)
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike(r'[.!?"]$')
+        & (F.size(F.filter(F.split(l, r"\s+"), lambda t: t != "")) >= min_line_words)
+        & ~F.contains(F.lower(l), F.lit("javascript")),
+    )
+    clean = F.array_join(kept, "\n")
+    n_sent = F.size(
+        F.filter(
+            F.split(clean, r"[.!?]"),
+            lambda s: F.trim(s) != "",
+        )
+    )
+    doc_pass = (
+        (n_sent >= min_sentences)
+        & ~F.contains(F.lower(F.col(text_col)), F.lit("lorem ipsum"))
+        & ~F.contains(F.col(text_col), F.lit("{"))
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        n_sent.cast("long").alias("n_sentences"),
+        doc_pass.alias("doc_pass"),
+        clean.alias("clean_text"),
+    )
+
+
+def pack_documents(
+    df: DataFrame,
+    budget: int = 256,
+    n_buckets: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Concatenate-and-cut sequence packing: assign every document a
+    byte-offset position in a fixed-token-budget training sequence
+    (the GPT-style "pack the corpus, cut every ``budget`` tokens"
+    layout), computed as a prefix sum — no materialized concatenation.
+
+    Documents are first hash-bucketed (portable md5, same trick as
+    ``sampling.py``) so the prefix-sum window runs per bucket:
+    parallelism = ``n_buckets`` regardless of corpus size, and the
+    layout is stable under any input partitioning. Within a bucket,
+    docs pack in ``doc_id`` order; ``seq_bin`` is the training-sequence
+    ordinal inside the bucket and ``straddles`` marks docs cut by a
+    sequence boundary.
+
+    Returns (id, bucket, n_tokens, tok_offset, seq_bin, begin_pos,
+    straddles). 100 TB shape: one shuffle keyed by bucket; window
+    partitions are corpus_size/n_buckets rows of two small ints —
+    raise ``n_buckets`` to bound them.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    from pyspark.sql import Window
+
+    n_tok = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != ""))
+    # same engine-portable hash key as sampling.py: md5("seed:id") hex
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(str(seed) + ":"), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    ).cast("int")
+    base = df.select(
+        F.col(id_col), bucket.alias("bucket"), n_tok.cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offset = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return base.select(
+        id_col,
+        "bucket",
+        "n_tokens",
+        offset.cast("long").alias("tok_offset"),
+        F.floor(offset / budget).cast("long").alias("seq_bin"),
+        (offset % budget).cast("long").alias("begin_pos"),
+        (
+            (F.col("n_tokens") > 0)
+            & (
+                F.floor((offset + F.col("n_tokens") - 1) / budget)
+                != F.floor(offset / budget)
+            )
+        ).alias("straddles"),
+    )
+
+
 # --------------------------------------------------------------- PII scrub
 
 # Patterns restricted to syntax Java regex and RE2 (DuckDB) interpret

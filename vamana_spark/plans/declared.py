@@ -1855,6 +1855,167 @@ def q_pii_scrub(spark, sf_dir):
     return T.pii_scrub(aug).select("doc_id", "text")
 
 
+@declare(
+    "q_gopher_filter",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || ' and that have with of to be'
+                  ELSE text END AS text
+      FROM documents
+    ), t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws,
+             list_transform(string_split(text, chr(10)), x -> trim(x)) AS lines
+      FROM base
+    ), m AS (
+      SELECT doc_id,
+             len(ws) AS n_words,
+             CAST(greatest(len(ws), 1) AS DOUBLE) AS dn,
+             CAST(greatest(len(lines), 1) AS DOUBLE) AS nl,
+             coalesce(list_sum(list_transform(ws, x -> CAST(length(x) AS DOUBLE))), 0.0) AS sumlen,
+             CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE) AS nsym,
+             CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) AS nalpha,
+             CAST(len(list_filter(lines, x -> regexp_matches(x, '^[-*•]'))) AS DOUBLE) AS nbullet,
+             CAST(len(list_filter(lines, x -> regexp_matches(x, '\.\.\.$'))) AS DOUBLE) AS nell,
+             len(list_intersect(list_transform(ws, x -> lower(x)),
+                 ['the','be','to','of','and','that','have','with'])) AS stop_hits
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           round(sumlen / dn, 4) AS mean_word_len,
+           round(nsym / dn, 4) AS symbol_word_ratio,
+           round(nalpha / dn, 4) AS alpha_word_frac,
+           round(nbullet / nl, 4) AS bullet_line_frac,
+           round(nell / nl, 4) AS ellipsis_line_frac,
+           CAST(stop_hits AS BIGINT) AS stop_hits,
+           CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                      AND (sumlen / dn) BETWEEN 3.0 AND 10.0
+                      AND nsym / dn < 0.1
+                      AND nbullet / nl < 0.9
+                      AND nell / nl < 0.3
+                      AND nalpha / dn > 0.8
+                      AND stop_hits >= 2
+                 THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
+    FROM m
+    """,
+)
+def q_gopher_filter(spark, sf_dir):
+    """Published Gopher document-quality rules (Rae et al. 2021 A1) over
+    the corpus; a third of the docs get the required-stopword suffix so
+    both branches of the combined verdict are exercised."""
+    d = _docs(spark, sf_dir)
+    aug = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" and that have with of to be")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return text.gopher_quality_filter(aug).withColumn(
+        "gopher_pass", F.col("gopher_pass").cast("long")
+    )
+
+
+@declare(
+    "q_c4_clean",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || '.' || chr(10) || 'too short' || chr(10) ||
+             'This line mentions javascript and should be dropped.' || chr(10) ||
+             CASE WHEN doc_id % 5 = 0
+                  THEN 'Lorem ipsum dolor sit amet { body }.'
+                  ELSE 'It ends with a clean terminal sentence!' END AS text
+      FROM documents
+    ), t AS (
+      SELECT doc_id, text,
+             list_transform(string_split(text, chr(10)), x -> trim(x)) AS lines
+      FROM aug
+    ), k AS (
+      SELECT doc_id, text, lines,
+             list_filter(lines, l -> regexp_matches(l, '[.!?"]$')
+               AND len(list_filter(string_split_regex(l, '\s+'), w -> w <> '')) >= 3
+               AND NOT contains(lower(l), 'javascript')) AS kept
+      FROM t
+    ), s AS (
+      SELECT doc_id, text, lines, kept,
+             array_to_string(kept, chr(10)) AS clean_text,
+             len(list_filter(string_split_regex(array_to_string(kept, chr(10)), '[.!?]'),
+                 x -> trim(x) <> '')) AS n_sent
+      FROM k
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           CAST(n_sent AS BIGINT) AS n_sentences,
+           CAST(CASE WHEN n_sent >= 2 AND NOT contains(lower(text), 'lorem ipsum')
+                      AND NOT contains(text, '{') THEN 1 ELSE 0 END AS BIGINT) AS doc_pass,
+           clean_text
+    FROM s
+    """,
+)
+def q_c4_clean(spark, sf_dir):
+    """C4-style line filtering over deterministically augmented docs:
+    each doc gains a terminal-punct line, a too-short line, a javascript
+    line, and (every 5th doc) a lorem-ipsum/brace line — every rule
+    branch fires."""
+    d = _docs(spark, sf_dir)
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(".\ntoo short\nThis line mentions javascript and should be dropped.\n"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("Lorem ipsum dolor sit amet { body }."),
+            ).otherwise(F.lit("It ends with a clean terminal sentence!")),
+        ).alias("text"),
+    )
+    return text.c4_clean(aug, min_sentences=2).withColumn(
+        "doc_pass", F.col("doc_pass").cast("long")
+    )
+
+
+@declare(
+    "q_pack_documents",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST((('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 8) AS INT) AS bucket,
+             CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ), w AS (
+      SELECT doc_id, bucket, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS tok_offset
+      FROM t
+    )
+    SELECT doc_id, bucket, n_tokens,
+           CAST(tok_offset AS BIGINT) AS tok_offset,
+           CAST(tok_offset // 128 AS BIGINT) AS seq_bin,
+           CAST(tok_offset % 128 AS BIGINT) AS begin_pos,
+           CAST(CASE WHEN n_tokens > 0
+                      AND (tok_offset + n_tokens - 1) // 128 <> tok_offset // 128
+                THEN 1 ELSE 0 END AS BIGINT) AS straddles
+    FROM w
+    """,
+)
+def q_pack_documents(spark, sf_dir):
+    """Concatenate-and-cut sequence packing: per-bucket prefix-sum token
+    offsets, 128-token training sequences, straddle flags."""
+    return text.pack_documents(
+        _docs(spark, sf_dir), budget=128, n_buckets=8
+    ).withColumn("straddles", F.col("straddles").cast("long"))
+
+
 # ======================================================================
 # ROTATION — driver-verification window management
 # ======================================================================
@@ -1866,14 +2027,21 @@ def q_pii_scrub(spark, sf_dir):
 # covered by the local bit-strict parity suite, tests/test_oracle_parity
 # .py, every round).
 #
-# Round-5 window (49): the 45 queries whose most recent driver row is
-# r03 (they became the >= 2-rounds-stale set once r04 verified the other
-# window), the new never-driver-run q_partitioned_pq, and the 3 always-on
-# canaries. The entire r04-green window rotates to the back (still
-# covered every round by the local bit-strict parity suite,
-# tests/test_oracle_parity.py).
+# Round-5 window: never-driver-run queries first (q_partitioned_pq,
+# q_pii_scrub, q_gopher_filter, q_c4_clean, q_pack_documents), then the
+# 45 queries whose most recent driver row is r03 (the >= 2-rounds-stale
+# set once r04 verified the other window), then the 3 always-on
+# canaries. Entries past slot 50 spill to the r6 window; every declared
+# query stays covered every round by the local bit-strict parity suite,
+# tests/test_oracle_parity.py.
 _ROTATION_FRONT = [
-    # last driver row r03 — now the stale set
+    # new this round, never driver-run — verify first
+    "q_partitioned_pq", "q_pii_scrub", "q_gopher_filter", "q_c4_clean",
+    "q_pack_documents",
+    # canaries (core surface, cheap, always verified)
+    "q_scan_embeddings", "q_knn_exact", "q_dedup_exact",
+    # last driver row r03 — now the stale set (tail spills to the r6
+    # window; the local parity suite still runs them every round)
     "q_get_point", "q_distance_pair", "q_knn_batch",
     "q_1nn_start_resolution", "q_medoid_exact", "q_knn_cosine",
     "q_vector_norms", "q_degree_stats", "q_ann_search", "q_range_search",
@@ -1888,10 +2056,6 @@ _ROTATION_FRONT = [
     "q_train_test_split", "q_contamination", "q_weighted_sample",
     "q_embedding_near_dups", "q_scalar_quantize", "q_sq_knn", "q_pq_knn",
     "q_ivfpq_knn", "q_events_hourly", "q_top_users",
-    # new this round, never driver-run
-    "q_partitioned_pq",
-    # canaries (core surface, cheap, always verified)
-    "q_scan_embeddings", "q_knn_exact", "q_dedup_exact",
 ]
 
 
