@@ -238,3 +238,31 @@ def test_save_load_roundtrip_preserves_overlap(tmp_path, spark, embeddings, quer
         for r in loaded.search(queries, k=5).collect()
     )
     assert a == b and a
+
+
+def test_save_with_packs_serves_without_repacking(tmp_path, spark, pidx, queries):
+    path = str(tmp_path / "pidx_packed")
+    pidx.save(path, packs=("flat", ("pq", 8, 32)))
+    loaded = PartitionedVamanaIndex.load(spark, path)
+    # the saved packs are discovered and used instead of re-packing
+    assert ("flat", 8, 256) in loaded._packed_paths
+    assert ("pq", 8, 32) in loaded._packed_paths
+    a = sorted(
+        (r.query_id, r.rank, r.vec_id) for r in pidx.search(queries, k=5).collect()
+    )
+    b = sorted(
+        (r.query_id, r.rank, r.vec_id)
+        for r in loaded.search(queries, k=5).collect()
+    )
+    assert a == b
+    # PQ serving from the saved pack agrees with the fresh-pack path
+    ap = sorted(
+        (r.query_id, r.rank, r.vec_id)
+        for r in pidx.search_pq(queries, k=5, pq_m=8, pq_ksub=32).collect()
+    )
+    bp = sorted(
+        (r.query_id, r.rank, r.vec_id)
+        for r in loaded.search_pq(queries, k=5, pq_m=8, pq_ksub=32).collect()
+    )
+    assert ap == bp
+    loaded.unpersist_packed()

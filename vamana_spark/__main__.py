@@ -240,9 +240,16 @@ def cmd_pbuild(args) -> int:
         spark, df, params, num_shards=args.shards,
         id_col=args.id_col, vec_col=args.vec_col, overlap=args.overlap,
     )
-    idx.save(args.output)
+    packs = []
+    for spec in args.pack:
+        parts = spec.split(":")
+        packs.append(
+            parts[0] if len(parts) == 1
+            else (parts[0], int(parts[1]), int(parts[2]))
+        )
+    idx.save(args.output, packs=tuple(packs))
     print(json.dumps({"n": idx.params.n, "shards": idx.params.num_shards,
-                      "overlap": idx.params.shard_overlap,
+                      "overlap": idx.params.shard_overlap, "packs": args.pack,
                       "health": idx.health_check()}))
     return 0
 
@@ -253,8 +260,13 @@ def cmd_psearch(args) -> int:
     spark = _spark("vamana-psearch")
     idx = PartitionedVamanaIndex.load(spark, args.index)
     q = spark.read.parquet(args.queries)
-    fn = idx.search_pq if args.pq else idx.search
-    out = fn(q, k=args.k, nprobe=args.nprobe)
+    if args.pq:
+        out = idx.search_pq(
+            q, k=args.k, nprobe=args.nprobe,
+            pq_m=args.pq_m, pq_ksub=args.pq_ksub,
+        )
+    else:
+        out = idx.search(q, k=args.k, nprobe=args.nprobe)
     out.write.mode("overwrite").parquet(args.output)
     print(json.dumps({"queries": q.count(), "result_rows": out.count(),
                       "k": args.k, "pq": bool(args.pq),
@@ -383,6 +395,11 @@ def main(argv=None) -> int:
     pb.add_argument("--seed", type=int, default=42)
     pb.add_argument("--shards", type=int, default=8)
     pb.add_argument("--overlap", type=int, default=1)
+    pb.add_argument(
+        "--pack", action="append", default=[],
+        help="also persist a search-ready pack: 'flat' or 'pq:M:KSUB' "
+             "(repeatable); psearch then serves without re-packing",
+    )
     pb.set_defaults(fn=cmd_pbuild)
 
     ps = sub.add_parser("psearch")
@@ -392,6 +409,8 @@ def main(argv=None) -> int:
     ps.add_argument("--k", type=int, default=10)
     ps.add_argument("--nprobe", type=int, default=None)
     ps.add_argument("--pq", action="store_true")
+    ps.add_argument("--pq-m", dest="pq_m", type=int, default=8)
+    ps.add_argument("--pq-ksub", dest="pq_ksub", type=int, default=256)
     ps.set_defaults(fn=cmd_psearch)
 
     be = sub.add_parser("bench")

@@ -146,6 +146,10 @@ class PartitionedVamanaIndex:
         self.shards_df = shards_df
         self.centers = centers
         self._packed: dict = {}
+        # (mode, pq_m, pq_ksub) -> parquet path of a persisted pack
+        # (written by save(), discovered by load()) — serving restarts
+        # read the pack instead of re-stacking/re-training per shard
+        self._packed_paths: dict = {}
 
     # ------------------------------------------------------------------ build
 
@@ -261,10 +265,15 @@ class PartitionedVamanaIndex:
         r4 verdict flagged is hoisted here."""
         key = (mode, pq_m, pq_ksub)
         if key not in self._packed:
-            packed = self.shards_df.groupBy("shard").applyInPandas(
-                _make_shard_packer(mode, pq_m, pq_ksub, int(self.params.seed)),
-                schema=_PACK_SCHEMA,
-            ).persist()
+            if key in self._packed_paths:
+                # saved pack on disk: skip the per-shard stack/CSR/PQ-train
+                packed = self.spark.read.parquet(self._packed_paths[key])
+            else:
+                packed = self.shards_df.groupBy("shard").applyInPandas(
+                    _make_shard_packer(mode, pq_m, pq_ksub, int(self.params.seed)),
+                    schema=_PACK_SCHEMA,
+                )
+            packed = packed.persist()
             packed.count()  # materialize so every search reuses the blocks
             self._packed[key] = packed
         return self._packed[key]
@@ -541,12 +550,30 @@ class PartitionedVamanaIndex:
 
     # ------------------------------------------------------------- persist
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, packs: tuple = ()) -> None:
+        """Persist the index; ``packs`` optionally also writes search-ready
+        packed forms so a serving restart skips the per-shard
+        stack/CSR/pad (flat) or PQ codebook re-training (pq).
+
+        Each entry is ``"flat"`` or ``("pq", m, ksub)``; the pack rows
+        (one blob per shard) land under ``packed/<mode>_<m>_<ksub>`` and
+        ``load`` picks them up automatically.
+        """
         self.shards_df.write.mode("overwrite").partitionBy("shard").parquet(
             os.path.join(path, "shards")
         )
+        packed_meta = []
+        for p in packs:
+            mode, pq_m, pq_ksub = (p, 8, 256) if isinstance(p, str) else p
+            sub = f"{mode}_{int(pq_m)}_{int(pq_ksub)}"
+            self._packed_df(mode, int(pq_m), int(pq_ksub)).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(path, "packed", sub))
+            packed_meta.append([mode, int(pq_m), int(pq_ksub)])
         meta = json.loads(self.params.to_json())
         meta["centers"] = [[float(x) for x in c] for c in self.centers]
+        if packed_meta:
+            meta["packs"] = packed_meta
         with open(os.path.join(path, "_meta.json"), "w") as f:
             json.dump(meta, f)
 
@@ -555,11 +582,18 @@ class PartitionedVamanaIndex:
         with open(os.path.join(path, "_meta.json")) as f:
             meta = json.load(f)
         centers = np.asarray(meta.pop("centers"), dtype=np.float32)
+        packs = meta.pop("packs", [])
         params = VamanaParams(
             **{k: v for k, v in meta.items() if k in VamanaParams.__dataclass_fields__}
         )
         shards_df = spark.read.parquet(os.path.join(path, "shards"))
-        return cls(spark, params, shards_df, centers)
+        idx = cls(spark, params, shards_df, centers)
+        for mode, pq_m, pq_ksub in packs:
+            sub = f"{mode}_{int(pq_m)}_{int(pq_ksub)}"
+            idx._packed_paths[(mode, int(pq_m), int(pq_ksub))] = os.path.join(
+                path, "packed", sub
+            )
+        return idx
 
     def degree_stats(self) -> DataFrame:
         return self.shards_df.select(
