@@ -266,3 +266,41 @@ def test_save_with_packs_serves_without_repacking(tmp_path, spark, pidx, queries
     )
     assert ap == bp
     loaded.unpersist_packed()
+
+
+def test_cosine_metric_recall(spark, embeddings, queries):
+    params = VamanaParams(
+        dim=64, alpha=1.2, R=24, L=48, ef_search=64, seed=42, metric="cosine"
+    )
+    pidx = PartitionedVamanaIndex.build(spark, embeddings, params, num_shards=4)
+    truth = exact.exact_knn(embeddings, queries, k=10, metric="cosine")
+    approx = pidx.search(queries, k=10)
+    r = quality.avg_recall(approx, truth, k=10)
+    assert r >= 0.8, f"partitioned cosine recall@10 = {r}"
+    # PQ serving walks the normalized space and re-ranks with exact cosine
+    approx_pq = pidx.search_pq(queries, k=10, pq_m=8, pq_ksub=32)
+    rp = quality.avg_recall(approx_pq, truth, k=10)
+    assert rp >= 0.7, f"partitioned cosine PQ recall@10 = {rp}"
+    pidx.unpersist_packed()
+
+
+def test_ip_metric_matches_exact_top1(spark, embeddings, queries):
+    params = VamanaParams(
+        dim=64, alpha=1.2, R=24, L=48, ef_search=64, seed=42, metric="ip"
+    )
+    pidx = PartitionedVamanaIndex.build(spark, embeddings, params, num_shards=4)
+    assert pidx.params.mips_m is not None and pidx.params.mips_m > 0
+    truth = exact.exact_knn(embeddings, queries, k=10, metric="ip")
+    approx = pidx.search(queries, k=10)
+    r = quality.avg_recall(approx, truth, k=10)
+    assert r >= 0.8, f"partitioned ip recall@10 = {r}"
+    # reported dist is -<q,x>, identical convention to the exact oracle
+    a = {(x.query_id, x.vec_id): x.dist for x in approx.collect()}
+    t = {(x.query_id, x.vec_id): x.dist for x in truth.collect()}
+    common = set(a) & set(t)
+    assert common
+    for key in list(common)[:50]:
+        assert abs(a[key] - t[key]) < 1e-2, (key, a[key], t[key])
+    with pytest.raises(ValueError):
+        pidx.search_pq(queries, k=5)
+    pidx.unpersist_packed()

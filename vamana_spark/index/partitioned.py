@@ -36,7 +36,14 @@ from vamana_spark.params import VamanaParams
 _PACK_SCHEMA = "shard int, n long, medoid int, blob binary"
 
 
-def _make_shard_packer(mode: str, pq_m: int, pq_ksub: int, seed: int):
+def _make_shard_packer(
+    mode: str,
+    pq_m: int,
+    pq_ksub: int,
+    seed: int,
+    metric: str = "l2sq",
+    mips_m=None,
+):
     """applyInPandas fn: one search-ready packed row per shard.
 
     ``flat`` packs (P float32, ids, padded adjacency); ``pq`` packs
@@ -46,15 +53,20 @@ def _make_shard_packer(mode: str, pq_m: int, pq_ksub: int, seed: int):
 
     Packing runs ONCE per index (persisted by the caller): the
     stack/CSR/pad/medoid work that used to replay inside every search
-    call is hoisted here.
+    call is hoisted here. Vectors are packed in the METRIC-TRANSFORMED
+    space (cosine: normalized; ip: MIPS->L2 augmented) so the one L2
+    kernel serves every metric, mirroring the broadcast tier.
     """
 
     def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
         import io
 
+        from vamana_spark.index.vamana import _metric_transform
+
         shard = int(key[0])
         pdf = pdf.sort_values("local_ord").reset_index(drop=True)
         P = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+        P = _metric_transform(P, metric, mips_m)
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         graph = [np.asarray(g, dtype=np.int64) for g in pdf["neighbors"]]
         indptr, nbrs = kernels._to_csr(graph, len(graph))
@@ -182,6 +194,19 @@ class PartitionedVamanaIndex:
             F.col(vec_col).alias("embedding"),
         ).where(F.size(vec_col) == params.dim)
 
+        # metric handling mirrors the broadcast tier: everything below
+        # (centers, routing, subgraphs, packs) lives in the transformed
+        # space; raw embeddings stay at rest in shards_df
+        from vamana_spark.functions.vector import l2_norm
+        from vamana_spark.index.vamana import _metric_transform
+
+        metric = params.metric
+        if metric == "ip" and params.mips_m is None:
+            params.mips_m = float(
+                pts.agg(F.max(l2_norm("embedding"))).first()[0]
+            )
+        mips_m = params.mips_m
+
         # shard centers: k-means on a seeded sample (the IVF coarse
         # quantizer) — random-point Voronoi cells scatter a query's true
         # neighbors across shards, which wrecks nprobe<S recall; trained
@@ -195,18 +220,28 @@ class PartitionedVamanaIndex:
             .limit(sample_n)
             .toPandas()
         )
-        Xs = np.stack(centers_pdf["embedding"].to_numpy()).astype(np.float64)
+        Xs = _metric_transform(
+            np.stack(centers_pdf["embedding"].to_numpy()).astype(np.float32),
+            metric,
+            mips_m,
+        ).astype(np.float64)
         C = _kmeans(Xs, min(num_shards, Xs.shape[0]), params.seed, 10).astype(
             np.float32
         )
         bc = spark.sparkContext.broadcast(C)
 
         def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from vamana_spark.index.vamana import _metric_transform as _mt
+
             Cv = bc.value
             for pdf in batches:
                 if pdf.empty:
                     continue
-                X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                X = _mt(
+                    np.stack(pdf["embedding"].to_numpy()).astype(np.float32),
+                    metric,
+                    mips_m,
+                ).astype(np.float64)
                 d = exact._dist_matrix(X, Cv.astype(np.float64), "l2sq")
                 if overlap == 1:
                     sh = d.argmin(axis=1)[:, None]
@@ -230,11 +265,18 @@ class PartitionedVamanaIndex:
         )
 
         def build_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            from vamana_spark.index.vamana import DENSE_BUILD_MAX
+            from vamana_spark.index.vamana import (
+                DENSE_BUILD_MAX,
+                _metric_transform as _mt,
+            )
 
             shard = int(key[0])
             pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-            P = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+            P = _mt(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float32),
+                metric,
+                mips_m,
+            )
             if P.shape[0] <= DENSE_BUILD_MAX:
                 graph, _ = kernels.build_vamana_dense(P, R, alpha, seed + shard)
             else:
@@ -270,7 +312,14 @@ class PartitionedVamanaIndex:
                 packed = self.spark.read.parquet(self._packed_paths[key])
             else:
                 packed = self.shards_df.groupBy("shard").applyInPandas(
-                    _make_shard_packer(mode, pq_m, pq_ksub, int(self.params.seed)),
+                    _make_shard_packer(
+                        mode,
+                        pq_m,
+                        pq_ksub,
+                        int(self.params.seed),
+                        self.params.metric,
+                        self.params.mips_m,
+                    ),
                     schema=_PACK_SCHEMA,
                 )
             packed = packed.persist()
@@ -311,14 +360,26 @@ class PartitionedVamanaIndex:
         """
         bc = self.spark.sparkContext.broadcast(self.centers.astype(np.float64))
         take = int(min(nprobe, self.centers.shape[0]))
+        metric, mips_m = self.params.metric, self.params.mips_m
 
         def route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from vamana_spark.index.vamana import _metric_transform as _mt
+
             C = bc.value
             S = C.shape[0]
             for pdf in batches:
                 if pdf.empty:
                     continue
-                Q = np.stack(pdf["qv"].to_numpy()).astype(np.float64)
+                # transform ONCE here; the routed qv column carries the
+                # transformed vector so shard kernels use it directly
+                Qt = _mt(
+                    np.stack(pdf["qv"].to_numpy()).astype(np.float32),
+                    metric,
+                    mips_m,
+                    query=True,
+                )
+                pdf = pdf.assign(qv=list(Qt))
+                Q = Qt.astype(np.float64)
                 d = exact._dist_matrix(Q, C, "l2sq")
                 if take >= S:
                     probe = np.broadcast_to(
@@ -408,6 +469,7 @@ class PartitionedVamanaIndex:
         nprobe = S if nprobe is None else min(nprobe, S)
         ef = int(ef_search or self.params.ef_search)
         metric_k = int(k)
+        metric, mips_m = self.params.metric, self.params.mips_m
 
         packed = self._packed_df("flat")
         routed = self._route(queries, nprobe, query_id_col, query_vec_col)
@@ -420,16 +482,26 @@ class PartitionedVamanaIndex:
             z = np.load(io.BytesIO(left["blob"].iloc[0]))
             P, ids, nbr = z["P"], z["ids"], z["nbr"]
             medoid = int(left["medoid"].iloc[0])
+            # qv is already metric-transformed by _route
             Q = np.stack(right["qv"].to_numpy()).astype(np.float32)
             qids = right["query_id"].to_numpy(dtype=np.int64)
             rq, rid, rd, _, _ = kernels.search_topk_batch(
                 P, nbr, medoid, Q, metric_k, _ef_for_shard(ef, metric_k, P.shape[0])
             )
+            rd = rd.astype(np.float64)
+            if metric == "ip":
+                # augmented-L2 back to -<q,x> (query aug component is 0,
+                # so ||q'||^2 == ||q||^2) — same mapping as the broadcast
+                # tier; merge ranking is unchanged (monotone)
+                qn2 = np.einsum(
+                    "ij,ij->i", Q.astype(np.float64), Q.astype(np.float64)
+                )
+                rd = (rd - qn2[rq] - float(mips_m) ** 2) / 2.0
             return pd.DataFrame(
                 {
                     "query_id": qids[rq],
                     "vec_id": ids[rid],
-                    "dist": rd.astype(np.float64),
+                    "dist": rd,
                 }
             )
 
@@ -470,6 +542,11 @@ class PartitionedVamanaIndex:
         """
         from vamana_spark.functions.vector import pairwise_distance
 
+        if self.params.metric == "ip":
+            # the MIPS->L2 augmentation adds a component (dim+1), which
+            # breaks the PQ subspace split and the raw-vector re-rank;
+            # serve ip through search() (flat pack handles it)
+            raise ValueError("search_pq supports l2sq/l2/cosine, not ip")
         if self.params.dim % pq_m:
             raise ValueError(f"dim {self.params.dim} not divisible by pq_m {pq_m}")
         S = int(self.params.num_shards)
@@ -536,7 +613,7 @@ class PartitionedVamanaIndex:
             .select(
                 "query_id",
                 "vec_id",
-                pairwise_distance("_qv", "_pv", "l2sq").alias("dist"),
+                pairwise_distance("_qv", "_pv", self.params.metric).alias("dist"),
             )
         )
         w = Window.partitionBy("query_id").orderBy(
@@ -647,13 +724,20 @@ def add_points(
     ).where(F.size(vec_col) == params.dim)
 
     overlap = index._overlap()  # appended points honor the index layout
+    metric, mips_m = params.metric, params.mips_m
 
     def assign(batches):
+        from vamana_spark.index.vamana import _metric_transform as _mt
+
         Cv = bc.value
         for pdf in batches:
             if pdf.empty:
                 continue
-            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            X = _mt(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float32),
+                metric,
+                mips_m,
+            ).astype(np.float64)
             d = _exact._dist_matrix(X, Cv.astype(np.float64), "l2sq")
             if overlap == 1:
                 sh = d.argmin(axis=1)[:, None]
@@ -685,9 +769,15 @@ def add_points(
     )
 
     def build_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from vamana_spark.index.vamana import _metric_transform as _mt
+
         shard = int(key[0])
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        P = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+        P = _mt(
+            np.stack(pdf["embedding"].to_numpy()).astype(np.float32),
+            metric,
+            mips_m,
+        )
         if P.shape[0] <= DENSE_BUILD_MAX:
             graph, _ = _k.build_vamana_dense(P, R, alpha, seed + shard)
         else:
@@ -736,6 +826,7 @@ def delete_points(
 
     spark = index.spark
     params = index.params
+    metric, mips_m = params.metric, params.mips_m
     doomed = ids.select(F.col(id_col).cast("long").alias("vec_id")).distinct()
     present = index.shards_df.join(F.broadcast(doomed), "vec_id").select(
         "shard", "vec_id"
@@ -759,9 +850,15 @@ def delete_points(
     )
 
     def build_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from vamana_spark.index.vamana import _metric_transform as _mt
+
         shard = int(key[0])
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        P = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+        P = _mt(
+            np.stack(pdf["embedding"].to_numpy()).astype(np.float32),
+            metric,
+            mips_m,
+        )
         if P.shape[0] <= DENSE_BUILD_MAX:
             graph, _ = _k.build_vamana_dense(P, R, alpha, seed + shard)
         else:
