@@ -122,25 +122,41 @@ def _scale_25k_block(spark) -> dict:
     try:
         from vamana_spark.index.partitioned import PartitionedVamanaIndex
 
+        # overlap=2: each point lives in its 2 nearest shards, which is
+        # what makes the nprobe<S operating point (the production serving
+        # shape — scan cost ~nprobe/S of exhaustive) hold recall
         t0 = time.perf_counter()
         pidx = PartitionedVamanaIndex.build(
-            spark, emb, make_params(), num_shards=8
+            spark, emb, make_params(), num_shards=8, overlap=2
         )
         pidx.shards_df = pidx.shards_df.cache()
         pidx.search(q.limit(5), k=10).count()  # materialize cache + pack
         p_build = round(time.perf_counter() - t0, 3)
-        p_search = float("inf")
-        for _ in range(3):
+        # exhaustive probe = the recall ceiling; ONE rep (it reads every
+        # shard per query — ~8x the nprobe=2 work — and is not the
+        # number the tier is designed around)
+        t0 = time.perf_counter()
+        pidx.search(allq, k=10).count()
+        p_search = time.perf_counter() - t0
+        p2_search = float("inf")  # nprobe=2: the serving operating point
+        for _ in range(2):
             t0 = time.perf_counter()
-            pidx.search(allq, k=10).count()
-            p_search = min(p_search, time.perf_counter() - t0)
+            pidx.search(allq, k=10, nprobe=2).count()
+            p2_search = min(p2_search, time.perf_counter() - t0)
         p_recall = round(
             quality.avg_recall(pidx.search(q, k=10), truth, k=10), 4
         )
+        p2_recall = round(
+            quality.avg_recall(pidx.search(q, k=10, nprobe=2), truth, k=10), 4
+        )
         out["partitioned"] = {
+            "num_shards": 8,
+            "overlap": 2,
             "build_plus_pack_sec": p_build,
-            "qps_sustained": round(n_all / p_search, 1),
-            "recall_at_10": p_recall,
+            "qps_exhaustive": round(n_all / p_search, 1),
+            "recall_at_10_exhaustive": p_recall,
+            "qps_sustained_nprobe2": round(n_all / p2_search, 1),
+            "recall_at_10_nprobe2": p2_recall,
         }
         pidx.unpersist_packed()
         pidx.shards_df.unpersist()
@@ -280,7 +296,7 @@ def _query_mix(timings: dict, extra: dict) -> None:
                 timed(
                     "partitioned_pq_search",
                     lambda: pidx.search_pq(big, k=10).count(),
-                    reps=3,
+                    reps=2,
                 )
                 if timings.get("partitioned_pq_search"):
                     extra["partitioned_pq_qps_sustained"] = round(

@@ -304,3 +304,25 @@ def test_ip_metric_matches_exact_top1(spark, embeddings, queries):
     with pytest.raises(ValueError):
         pidx.search_pq(queries, k=5)
     pidx.unpersist_packed()
+
+
+def test_overlap_dedupe_single_exchange(spark, embeddings, queries):
+    """The overlap dedupe window and the merge window share ONE exchange:
+    pre-partitioning on query_id satisfies both clusterings."""
+    import contextlib
+    import io as _io
+
+    params = VamanaParams(dim=64, alpha=1.2, R=24, L=48, ef_search=64, seed=42)
+    pidx = PartitionedVamanaIndex.build(
+        spark, embeddings, params, num_shards=4, overlap=2
+    )
+    res = pidx.search(queries, k=5)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # the merge segment is everything above the cogroup: it must hold
+    # both Window ops fed by exactly ONE exchange (the query_id
+    # repartition) — no second shuffle between dedupe and rank
+    top = plan.split("FlatMapCoGroupsInPandas")[0]
+    assert top.count("Window [") == 2, top
+    assert top.count("Exchange") == 1, top
+    assert "hashpartitioning(query_id" in top, top
+    pidx.unpersist_packed()

@@ -338,9 +338,15 @@ class PartitionedVamanaIndex:
 
     def _dedupe_overlap(self, partial: DataFrame) -> DataFrame:
         """overlap>1 puts a point in several shards; keep one candidate
-        row per (query, point) before ranking (copies tie on dist)."""
+        row per (query, point) before ranking (copies tie on dist).
+
+        Pre-partitioning on query_id alone satisfies BOTH this window's
+        (query_id, vec_id) clustering and the downstream merge window's
+        (query_id) clustering — one exchange instead of two
+        (plan-asserted in test_plans.py)."""
         if self._overlap() <= 1:
             return partial
+        partial = partial.repartition("query_id")
         wdd = Window.partitionBy("query_id", "vec_id").orderBy(
             F.col("dist").asc()
         )
