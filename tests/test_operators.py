@@ -745,3 +745,33 @@ def test_pack_documents_prefix_sum_layout(documents):
             )
             assert r.straddles == expect_straddle
             run += r.n_tokens
+
+
+def test_mixture_sample_fractions_and_stability(documents, spark):
+    out = sampling.mixture_sample(
+        documents, {"src0": 1.0, "src1": 0.5, "src2": 0.0}, default_fraction=0.2
+    )
+    by_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    totals = {
+        r["source"]: r["n"]
+        for r in documents.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src.get("src0") == totals["src0"]  # keep-all really keeps all
+    assert "src2" not in by_src  # zero fraction drops everything
+    assert 0 < by_src.get("src1", 0) < totals["src1"]
+    # membership is layout-independent: repartitioned input -> same rows
+    ids_a = {r.doc_id for r in out.collect()}
+    ids_b = {
+        r.doc_id
+        for r in sampling.mixture_sample(
+            documents.repartition(7),
+            {"src0": 1.0, "src1": 0.5, "src2": 0.0},
+            default_fraction=0.2,
+        ).collect()
+    }
+    assert ids_a == ids_b
+    with pytest.raises(ValueError):
+        sampling.mixture_sample(documents, {"src0": 1.5})

@@ -115,3 +115,40 @@ def train_test_split(
         label_col,
         F.when(prefix < F.lit(threshold), F.lit("test")).otherwise(F.lit("train")),
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    fractions: dict,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Source-reweighting mixture: keep a per-group Bernoulli fraction of
+    rows — the "sample CommonCrawl at 30%, books at 100%" step that sets
+    a training mix. ``fractions`` maps group value -> keep fraction in
+    [0, 1]; unlisted groups keep ``default_fraction``.
+
+    Membership is a pure function of (seed, id): the md5 hex prefix is
+    uniform in [0, 16^8), compared lexicographically against each
+    group's hex threshold — the same engine-portable draw as
+    ``train_test_split``, so the mix is stable under repartitioning and
+    appends, and a SQL oracle reproduces it bit-for-bit. Zero shuffles:
+    the whole operator is a projection + filter (the fractions table
+    enters as a CASE expression, not a join).
+    """
+    for g, frac in fractions.items():
+        if not (0.0 <= float(frac) <= 1.0):
+            raise ValueError(f"fraction for {g!r} must be in [0,1], got {frac}")
+    prefix = F.substring(_hash_order(id_col, seed), 1, 8)
+
+    def thr(frac: float) -> str:
+        # 'g' sorts after every hex digit -> keep-all; else the 8-hex
+        # threshold (same comparison shape as train_test_split)
+        return "g" if float(frac) >= 1.0 else format(int(float(frac) * 16**8), "08x")
+
+    expr = F.lit(thr(float(default_fraction)))
+    for g, frac in sorted(fractions.items()):
+        expr = F.when(F.col(group_col) == g, F.lit(thr(float(frac)))).otherwise(expr)
+    return df.where(prefix < expr)

@@ -1648,6 +1648,35 @@ def q_partitioned_pq(spark, sf_dir):
     )
 
 
+@declare("q_partitioned_cosine")
+def q_partitioned_cosine(spark, sf_dir):
+    """Metric parity on the 100x serving tier (the reference's own
+    declared TODO, vamana.h:695): cosine build + search on the
+    partitioned index — centers, routing, and shard subgraphs all live
+    in the normalized space. ``ok`` embeds recall@10 >= 0.8 vs the exact
+    cosine oracle (rows-only; the metric reduction itself is
+    hash-checked by q_knn_cosine)."""
+    from vamana_spark import quality
+    from vamana_spark.index.partitioned import PartitionedVamanaIndex
+
+    key = (spark.sparkContext.applicationId, sf_dir, "cosine")
+    if key not in _PIDX_CACHE:
+        params = VamanaParams(
+            dim=64, alpha=1.2, R=32, L=64, ef_search=100, seed=42,
+            metric="cosine",
+        )
+        _PIDX_CACHE[key] = PartitionedVamanaIndex.build(
+            spark, _emb(spark, sf_dir), params, num_shards=4
+        )
+        _PIDX_CACHE[key].shards_df = _PIDX_CACHE[key].shards_df.cache()
+    pidx = _PIDX_CACHE[key]
+    e = _emb(spark, sf_dir)
+    q = _fixed_queries(e, 25)
+    return quality.recall_with_ok(
+        pidx.search(q, k=10), exact.exact_knn(e, q, k=10, metric="cosine"), k=10
+    )
+
+
 @declare("q_index_append")
 def q_index_append(spark, sf_dir):
     """Incremental maintenance (reference AddPoint-after-build,
@@ -2016,6 +2045,31 @@ def q_pack_documents(spark, sf_dir):
     ).withColumn("straddles", F.col("straddles").cast("long"))
 
 
+@declare(
+    "q_mixture_sample",
+    r"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+          CASE WHEN source = 'src0' THEN 'g'
+               WHEN source = 'src1' THEN 'a6666666'
+               WHEN source = 'src2' THEN '4ccccccc'
+               ELSE '19999999' END
+    """,
+)
+def q_mixture_sample(spark, sf_dir):
+    """Source-reweighting mixture (keep src0 fully, src1 at 65%, src2 at
+    30%, everything else at 10%) via the engine-portable md5 draw —
+    zero-shuffle projection + filter."""
+    from vamana_spark.operators import sampling
+
+    return sampling.mixture_sample(
+        _docs(spark, sf_dir),
+        {"src0": 1.0, "src1": 0.65, "src2": 0.3},
+        default_fraction=0.1,
+    ).select("doc_id", "source")
+
+
 # ======================================================================
 # ROTATION — driver-verification window management
 # ======================================================================
@@ -2037,7 +2091,7 @@ def q_pack_documents(spark, sf_dir):
 _ROTATION_FRONT = [
     # new this round, never driver-run — verify first
     "q_partitioned_pq", "q_pii_scrub", "q_gopher_filter", "q_c4_clean",
-    "q_pack_documents",
+    "q_pack_documents", "q_partitioned_cosine", "q_mixture_sample",
     # canaries (core surface, cheap, always verified)
     "q_scan_embeddings", "q_knn_exact", "q_dedup_exact",
     # last driver row r03 — now the stale set (tail spills to the r6
