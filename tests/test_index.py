@@ -323,3 +323,42 @@ def test_build_phase_timings_diagnostic(spark, embeddings):
         assert k in timings and timings[k] >= 0.0, timings
     assert idx.health_check()["ok"]
     idx.release()
+
+
+def test_add_points_wires_new_points(spark, embeddings, queries):
+    p = VamanaParams(dim=64, alpha=1.2, R=24, L=48, ef_search=80, seed=11)
+    base = embeddings.where(F.col("vec_id") % 5 != 0)
+    delta = embeddings.where(F.col("vec_id") % 5 == 0)
+    n_delta = delta.count()
+    idx = VamanaIndex.build(spark, base, p)
+    idx2 = idx.add_points(delta)
+    assert idx2.data_size == idx.data_size + n_delta
+    # appended points must be findable, not just stored
+    res = idx2.search(queries, k=10)
+    assert res.where(F.col("vec_id") % 5 == 0).count() > 0
+    # degree cap survives the reverse fix-up
+    hc = idx2.health_check()
+    assert hc["ok"] and hc["max_degree"] <= p.R
+    # recall over the FULL set matches a from-scratch quality bar
+    truth = exact.exact_knn(embeddings, queries, k=10)
+    r = quality.avg_recall(res, truth, k=10)
+    assert r >= 0.8, f"post-append recall {r}"
+    # idempotence on duplicate ids: vec_id is the identity (SURVEY §1.4)
+    idx3 = idx2.add_points(delta)
+    assert idx3 is idx2
+    idx.release(); idx2.release()
+
+
+def test_add_points_capacity_check(spark, embeddings):
+    n = embeddings.count()
+    p = VamanaParams(
+        dim=64, alpha=1.2, R=16, L=32, ef_search=32, seed=3, max_points=n - 50
+    )
+    idx = VamanaIndex.build(spark, embeddings.limit(0).unionByName(
+        embeddings.where(F.col("vec_id") < 100)), p)
+    too_many = embeddings.where(F.col("vec_id") >= 100)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="capacity"):
+        idx.add_points(too_many)
+    idx.release()

@@ -649,6 +649,158 @@ class VamanaIndex:
 
     # ------------------------------------------------------------ maintenance
 
+    def add_points(
+        self, new_df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    ) -> "VamanaIndex":
+        """Incremental insert with graph repair (FreshDiskANN insert;
+        the SAFE version of the reference's AddPoint-after-build,
+        vamana.h:98-111, which leaves new nodes unwired — SURVEY §1.4).
+        Returns a NEW index; complements ``delete_points``.
+
+        Per new point p: beam-search the existing graph from the medoid
+        (candidate set = the L nearest visited nodes — the paper's
+        insert recipe), RobustPrune to wire N(p), then a reverse-edge
+        fix-up appends p to each admitted neighbor u and re-prunes u
+        only if it went over the degree cap (same append-or-prune rule
+        as the build's bidirectional fix-up, vamana.h:270-287).
+
+        Distributed shape: wiring is one ``mapInPandas`` over the new
+        batch against the broadcast (points, graph) — the lockstep
+        batched search kernel, not per-row Python; the fix-up is one
+        explode/groupBy shuffle over TOUCHED old nodes only. The new
+        vectors come to the driver once to extend the broadcast matrix —
+        bounded by the broadcast-tier ceiling this index already fits.
+        Duplicate vec_ids are dropped (vec_id is the identity, §1.4);
+        ``max_points`` is enforced like the reference's capacity check
+        (vamana.h:102-104).
+        """
+        params = self.params
+        pts_new = (
+            new_df.select(
+                F.col(id_col).cast("long").alias("vec_id"),
+                F.col(vec_col).alias("embedding"),
+            )
+            .where(F.size(vec_col) == params.dim)
+            .join(self.points_df.select("vec_id"), "vec_id", "left_anti")
+        )
+        new_pdf = pts_new.toPandas()
+        m = len(new_pdf)
+        if m == 0:
+            return self
+        n_old_pts = int(params.n or self.points_df.count())
+        if params.max_points and n_old_pts + m > params.max_points:
+            raise ValueError(
+                f"add_points: capacity exceeded ({n_old_pts}+{m} > "
+                f"max_points={params.max_points})"
+            )
+        new_pdf = new_pdf.sort_values("vec_id", kind="mergesort").reset_index(
+            drop=True
+        )
+        old_P, _, indptr, nbrs = self._load_local()  # transformed space
+        n_old = old_P.shape[0]
+        Tnew = _metric_transform(
+            np.stack(new_pdf["embedding"].to_numpy()).astype(np.float32),
+            params.metric,
+            params.mips_m,
+        )
+        if params.metric == "ip":
+            norms = np.linalg.norm(
+                np.stack(new_pdf["embedding"].to_numpy()).astype(np.float64), axis=1
+            )
+            if norms.max() > float(params.mips_m) * (1 + 1e-6):
+                raise ValueError(
+                    "add_points: new point norm exceeds the build-time "
+                    "mips_m — the MIPS->L2 augmentation of EVERY point "
+                    "depends on the max norm, so rebuild the index"
+                )
+        new_pdf["ordinal"] = np.arange(n_old, n_old + m, dtype=np.int64)
+        P_all = np.vstack([old_P, Tnew])
+        nbr_mat = kernels.pad_adjacency(indptr, nbrs, n_old)
+        bP = self.spark.sparkContext.broadcast((P_all, nbr_mat, n_old))
+        medoid = int(params.medoid if params.medoid is not None else 0)
+        L, R, alpha_f = int(params.L), int(params.R), float(params.alpha)
+
+        ord_map = self.spark.createDataFrame(
+            new_pdf[["vec_id", "ordinal"]], "vec_id long, ordinal long"
+        )
+        new_points = pts_new.join(F.broadcast(ord_map), "vec_id").select(
+            "vec_id", "ordinal", "embedding"
+        )
+
+        def wire(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            Pv, nbrv, n_oldv = bP.value
+            P_oldv = Pv[:n_oldv]
+            kk = min(L, n_oldv)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                ords = pdf["ordinal"].to_numpy(dtype=np.int64)
+                Q = Pv[ords]
+                rq, rid, _, _, _ = kernels.search_topk_batch(
+                    P_oldv, nbrv, medoid, Q, kk, max(L, kk)
+                )
+                out_o, out_nb = [], []
+                for i, o in enumerate(ords):
+                    cand = rid[rq == i]
+                    adm = kernels.robust_prune(Pv, int(o), cand, None, alpha_f, R)
+                    out_o.append(int(o))
+                    out_nb.append([int(x) for x in adm])
+                yield pd.DataFrame({"ordinal": out_o, "neighbors": out_nb})
+
+        new_adj = new_points.select("ordinal").mapInPandas(
+            wire, schema="ordinal long, neighbors array<long>"
+        ).localCheckpoint(eager=True)
+
+        # reverse fix-up: p appended to each admitted u; over-cap u
+        # re-prunes over N(u) ∪ {new ps} (append-or-prune, vamana.h:270-287)
+        rev = new_adj.select(
+            F.col("ordinal").alias("_p"), F.explode("neighbors").alias("ordinal")
+        )
+        add_cand = rev.groupBy("ordinal").agg(F.collect_set("_p").alias("_extra"))
+        cand = self.graph_df.join(add_cand, "ordinal").select(
+            F.col("ordinal").alias("src"),
+            F.concat(F.col("neighbors"), F.col("_extra")).alias("dsts"),
+        )
+
+        def reprune(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            Pv, _, _ = bP.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                srcs = pdf["src"].to_numpy(dtype=np.int64)
+                lists = pdf["dsts"].to_list()
+                W = max(len(x) for x in lists)
+                cm = np.full((len(lists), W), -1, dtype=np.int64)
+                for i, x in enumerate(lists):
+                    cm[i, : len(x)] = x
+                pruned = kernels.robust_prune_gather(Pv, srcs, cm, alpha_f, R)
+                yield pd.DataFrame(
+                    {
+                        "ordinal": srcs,
+                        "neighbors": [row[row >= 0] for row in pruned],
+                    }
+                )
+
+        repaired = cand.mapInPandas(
+            reprune, schema="ordinal long, neighbors array<long>"
+        )
+        untouched = self.graph_df.join(
+            F.broadcast(add_cand.select("ordinal")), "ordinal", "left_anti"
+        )
+        new_graph = (
+            untouched.unionByName(repaired)
+            .unionByName(new_adj)
+            .localCheckpoint(eager=True)
+        )
+        new_params = VamanaParams(**json.loads(params.to_json()))
+        new_params.n = n_old_pts + m
+        return VamanaIndex(
+            self.spark,
+            new_params,
+            self.points_df.unionByName(new_points),
+            new_graph,
+        )
+
     def delete_points(self, ids: DataFrame, id_col: str = "vec_id") -> "VamanaIndex":
         """Delete points and repair the graph (FreshDiskANN-style
         consolidate; complements ``partitioned.add_points`` for full

@@ -1677,6 +1677,32 @@ def q_partitioned_cosine(spark, sf_dir):
     )
 
 
+@declare("q_broadcast_append")
+def q_broadcast_append(spark, sf_dir):
+    """Broadcast-tier incremental insert (FreshDiskANN insert; the safe
+    AddPoint-after-build the reference lacks, vamana.h:98-111 + SURVEY
+    §1.4): build on 80% of the vectors, add_points() the held-out 20%,
+    report per-query recall@10 over the FULL set with the appended-
+    points-findable check folded into ``ok`` (rows-only)."""
+    from vamana_spark import quality
+    from vamana_spark.index.vamana import VamanaIndex
+
+    key = (spark.sparkContext.applicationId, sf_dir, "bappend")
+    if key not in _PIDX_CACHE:
+        e = _emb(spark, sf_dir)
+        params = VamanaParams(dim=64, alpha=1.2, R=32, L=64, ef_search=100, seed=42)
+        base = VamanaIndex.build(spark, e.where(F.col("vec_id") % 5 != 0), params)
+        _PIDX_CACHE[key] = base.add_points(e.where(F.col("vec_id") % 5 == 0))
+    idx = _PIDX_CACHE[key]
+    e = _emb(spark, sf_dir)
+    q = _fixed_queries(e, 25)
+    res = idx.search(q, k=10)
+    n_appended_hits = res.where(F.col("vec_id") % 5 == 0).count()
+    return quality.recall_with_ok(
+        res, exact.exact_knn(e, q, k=10), k=10
+    ).withColumn("ok", F.col("ok") & F.lit(n_appended_hits > 0))
+
+
 @declare("q_index_append")
 def q_index_append(spark, sf_dir):
     """Incremental maintenance (reference AddPoint-after-build,
@@ -2092,6 +2118,7 @@ _ROTATION_FRONT = [
     # new this round, never driver-run — verify first
     "q_partitioned_pq", "q_pii_scrub", "q_gopher_filter", "q_c4_clean",
     "q_pack_documents", "q_partitioned_cosine", "q_mixture_sample",
+    "q_broadcast_append",
     # canaries (core surface, cheap, always verified)
     "q_scan_embeddings", "q_knn_exact", "q_dedup_exact",
     # last driver row r03 — now the stale set (tail spills to the r6
