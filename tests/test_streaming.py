@@ -306,3 +306,39 @@ def test_streaming_partitioned_search_matches_batch(spark, embeddings, tmp_path)
         got = sorted((r.query_id, r.rank, r.vec_id) for r in got_rows)
         want = sorted((r.query_id, r.rank, r.vec_id) for r in batch.collect())
         assert got == want and got, f"use_pq={use_pq}"
+
+
+def test_streaming_quality_filters_match_batch(spark, documents, tmp_path):
+    """Stateless quality gates (Gopher/C4/PII) applied to a document
+    stream produce exactly the batch result on a closed input — the
+    filters are pure projections, so they compose into any ingest
+    stream with zero state."""
+    from vamana_spark.operators.text import c4_clean, gopher_quality_filter
+
+    src = str(tmp_path / "docs_stream")
+    documents.repartition(2).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(documents.schema).parquet(src)
+
+    got = run_to_completion(
+        gopher_quality_filter(stream), "t_stream_gopher", output_mode="append"
+    ).collect()
+    want = {r.doc_id: r for r in gopher_quality_filter(documents).collect()}
+    assert len(got) == len(want)
+    for r in got:
+        w = want[r.doc_id]
+        assert (r.n_words, r.stop_hits, r.gopher_pass) == (
+            w.n_words,
+            w.stop_hits,
+            w.gopher_pass,
+        )
+
+    got_c4 = {
+        r.doc_id: (r.n_kept, r.doc_pass)
+        for r in run_to_completion(
+            c4_clean(stream), "t_stream_c4", output_mode="append"
+        ).collect()
+    }
+    want_c4 = {
+        r.doc_id: (r.n_kept, r.doc_pass) for r in c4_clean(documents).collect()
+    }
+    assert got_c4 == want_c4

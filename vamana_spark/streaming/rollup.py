@@ -90,13 +90,17 @@ def streaming_session_stats(
     )
 
 
-def run_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
+def run_to_completion(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
     """Drain a bounded stream into an in-memory table (AvailableNow) and
-    return the result as a batch DataFrame. Test/utility path."""
+    return the result as a batch DataFrame. Test/utility path.
+    ``output_mode="append"`` for stateless/append-only streams (complete
+    mode requires an aggregation)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
