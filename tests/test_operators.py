@@ -695,7 +695,7 @@ def test_gopher_filter_rules_fire_individually(spark):
     got = {r.doc_id: r for r in gopher_quality_filter(df).collect()}
     assert got[1].gopher_pass
     assert not got[2].gopher_pass and got[2].n_words == 3
-    assert not got[3].gopher_pass and got[3].symbol_word_ratio > 0.1
+    assert not got[3].gopher_pass and got[3].hash_word_ratio > 0.1
     assert got[4].alpha_word_frac < 1.0
     assert not got[5].gopher_pass and got[5].bullet_line_frac == 1.0
     assert got[1].stop_hits >= 2
@@ -775,3 +775,10 @@ def test_mixture_sample_fractions_and_stability(documents, spark):
     assert ids_a == ids_b
     with pytest.raises(ValueError):
         sampling.mixture_sample(documents, {"src0": 1.5})
+    # 1-ulp-under-1.0 scales to exactly 16^8: must keep ALL rows, not
+    # fall into the 9-hex-char threshold trap ('100000000' sorts low)
+    near_one = 0.9999999999999999
+    kept = sampling.mixture_sample(
+        documents, {"src0": near_one}, default_fraction=0.0
+    )
+    assert kept.count() == totals["src0"]

@@ -225,10 +225,30 @@ def cmd_chunk(args) -> int:
     return 0
 
 
+def _parse_packs(specs) -> tuple:
+    packs = []
+    for spec in specs:
+        parts = spec.split(":")
+        try:
+            if len(parts) == 1 and parts[0] == "flat":
+                packs.append("flat")
+            elif len(parts) == 3 and parts[0] == "pq":
+                packs.append(("pq", int(parts[1]), int(parts[2])))
+            else:
+                raise ValueError
+        except ValueError:
+            raise SystemExit(
+                f"--pack {spec!r}: expected 'flat' or 'pq:M:KSUB' "
+                "(e.g. --pack pq:8:256)"
+            )
+    return tuple(packs)
+
+
 def cmd_pbuild(args) -> int:
     from vamana_spark import VamanaParams
     from vamana_spark.index.partitioned import PartitionedVamanaIndex
 
+    packs = _parse_packs(args.pack)  # fail fast, before any Spark work
     spark = _spark("vamana-pbuild")
     df = spark.read.parquet(args.input)
     dim = df.selectExpr(f"size({args.vec_col}) d").first()["d"]
@@ -240,14 +260,7 @@ def cmd_pbuild(args) -> int:
         spark, df, params, num_shards=args.shards,
         id_col=args.id_col, vec_col=args.vec_col, overlap=args.overlap,
     )
-    packs = []
-    for spec in args.pack:
-        parts = spec.split(":")
-        packs.append(
-            parts[0] if len(parts) == 1
-            else (parts[0], int(parts[1]), int(parts[2]))
-        )
-    idx.save(args.output, packs=tuple(packs))
+    idx.save(args.output, packs=packs)
     print(json.dumps({"n": idx.params.n, "shards": idx.params.num_shards,
                       "overlap": idx.params.shard_overlap, "packs": args.pack,
                       "health": idx.health_check()}))

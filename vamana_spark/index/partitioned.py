@@ -203,7 +203,7 @@ class PartitionedVamanaIndex:
         metric = params.metric
         if metric == "ip" and params.mips_m is None:
             params.mips_m = float(
-                pts.agg(F.max(l2_norm("embedding"))).first()[0]
+                pts.agg(F.max(l2_norm("embedding"))).first()[0] or 0.0
             )
         mips_m = params.mips_m
 
@@ -503,6 +503,12 @@ class PartitionedVamanaIndex:
                     "ij,ij->i", Q.astype(np.float64), Q.astype(np.float64)
                 )
                 rd = (rd - qn2[rq] - float(mips_m) ** 2) / 2.0
+            elif metric == "cosine":
+                # normalized-space L2^2 = 2(1-cos) -> true cosine distance,
+                # the same scale search_pq's exact re-rank reports
+                rd = rd / 2.0
+            elif metric == "l2":
+                rd = np.sqrt(rd)
             return pd.DataFrame(
                 {
                     "query_id": qids[rq],
@@ -731,6 +737,18 @@ def add_points(
 
     overlap = index._overlap()  # appended points honor the index layout
     metric, mips_m = params.metric, params.mips_m
+    if metric == "ip":
+        # the MIPS->L2 augmentation of EVERY point depends on the
+        # build-time max norm; an over-norm insert silently corrupts the
+        # geometry (sqrt clamps to 0) — same guard as the broadcast tier
+        from vamana_spark.functions.vector import l2_norm as _l2n
+
+        mx = pts.agg(F.max(_l2n("embedding"))).first()[0]
+        if mx is not None and float(mx) > float(mips_m) * (1 + 1e-6):
+            raise ValueError(
+                "add_points: new point norm exceeds the build-time "
+                "mips_m — rebuild the index"
+            )
 
     def assign(batches):
         from vamana_spark.index.vamana import _metric_transform as _mt

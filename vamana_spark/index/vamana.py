@@ -342,18 +342,12 @@ class VamanaIndex:
                     if pdf.empty:
                         continue
                     srcs = pdf["ordinal"] if "ordinal" in pdf else pdf["src"]
-                    srcs = srcs.to_numpy(dtype=np.int64)
-                    lists = pdf["dsts"].to_list()
-                    C = max(len(x) for x in lists)
-                    cand = np.full((len(lists), C), -1, dtype=np.int64)
-                    for i, x in enumerate(lists):
-                        cand[i, : len(x)] = x
-                    pruned = kernels.robust_prune_gather(Pv, srcs, cand, alpha_f, R)
-                    yield pd.DataFrame(
-                        {
-                            "ordinal": srcs,
-                            "neighbors": [row[row >= 0] for row in pruned],
-                        }
+                    yield _pad_prune_rows(
+                        Pv,
+                        srcs.to_numpy(dtype=np.int64),
+                        pdf["dsts"].to_list(),
+                        alpha_f,
+                        R,
                     )
 
             graph_df = agg.select(
@@ -517,6 +511,12 @@ class VamanaIndex:
                 if metric == "ip":
                     # augmented-L2 back to -<q,x>: rd = ||q||^2 + M^2 - 2<q,x>
                     rd = (rd - qn2[rq] - float(mips_m) ** 2) / 2.0
+                elif metric == "cosine":
+                    # normalized-space L2^2 = 2(1-cos) -> report true
+                    # cosine distance, matching the exact oracle's scale
+                    rd = rd / 2.0
+                elif metric == "l2":
+                    rd = np.sqrt(rd)
                 # ranks ascend within each query's contiguous result block
                 rank = np.ones(rq.size, dtype=np.int32)
                 if rq.size:
@@ -720,11 +720,17 @@ class VamanaIndex:
         medoid = int(params.medoid if params.medoid is not None else 0)
         L, R, alpha_f = int(params.L), int(params.R), float(params.alpha)
 
-        ord_map = self.spark.createDataFrame(
-            new_pdf[["vec_id", "ordinal"]], "vec_id long, ordinal long"
-        )
-        new_points = pts_new.join(F.broadcast(ord_map), "vec_id").select(
-            "vec_id", "ordinal", "embedding"
+        # new_points comes from the driver SNAPSHOT (new_pdf), never by
+        # re-evaluating pts_new: a non-deterministic new_df (sample/limit)
+        # would otherwise diverge from the rows the graph was wired for
+        new_points = self.spark.createDataFrame(
+            [
+                (int(v), int(o), [float(x) for x in e])
+                for v, o, e in zip(
+                    new_pdf["vec_id"], new_pdf["ordinal"], new_pdf["embedding"]
+                )
+            ],
+            "vec_id long, ordinal long, embedding array<float>",
         )
 
         def wire(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -767,18 +773,12 @@ class VamanaIndex:
             for pdf in batches:
                 if pdf.empty:
                     continue
-                srcs = pdf["src"].to_numpy(dtype=np.int64)
-                lists = pdf["dsts"].to_list()
-                W = max(len(x) for x in lists)
-                cm = np.full((len(lists), W), -1, dtype=np.int64)
-                for i, x in enumerate(lists):
-                    cm[i, : len(x)] = x
-                pruned = kernels.robust_prune_gather(Pv, srcs, cm, alpha_f, R)
-                yield pd.DataFrame(
-                    {
-                        "ordinal": srcs,
-                        "neighbors": [row[row >= 0] for row in pruned],
-                    }
+                yield _pad_prune_rows(
+                    Pv,
+                    pdf["src"].to_numpy(dtype=np.int64),
+                    pdf["dsts"].to_list(),
+                    alpha_f,
+                    R,
                 )
 
         repaired = cand.mapInPandas(
@@ -792,7 +792,11 @@ class VamanaIndex:
             .unionByName(new_adj)
             .localCheckpoint(eager=True)
         )
-        new_params = VamanaParams(**json.loads(params.to_json()))
+        bP.destroy()  # checkpoints are eager; don't leak an index-sized
+        # broadcast per incremental insert (same hygiene as build)
+        import dataclasses
+
+        new_params = dataclasses.replace(params)
         new_params.n = n_old_pts + m
         return VamanaIndex(
             self.spark,
@@ -865,18 +869,12 @@ class VamanaIndex:
             for pdf in batches:
                 if pdf.empty:
                     continue
-                srcs = pdf["src"].to_numpy(dtype=np.int64)
-                lists = pdf["dsts"].to_list()
-                W = max(len(x) for x in lists)
-                cm = np.full((len(lists), W), -1, dtype=np.int64)
-                for i, x in enumerate(lists):
-                    cm[i, : len(x)] = x
-                pruned = kernels.robust_prune_gather(Pv, srcs, cm, alpha_f, R)
-                yield pd.DataFrame(
-                    {
-                        "ordinal": srcs,
-                        "neighbors": [row[row >= 0] for row in pruned],
-                    }
+                yield _pad_prune_rows(
+                    Pv,
+                    pdf["src"].to_numpy(dtype=np.int64),
+                    pdf["dsts"].to_list(),
+                    alpha_f,
+                    R,
                 )
 
         repaired = cand.mapInPandas(
@@ -1020,6 +1018,21 @@ class VamanaIndex:
         points_df = spark.read.parquet(os.path.join(path, "points"))
         graph_df = spark.read.parquet(os.path.join(path, "graph"))
         return cls(spark, params, points_df, graph_df)
+
+
+def _pad_prune_rows(Pv, srcs, lists, alpha: float, R: int):
+    """Shared pad-candidates-and-RobustPrune step used by the build's
+    fix-up, delete_points' consolidate, and add_points' reverse fix-up:
+    ragged candidate lists -> (-1)-padded matrix -> robust_prune_gather
+    -> stripped adjacency rows."""
+    C = max(len(x) for x in lists)
+    cand = np.full((len(lists), C), -1, dtype=np.int64)
+    for i, x in enumerate(lists):
+        cand[i, : len(x)] = x
+    pruned = kernels.robust_prune_gather(Pv, srcs, cand, alpha, R)
+    return pd.DataFrame(
+        {"ordinal": srcs, "neighbors": [row[row >= 0] for row in pruned]}
+    )
 
 
 def _metric_transform(

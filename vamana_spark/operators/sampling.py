@@ -144,9 +144,12 @@ def mixture_sample(
     prefix = F.substring(_hash_order(id_col, seed), 1, 8)
 
     def thr(frac: float) -> str:
-        # 'g' sorts after every hex digit -> keep-all; else the 8-hex
-        # threshold (same comparison shape as train_test_split)
-        return "g" if float(frac) >= 1.0 else format(int(float(frac) * 16**8), "08x")
+        # 'g' sorts after every hex digit -> keep-all. Guard on the
+        # SCALED int, not frac: 1-ulp-under-1.0 still rounds to 16^8,
+        # and format(16^8) would be 9 chars ('100000000') — which sorts
+        # BELOW most 8-char prefixes and would keep ~1/16 of rows.
+        v = int(float(frac) * 16**8)
+        return "g" if v >= 16**8 else format(v, "08x")
 
     expr = F.lit(thr(float(default_fraction)))
     for g, frac in sorted(fractions.items()):

@@ -407,10 +407,12 @@ def gopher_quality_filter(
     model-based filtering. Emits every signal plus the combined
     ``gopher_pass`` verdict so downstream mixes can re-threshold.
 
-    Rules: 50 <= words <= 100k; 3 <= mean word length <= 10; symbol
-    ('#'/'...') to word ratio < 0.1; < 90% of lines bullet-started;
-    < 30% of lines ellipsis-ended; > 80% of words contain an alphabetic
-    character; >= 2 of the 8 required stopwords present.
+    Rules: 50 <= words <= 100k; 3 <= mean word length <= 10;
+    hash-to-word ratio < 0.1 AND ellipsis-to-word ratio < 0.1 (the
+    paper's per-symbol thresholds, not a pooled count); < 90% of lines
+    bullet-started; < 30% of lines ellipsis-ended; > 80% of words
+    contain an alphabetic character; >= 2 of the 8 required stopwords
+    present.
 
     Scale shape: pure Catalyst expressions over one row at a time —
     map-only, whole-stage codegen'd, zero shuffles. All ratios are
@@ -424,7 +426,8 @@ def gopher_quality_filter(
     mean_len = F.aggregate(
         ws, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
     ) / dn
-    sym_ratio = F.regexp_count(F.col(text_col), F.lit(r"#|\.\.\.")).cast(
+    hash_ratio = F.regexp_count(F.col(text_col), F.lit("#")).cast("double") / dn
+    ell_ratio = F.regexp_count(F.col(text_col), F.lit(r"\.\.\.")).cast(
         "double"
     ) / dn
     alpha_frac = F.size(
@@ -445,7 +448,8 @@ def gopher_quality_filter(
     gopher_pass = (
         n_words.between(50, 100_000)
         & mean_len.between(3.0, 10.0)
-        & (sym_ratio < 0.1)
+        & (hash_ratio < 0.1)
+        & (ell_ratio < 0.1)
         & (bullet_frac < 0.9)
         & (ellipsis_frac < 0.3)
         & (alpha_frac > 0.8)
@@ -455,7 +459,8 @@ def gopher_quality_filter(
         F.col(id_col),
         n_words.cast("long").alias("n_words"),
         F.round(mean_len, 4).alias("mean_word_len"),
-        F.round(sym_ratio, 4).alias("symbol_word_ratio"),
+        F.round(hash_ratio, 4).alias("hash_word_ratio"),
+        F.round(ell_ratio, 4).alias("ellipsis_word_ratio"),
         F.round(alpha_frac, 4).alias("alpha_word_frac"),
         F.round(bullet_frac, 4).alias("bullet_line_frac"),
         F.round(ellipsis_frac, 4).alias("ellipsis_line_frac"),

@@ -1930,7 +1930,8 @@ def q_pii_scrub(spark, sf_dir):
              CAST(greatest(len(ws), 1) AS DOUBLE) AS dn,
              CAST(greatest(len(lines), 1) AS DOUBLE) AS nl,
              coalesce(list_sum(list_transform(ws, x -> CAST(length(x) AS DOUBLE))), 0.0) AS sumlen,
-             CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE) AS nsym,
+             CAST(len(regexp_extract_all(text, '#')) AS DOUBLE) AS nhash,
+             CAST(len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE) AS nell3,
              CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) AS nalpha,
              CAST(len(list_filter(lines, x -> regexp_matches(x, '^[-*•]'))) AS DOUBLE) AS nbullet,
              CAST(len(list_filter(lines, x -> regexp_matches(x, '\.\.\.$'))) AS DOUBLE) AS nell,
@@ -1941,14 +1942,16 @@ def q_pii_scrub(spark, sf_dir):
     SELECT doc_id,
            CAST(n_words AS BIGINT) AS n_words,
            round(sumlen / dn, 4) AS mean_word_len,
-           round(nsym / dn, 4) AS symbol_word_ratio,
+           round(nhash / dn, 4) AS hash_word_ratio,
+           round(nell3 / dn, 4) AS ellipsis_word_ratio,
            round(nalpha / dn, 4) AS alpha_word_frac,
            round(nbullet / nl, 4) AS bullet_line_frac,
            round(nell / nl, 4) AS ellipsis_line_frac,
            CAST(stop_hits AS BIGINT) AS stop_hits,
            CAST(CASE WHEN n_words BETWEEN 50 AND 100000
                       AND (sumlen / dn) BETWEEN 3.0 AND 10.0
-                      AND nsym / dn < 0.1
+                      AND nhash / dn < 0.1
+                      AND nell3 / dn < 0.1
                       AND nbullet / nl < 0.9
                       AND nell / nl < 0.3
                       AND nalpha / dn > 0.8
