@@ -905,3 +905,189 @@ def q_discounted_revenue(spark, sf_dir):
         .where(cond)
         .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
     )
+
+
+# Q2/Q11/Q16/Q21 SHAPES adapted to the driver schema (no partsupp /
+# commitdate): same query patterns — correlated min, scalar-subquery
+# HAVING, distinct agg + NOT IN, double-correlation EXISTS — over the
+# columns that exist.
+
+
+@declare(
+    "q_min_cost_supplier",
+    """
+    WITH up AS (
+      SELECT l_partkey, l_suppkey,
+             min(CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE))
+                 AS unit
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY l_partkey, l_suppkey
+    ), ranked AS (
+      SELECT l_partkey, l_suppkey, unit,
+             row_number() OVER (PARTITION BY l_partkey
+                                ORDER BY unit, l_suppkey) AS rn
+      FROM up
+    )
+    SELECT p_partkey, s_name, round(unit, 4) AS min_unit_price
+    FROM ranked
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE rn = 1 AND p_size < 15
+    ORDER BY p_partkey
+    """,
+)
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (correlated minimum): per part, the supplier with
+    the lowest observed unit price, ties broken by supplier key. The
+    correlated subquery becomes a per-part window rank; part and
+    supplier dims broadcast onto the winner rows."""
+    t = relational.load_tables(spark, sf_dir, "lineitem", "part", "supplier")
+    li, p, s = t["lineitem"], t["part"], t["supplier"]
+    up = (
+        li.where(F.col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                F.col("l_extendedprice").cast("double")
+                / F.col("l_quantity").cast("double")
+            ).alias("unit")
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit", "l_suppkey")
+    best = up.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        best.join(
+            F.broadcast(p.where(F.col("p_size") < 15)),
+            best["l_partkey"] == F.col("p_partkey"),
+        )
+        .join(F.broadcast(s), best["l_suppkey"] == F.col("s_suppkey"))
+        .select(
+            "p_partkey", "s_name", F.round("unit", 4).alias("min_unit_price")
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@declare(
+    "q_revenue_concentration",
+    """
+    WITH nrev AS (
+      SELECT n_name,
+             sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                 * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS rev
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name, round(CAST(rev AS DOUBLE), 2) AS revenue
+    FROM nrev
+    WHERE CAST(rev AS DOUBLE) * 15 > (SELECT CAST(sum(rev) AS DOUBLE) FROM nrev)
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q_revenue_concentration(spark, sf_dir):
+    """TPC-H Q11 shape (HAVING against a global scalar subquery):
+    nations holding more than 1/15 of worldwide revenue. Money sums in
+    DECIMAL on both engines; the scalar total enters as a broadcast
+    cross join, not a driver collect."""
+    t = relational.load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation"
+    )
+    li, o, c, n = t["lineitem"], t["orders"], t["customer"], t["nation"]
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,6)")
+    )
+    nrev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("rev"))
+    )
+    total = nrev.agg(F.sum("rev").cast("double").alias("_total"))
+    return (
+        nrev.crossJoin(F.broadcast(total))
+        .where(F.col("rev").cast("double") * 15 > F.col("_total"))
+        .select("n_name", F.round(F.col("rev").cast("double"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@declare(
+    "q_supplier_part_variety",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 50
+    """,
+)
+def q_supplier_part_variety(spark, sf_dir):
+    """TPC-H Q16 shape (distinct aggregate + NOT IN): how many distinct
+    suppliers ship each (brand, type, size), excluding flagged suppliers
+    (negative balance stands in for the complaints predicate). NOT IN
+    becomes a broadcast left-anti join."""
+    t = relational.load_tables(spark, sf_dir, "lineitem", "part", "supplier")
+    li, p, s = t["lineitem"], t["part"], t["supplier"]
+    flagged = s.where(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        li.join(F.broadcast(flagged), "l_suppkey", "left_anti")
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+        .limit(50)
+    )
+
+
+@declare(
+    "q_sole_supplier_orders",
+    """
+    SELECT s_name, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS n_orders
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    ORDER BY n_orders DESC, s_name
+    LIMIT 20
+    """,
+)
+def q_sole_supplier_orders(spark, sf_dir):
+    """TPC-H Q21 shape (correlated EXISTS/NOT EXISTS pair): suppliers
+    solely responsible for finished orders — no other supplier shipped a
+    line on the order. The correlation collapses to a per-order
+    distinct-supplier count (1 shuffle) instead of a per-row rescan."""
+    t = relational.load_tables(spark, sf_dir, "lineitem", "orders", "supplier")
+    li, o, s = t["lineitem"], t["orders"], t["supplier"]
+    sole = (
+        li.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("_ns"))
+        .where(F.col("_ns") == 1)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(sole, "l_orderkey")
+        .join(
+            o.where(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count_distinct("l_orderkey").cast("long").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "s_name")
+        .limit(20)
+    )
