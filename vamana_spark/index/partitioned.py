@@ -412,16 +412,26 @@ class PartitionedVamanaIndex:
     def _nsplits(self) -> int:
         """Sub-splits per shard for the search cogroup.
 
-        When shards < cores (small-S regime: local mode, few shards),
-        grouping by shard alone caps parallelism at S tasks — so routed
-        queries are hash-split into ``cores // S`` sub-groups per shard
-        and the (small, because small-S) packed rows replicate across
-        them. At production scale S >= cores, this returns 1: zero
-        blob duplication, one task per shard — the intended layout.
+        Grouping by shard alone caps parallelism at S tasks and, worse,
+        hashes only S keys into the shuffle — balls-in-bins puts 3-4
+        groups on one reduce partition while others sit idle (measured
+        2.9x wall at 25k/8 shards). So routed queries hash-split into
+        sub-groups per shard, targeting ~8 groups per core so the
+        scheduler can level the load; the packed blob replicates across
+        a shard's sub-groups, so the split count is capped where
+        duplication would push more than ~64 MB per shard through the
+        cogroup shuffle. At production shard sizes (GBs per blob) the
+        cap forces 1: zero duplication, one task per shard — kernel
+        work dominates there and needs no sub-splitting.
         """
         S = max(int(self.params.num_shards), 1)
         cores = self.spark.sparkContext.defaultParallelism
-        return max(1, cores // S)
+        want = max(1, (8 * cores) // S)
+        n_total = int(self.params.n or 0) * self._overlap()
+        shard_bytes = (n_total // S) * int(self.params.dim) * 4
+        if shard_bytes > 0:
+            want = min(want, max(1, (64 << 20) // shard_bytes))
+        return want
 
     def _cogrouped_partial(
         self, packed: DataFrame, routed: DataFrame, search_shard
