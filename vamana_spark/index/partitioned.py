@@ -402,8 +402,16 @@ class PartitionedVamanaIndex:
                     }
                 )
 
-        qsel = queries.select(
-            F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+        from vamana_spark.functions.util import ensure_parallelism
+
+        # a single-split query file must not serialize routing (and the
+        # per-split transform work) onto one core — same guard as the
+        # broadcast tier's search
+        qsel = ensure_parallelism(
+            queries.select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(query_vec_col).alias("qv"),
+            )
         )
         return qsel.mapInPandas(
             route, schema="query_id long, qv array<float>, shard int"
