@@ -782,3 +782,21 @@ def test_mixture_sample_fractions_and_stability(documents, spark):
         documents, {"src0": near_one}, default_fraction=0.0
     )
     assert kept.count() == totals["src0"]
+
+
+def test_dedup_lines_first_occurrence_wins(spark):
+    docs = [
+        (1, "alpha unique one\nSHARED BOILERPLATE\n"),
+        (2, "beta unique two\nSHARED BOILERPLATE\nbeta tail"),
+        (3, "SHARED BOILERPLATE\ngamma unique"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup.dedup_lines(df).collect()}
+    # doc 1 keeps everything (first occurrence of the shared line;
+    # its empty trailing line bypasses dedup via min_chars)
+    assert got[1].text == "alpha unique one\nSHARED BOILERPLATE\n"
+    assert got[1].n_lines == 3 and got[1].n_kept == 3
+    # later docs lose only the shared line, order preserved
+    assert got[2].text == "beta unique two\nbeta tail"
+    assert got[3].text == "gamma unique"
+    assert got[3].n_lines == 2 and got[3].n_kept == 1

@@ -821,3 +821,59 @@ def contamination_check(
         .groupBy("test_id", "train_id")
         .agg(F.count("*").cast("long").alias("n_shared"))
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-level exact line deduplication (the C4/RefinedWeb pass):
+    every line keeps only its FIRST occurrence across the whole corpus
+    (first = smallest (doc_id, position)); later copies — boilerplate
+    headers, navigation, license blobs — are dropped from their
+    documents. Lines shorter than ``min_chars`` bypass dedup (an empty
+    or one-char line is structure, not boilerplate).
+
+    Returns (id, n_lines, n_kept, text) with the document text
+    reassembled from surviving lines in original order.
+
+    100 TB shape: one shuffle keyed by the line content (uniform by
+    construction — boilerplate lines are exactly the skewed keys, and
+    the first-occurrence window only ranks within one key) and one
+    groupBy(doc) to reassemble; both carry one row per line.
+    """
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    w = Window.partitionBy("line").orderBy(F.col(id_col), F.col("pos"))
+    kept = lines.withColumn("_rn", F.row_number().over(w)).where(
+        (F.length("line") < min_chars) | (F.col("_rn") == 1)
+    )
+    total = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias(text_col),
+    )
+    return (
+        total.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce(text_col, F.lit("")).alias(text_col),
+        )
+    )

@@ -2075,6 +2075,62 @@ def q_pack_documents(spark, sf_dir):
 
 
 @declare(
+    "q_dedup_lines",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || chr(10) || 'SUBSCRIBE TO OUR NEWSLETTER TODAY' || chr(10)
+                  || 'boilerplate group ' || CAST(doc_id % 7 AS VARCHAR)
+                  || chr(10) || 'unique tail ' || CAST(doc_id AS VARCHAR)
+                 AS text
+      FROM documents
+    ), l AS (
+      SELECT doc_id, g AS pos, ls[g] AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls,
+                   unnest(generate_series(1, len(ls))) AS g
+            FROM aug)
+    ), k AS (
+      SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+      FROM l
+    ), kept AS (
+      SELECT doc_id, pos, line FROM k WHERE length(line) < 1 OR rn = 1
+    ), tot AS (
+      SELECT doc_id, CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines
+      FROM aug
+    ), reb AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(line, chr(10) ORDER BY pos) AS text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT tot.doc_id, n_lines,
+           coalesce(n_kept, 0) AS n_kept,
+           coalesce(text, '') AS text
+    FROM tot LEFT JOIN reb USING (doc_id)
+    """,
+)
+def q_dedup_lines(spark, sf_dir):
+    """Corpus-level exact line dedup (C4/RefinedWeb pass) over docs
+    augmented with a global boilerplate line, a per-group (doc_id % 7)
+    repeated line, and a unique tail — first occurrence survives, later
+    copies drop, unique lines always survive."""
+    from vamana_spark.operators import dedup as DD
+
+    d = _docs(spark, sf_dir)
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nSUBSCRIBE TO OUR NEWSLETTER TODAY\nboilerplate group "),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("\nunique tail "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return DD.dedup_lines(aug)
+
+
+@declare(
     "q_mixture_sample",
     r"""
     SELECT doc_id, source
