@@ -368,6 +368,26 @@ def _query_mix(timings: dict, extra: dict) -> None:
         timed("filtered_knn", lambda: D.q_filtered_knn(spark, SF_DIR).count())
         timed("token_chunks", lambda: D.q_token_chunks(spark, SF_DIR).count())
 
+        # --- composed quality pipeline: Gopher gate -> PII scrub ->
+        # corpus line dedup (map-only except the one line-dedup shuffle)
+        # — the end-to-end pretraining-ingest shape
+        def quality_pipeline():
+            from pyspark.sql import functions as SF
+
+            from vamana_spark.operators import dedup as DD, text as T
+            from vamana_spark.plans.declared import _docs
+
+            docs = _docs(spark, SF_DIR)
+            gated = (
+                T.gopher_quality_filter(docs)
+                .where((SF.col("n_words") >= 10) & (SF.col("alpha_word_frac") > 0.5))
+                .select("doc_id")
+            )
+            kept = docs.join(gated, "doc_id").select("doc_id", "text")
+            return DD.dedup_lines(T.pii_scrub(kept)).count()
+
+        timed("quality_pipeline", quality_pipeline)
+
         if cold:
             extra["cold_sec"] = cold
     finally:

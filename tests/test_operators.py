@@ -800,3 +800,43 @@ def test_dedup_lines_first_occurrence_wins(spark):
     assert got[2].text == "beta unique two\nbeta tail"
     assert got[3].text == "gamma unique"
     assert got[3].n_lines == 2 and got[3].n_kept == 1
+
+
+def test_pack_documents_properties(spark):
+    """Property check: packing is a per-bucket prefix sum — token mass
+    conserved, begin_pos bounded by the budget, layout invariant under
+    input partitioning."""
+    from hypothesis import given, settings, strategies as st
+
+    from vamana_spark.operators.text import pack_documents
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=40), min_size=1, max_size=60
+        ),
+        st.integers(min_value=1, max_value=64),
+    )
+    def prop(tok_counts, budget):
+        rows = [(i, "w " * c) for i, c in enumerate(tok_counts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = pack_documents(df, budget=budget, n_buckets=3).collect()
+        assert sum(r.n_tokens for r in out) == sum(tok_counts)
+        for r in out:
+            assert 0 <= r.begin_pos < budget
+            assert r.seq_bin == r.tok_offset // budget
+        # partition-layout invariance
+        out2 = pack_documents(
+            df.repartition(5), budget=budget, n_buckets=3
+        ).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+    prop()
+
+
+def test_dedup_lines_idempotent(documents):
+    once = dedup.dedup_lines(documents)
+    twice = dedup.dedup_lines(once)
+    a = {r.doc_id: r.text for r in once.collect()}
+    b = {r.doc_id: r.text for r in twice.collect()}
+    assert a == b  # a deduplicated corpus has nothing left to drop
