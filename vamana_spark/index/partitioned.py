@@ -417,7 +417,18 @@ class PartitionedVamanaIndex:
             route, schema="query_id long, qv array<float>, shard int"
         )
 
-    def _nsplits(self) -> int:
+    def _bytes_per_point(self, mode: str, pq_m: int) -> int:
+        """Per-point bytes of a packed blob row: vectors-or-codes plus
+        the padded int64 adjacency (R entries) and the int64 id — the
+        adjacency often DOMINATES the PQ form, so the replication cap
+        must count it."""
+        adj = int(self.params.R) * 8 + 8
+        if mode == "pq":
+            return int(pq_m) + adj
+        dim = int(self.params.dim) + (1 if self.params.metric == "ip" else 0)
+        return dim * 4 + adj
+
+    def _nsplits(self, bytes_per_point: int = 0) -> int:
         """Sub-splits per shard for the search cogroup.
 
         Grouping by shard alone caps parallelism at S tasks and, worse,
@@ -436,16 +447,17 @@ class PartitionedVamanaIndex:
         cores = self.spark.sparkContext.defaultParallelism
         want = max(1, (8 * cores) // S)
         n_total = int(self.params.n or 0) * self._overlap()
-        shard_bytes = (n_total // S) * int(self.params.dim) * 4
+        shard_bytes = (n_total // S) * max(int(bytes_per_point), 1)
         if shard_bytes > 0:
             want = min(want, max(1, (64 << 20) // shard_bytes))
         return want
 
     def _cogrouped_partial(
-        self, packed: DataFrame, routed: DataFrame, search_shard
+        self, packed: DataFrame, routed: DataFrame, search_shard,
+        bytes_per_point: int = 0,
     ) -> DataFrame:
         """(packed ⋈ routed) by shard [+ qsplit] → per-shard top-k rows."""
-        nsplits = self._nsplits()
+        nsplits = self._nsplits(bytes_per_point)
         if nsplits > 1:
             packed = packed.withColumn(
                 "qsplit",
@@ -536,7 +548,10 @@ class PartitionedVamanaIndex:
             )
 
         partial = self._dedupe_overlap(
-            self._cogrouped_partial(packed, routed, search_shard)
+            self._cogrouped_partial(
+                packed, routed, search_shard,
+                self._bytes_per_point("flat", 0),
+            )
         )
         w = Window.partitionBy("query_id").orderBy(
             F.col("dist").asc(), F.col("vec_id").asc()
@@ -613,7 +628,10 @@ class PartitionedVamanaIndex:
             )
 
         partial = self._dedupe_overlap(
-            self._cogrouped_partial(packed, routed, search_shard)
+            self._cogrouped_partial(
+                packed, routed, search_shard,
+                self._bytes_per_point("pq", pq_m),
+            )
         )
         # cut the nprobe*kprime candidate rows per query down to the
         # global ADC top-kprime BEFORE touching full vectors — the

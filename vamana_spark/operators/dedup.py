@@ -839,22 +839,35 @@ def dedup_lines(
     Returns (id, n_lines, n_kept, text) with the document text
     reassembled from surviving lines in original order.
 
-    100 TB shape: one shuffle keyed by the line content (uniform by
-    construction — boilerplate lines are exactly the skewed keys, and
-    the first-occurrence window only ranks within one key) and one
-    groupBy(doc) to reassemble; both carry one row per line.
+    100 TB shape: short lines (the ~25-30% empty-line mass on web
+    corpora) bypass the shuffle entirely; the first occurrence of each
+    remaining line is a ``groupBy(line).agg(min(struct(id, pos)))`` —
+    an associative min with MAP-SIDE partial aggregation, so a
+    boilerplate line repeated a billion times reaches the reducer as
+    one partial row per map task, never as a single-key row stream (a
+    window rank here would funnel every copy of every hot line through
+    one task). The winner rows ARE the kept lines — no join back — and
+    reassembly is one groupBy(doc).
     """
-    from pyspark.sql import Window
+    from vamana_spark.functions.util import ensure_parallelism
 
-    lines = df.select(
+    src = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    lines = src.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     )
-    w = Window.partitionBy("line").orderBy(F.col(id_col), F.col("pos"))
-    kept = lines.withColumn("_rn", F.row_number().over(w)).where(
-        (F.length("line") < min_chars) | (F.col("_rn") == 1)
+    is_short = F.length("line") < min_chars
+    firsts = (
+        lines.where(~is_short)
+        .groupBy("line")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_w"))
     )
-    total = df.select(
+    kept = firsts.select(
+        F.col("_w").getField(id_col).alias(id_col),
+        F.col("_w").getField("pos").alias("pos"),
+        "line",
+    ).unionByName(lines.where(is_short))
+    total = src.select(
         F.col(id_col),
         F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
     )

@@ -2089,12 +2089,13 @@ def q_pack_documents(spark, sf_dir):
       FROM (SELECT doc_id, string_split(text, chr(10)) AS ls,
                    unnest(generate_series(1, len(ls))) AS g
             FROM aug)
-    ), k AS (
-      SELECT doc_id, pos, line,
-             row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
-      FROM l
+    ), firsts AS (
+      SELECT line, min({'d': doc_id, 'p': pos}) AS w
+      FROM l WHERE length(line) >= 1 GROUP BY line
     ), kept AS (
-      SELECT doc_id, pos, line FROM k WHERE length(line) < 1 OR rn = 1
+      SELECT w.d AS doc_id, w.p AS pos, line FROM firsts
+      UNION ALL
+      SELECT doc_id, pos, line FROM l WHERE length(line) < 1
     ), tot AS (
       SELECT doc_id, CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines
       FROM aug

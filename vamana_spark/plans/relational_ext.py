@@ -928,7 +928,8 @@ def q_discounted_revenue(spark, sf_dir):
                                 ORDER BY unit, l_suppkey) AS rn
       FROM up
     )
-    SELECT p_partkey, s_name, round(unit, 4) AS min_unit_price
+    SELECT p_partkey, s_name,
+           CAST(floor(unit * 10000) AS BIGINT) AS unit_price_e4
     FROM ranked
     JOIN part ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
@@ -962,7 +963,12 @@ def q_min_cost_supplier(spark, sf_dir):
         )
         .join(F.broadcast(s), best["l_suppkey"] == F.col("s_suppkey"))
         .select(
-            "p_partkey", "s_name", F.round("unit", 4).alias("min_unit_price")
+            "p_partkey",
+            "s_name",
+            # floor of a scaled double is bit-deterministic across
+            # engines; round() on a raw double is not (decimal-repr
+            # HALF_UP vs binary-scaled rounding diverge on halfway values)
+            F.floor(F.col("unit") * 10000).cast("long").alias("unit_price_e4"),
         )
         .orderBy("p_partkey")
     )
@@ -981,7 +987,7 @@ def q_min_cost_supplier(spark, sf_dir):
       JOIN nation ON n_nationkey = c_nationkey
       GROUP BY n_name
     )
-    SELECT n_name, round(CAST(rev AS DOUBLE), 2) AS revenue
+    SELECT n_name, CAST(round(rev, 2) AS DOUBLE) AS revenue
     FROM nrev
     WHERE CAST(rev AS DOUBLE) * 15 > (SELECT CAST(sum(rev) AS DOUBLE) FROM nrev)
     ORDER BY revenue DESC, n_name
@@ -1010,7 +1016,12 @@ def q_revenue_concentration(spark, sf_dir):
     return (
         nrev.crossJoin(F.broadcast(total))
         .where(F.col("rev").cast("double") * 15 > F.col("_total"))
-        .select("n_name", F.round(F.col("rev").cast("double"), 2).alias("revenue"))
+        .select(
+            "n_name",
+            # round the exact DECIMAL (HALF_UP on both engines), THEN
+            # cast — rounding the double is engine-dependent at halfway
+            F.round(F.col("rev"), 2).cast("double").alias("revenue"),
+        )
         .orderBy(F.col("revenue").desc(), "n_name")
     )
 
