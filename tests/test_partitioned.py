@@ -326,3 +326,46 @@ def test_overlap_dedupe_single_exchange(spark, embeddings, queries):
     assert top.count("Exchange") == 1, top
     assert "hashpartitioning(query_id" in top, top
     pidx.unpersist_packed()
+
+
+def test_metric_index_save_load_roundtrip(tmp_path, spark, embeddings, queries):
+    """A cosine/ip partitioned index round-trips with its metric state:
+    params carry metric/mips_m, centers keep the transformed dimension
+    (dim+1 for ip), and the loaded index searches identically."""
+    for metric in ("cosine", "ip"):
+        params = VamanaParams(
+            dim=64, alpha=1.2, R=24, L=48, ef_search=64, seed=42, metric=metric
+        )
+        pidx = PartitionedVamanaIndex.build(
+            spark, embeddings, params, num_shards=4
+        )
+        path = str(tmp_path / f"pidx_{metric}")
+        pidx.save(path)
+        loaded = PartitionedVamanaIndex.load(spark, path)
+        assert loaded.params.metric == metric
+        if metric == "ip":
+            assert loaded.params.mips_m == pidx.params.mips_m
+            assert loaded.centers.shape[1] == 65  # augmented dimension
+        a = sorted(
+            (r.query_id, r.rank, r.vec_id)
+            for r in pidx.search(queries, k=5).collect()
+        )
+        b = sorted(
+            (r.query_id, r.rank, r.vec_id)
+            for r in loaded.search(queries, k=5).collect()
+        )
+        assert a == b
+        pidx.unpersist_packed(); loaded.unpersist_packed()
+
+
+def test_partitioned_get_point_and_describe(pidx, embeddings):
+    row = pidx.get_point(50).collect()
+    assert len(row) == 1 and row[0].vec_id == 50
+    want = [
+        float(x)
+        for x in embeddings.where(F.col("vec_id") == 50).first()["embedding"]
+    ]
+    assert [float(x) for x in row[0].embedding] == want
+    d = pidx.describe()
+    assert d["num_shards"] == 4 and d["num_centers"] == 4
+    assert pidx.data_size == embeddings.count()

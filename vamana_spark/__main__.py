@@ -107,6 +107,50 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_clean(args) -> int:
+    """Composed corpus-cleaning pipeline: optional Gopher gate, C4 line
+    filter, PII scrub, and corpus-level line dedup, in that order."""
+    from pyspark.sql import functions as F
+
+    from vamana_spark.operators import dedup, text
+
+    spark = _spark("vamana-clean")
+    docs = spark.read.parquet(args.input)
+    n_in = docs.count()
+    cur = docs
+    if args.gopher:
+        gate = text.gopher_quality_filter(
+            cur, text_col=args.text_col, id_col=args.id_col
+        ).where(F.col("gopher_pass")).select(args.id_col)
+        cur = cur.join(gate, args.id_col)
+    if args.c4:
+        cleaned = text.c4_clean(
+            cur, text_col=args.text_col, id_col=args.id_col
+        ).where(F.col("doc_pass"))
+        cur = cur.drop(args.text_col).join(
+            cleaned.select(
+                args.id_col, F.col("clean_text").alias(args.text_col)
+            ),
+            args.id_col,
+        )
+    if args.pii:
+        cur = text.pii_scrub(cur, text_col=args.text_col)
+    if args.line_dedup:
+        deduped = dedup.dedup_lines(
+            cur, text_col=args.text_col, id_col=args.id_col
+        )
+        cur = cur.drop(args.text_col).join(
+            deduped.select(args.id_col, args.text_col), args.id_col
+        )
+    cur.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({
+        "input_rows": n_in, "output_rows": cur.count(),
+        "passes": {"gopher": bool(args.gopher), "c4": bool(args.c4),
+                   "pii": bool(args.pii), "line_dedup": bool(args.line_dedup)},
+    }))
+    return 0
+
+
 def cmd_decontaminate(args) -> int:
     from vamana_spark.operators import dedup
 
@@ -310,6 +354,21 @@ def main(argv=None) -> int:
     s.add_argument("--output", required=True)
     s.add_argument("--k", type=int, default=10)
     s.set_defaults(fn=cmd_search)
+
+    cl = sub.add_parser("clean")
+    cl.add_argument("--input", required=True)
+    cl.add_argument("--output", required=True)
+    cl.add_argument("--text-col", dest="text_col", default="text")
+    cl.add_argument("--id-col", dest="id_col", default="doc_id")
+    cl.add_argument("--gopher", action="store_true",
+                    help="drop docs failing the published Gopher rules")
+    cl.add_argument("--c4", action="store_true",
+                    help="C4 line filter; drops vetoed docs, rewrites text")
+    cl.add_argument("--pii", action="store_true",
+                    help="replace emails/SSNs/IPs/phones with typed tokens")
+    cl.add_argument("--line-dedup", dest="line_dedup", action="store_true",
+                    help="corpus-level first-occurrence line dedup")
+    cl.set_defaults(fn=cmd_clean)
 
     kn = sub.add_parser("knn")
     kn.add_argument("--input", required=True)

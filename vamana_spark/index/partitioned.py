@@ -720,6 +720,32 @@ class PartitionedVamanaIndex:
             )
         return idx
 
+    def get_point(self, vec_id: int) -> DataFrame:
+        """Point lookup by user id (reference GetPoint, vamana.h:549-555,
+        keyed by vec_id per SURVEY §1.4). overlap>1 stores copies;
+        exactly one row comes back."""
+        return (
+            self.shards_df.where(F.col("vec_id") == int(vec_id))
+            .select("vec_id", "embedding")
+            .dropDuplicates(["vec_id"])
+        )
+
+    @property
+    def data_size(self) -> int:
+        """Point count (reference GetDataSize; copies don't count)."""
+        n = self.params.n
+        return int(n) if n is not None else int(
+            self.shards_df.select("vec_id").distinct().count()
+        )
+
+    def describe(self) -> dict:
+        """Param surface (reference PrintParams / getters, R19)."""
+        import json as _json
+
+        d = _json.loads(self.params.to_json())
+        d["num_centers"] = int(self.centers.shape[0])
+        return d
+
     def degree_stats(self) -> DataFrame:
         return self.shards_df.select(
             "shard", F.size("neighbors").alias("out_degree")
