@@ -840,3 +840,22 @@ def test_dedup_lines_idempotent(documents):
     a = {r.doc_id: r.text for r in once.collect()}
     b = {r.doc_id: r.text for r in twice.collect()}
     assert a == b  # a deduplicated corpus has nothing left to drop
+
+
+def test_frequent_tokens_exact_above_threshold(documents, spark):
+    from vamana_spark.operators.text import frequent_tokens
+
+    got = {r.token: r.freq for r in frequent_tokens(documents, support=0.01).collect()}
+    # exact reference: full groupBy on the small corpus
+    toks = documents.select(F.explode(F.split("text", r"\s+")).alias("t")).where(
+        F.col("t") != ""
+    )
+    n = toks.count()
+    exact_counts = {
+        r.t: r.c
+        for r in toks.groupBy("t").agg(F.count("*").alias("c")).collect()
+        if r.c > 0.01 * n
+    }
+    assert got == exact_counts and got  # identical, non-empty
+    with pytest.raises(ValueError):
+        frequent_tokens(documents, support=0.0)

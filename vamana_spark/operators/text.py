@@ -615,3 +615,50 @@ def pii_scrub(
     for pat, repl in patterns or PII_PATTERNS:
         col = F.regexp_replace(col, pat, repl)
     return df.withColumn(text_col, col)
+
+
+def frequent_tokens(
+    df: DataFrame,
+    support: float = 0.001,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus heavy hitters with an EXACT guarantee at sketch cost:
+    tokens occurring in more than ``support`` fraction of the token
+    stream, with their exact counts.
+
+    Two passes, both bounded: (1) Spark's single-pass ``freqItems``
+    sketch (Karp et al. frequent-items; memory ~1/support) yields a
+    candidate SUPERSET of every token with frequency > support; (2) an
+    exact recount restricted to the candidates, filtered to
+    ``count > support * n``. Because the sketch is a superset and the
+    filter is exact, the output is the deterministic true answer — a
+    full groupBy over a 100 TB Zipf vocabulary never happens, yet the
+    result is oracle-checkable. The candidate list (≤ ~1/support
+    entries) briefly visits the driver to broadcast, by construction
+    bounded regardless of corpus size.
+
+    Returns (token, freq) for tokens with freq > support * total.
+    """
+    if not (0.0 < support < 1.0):
+        raise ValueError(f"support must be in (0,1), got {support}")
+    from vamana_spark.functions.util import ensure_parallelism
+
+    toks = ensure_parallelism(df.select(text_col)).select(
+        F.explode(tokens(text_col)).alias("token")
+    )
+    toks = toks.persist()
+    try:
+        n_total = toks.count()
+        cand = toks.freqItems(["token"], support).first()[0]
+        out = (
+            toks.where(F.col("token").isin(list(cand)))
+            .groupBy("token")
+            .agg(F.count("*").cast("long").alias("freq"))
+            .where(F.col("freq") > float(support) * n_total)
+            .orderBy(F.col("freq").desc(), "token")
+        )
+        # materialize before unpersisting the token view
+        out = out.localCheckpoint(eager=True)
+    finally:
+        toks.unpersist()
+    return out

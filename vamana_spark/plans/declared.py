@@ -2075,6 +2075,28 @@ def q_pack_documents(spark, sf_dir):
 
 
 @declare(
+    "q_frequent_tokens",
+    r"""
+    WITH toks AS (
+      SELECT u.token
+      FROM (SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+            FROM documents), UNNEST(t) AS u(token)
+    ), tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks)
+    SELECT token, CAST(count(*) AS BIGINT) AS freq
+    FROM toks, tot
+    GROUP BY token, n
+    HAVING count(*) > 0.005 * n
+    ORDER BY freq DESC, token
+    """,
+)
+def q_frequent_tokens(spark, sf_dir):
+    """Corpus heavy hitters: freqItems sketch candidates + exact recount
+    — the output is the deterministic true set of tokens above 0.5%
+    stream frequency, so the oracle is a plain exact HAVING."""
+    return text.frequent_tokens(_docs(spark, sf_dir), support=0.005)
+
+
+@declare(
     "q_dedup_lines",
     r"""
     WITH aug AS (
