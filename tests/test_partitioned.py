@@ -369,3 +369,26 @@ def test_partitioned_get_point_and_describe(pidx, embeddings):
     d = pidx.describe()
     assert d["num_shards"] == 4 and d["num_centers"] == 4
     assert pidx.data_size == embeddings.count()
+
+
+def test_partitioned_filtered_search(pidx, embeddings):
+    q = embeddings.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        (F.col("vec_id") % 7).alias("want_label"),
+    )
+    truth = exact.exact_knn_filtered(embeddings, q, k=5)
+    approx = pidx.search_filtered(
+        q, k=5, labels=embeddings.select("vec_id", "label"), overfetch=16
+    )
+    lbl = {r.vec_id: r.label for r in embeddings.select("vec_id", "label").collect()}
+    ap = {}
+    for r in approx.collect():
+        assert lbl[r.vec_id] == r.query_id % 7  # predicate honored
+        ap.setdefault(r.query_id, set()).add(r.vec_id)
+    tr = {}
+    for r in truth.collect():
+        tr.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(len(ap.get(k, set()) & v) for k, v in tr.items())
+    total = sum(len(v) for v in tr.values())
+    assert hits / total >= 0.85, f"partitioned filtered recall {hits/total}"

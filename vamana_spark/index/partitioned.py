@@ -562,6 +562,53 @@ class PartitionedVamanaIndex:
             .select("query_id", "vec_id", "dist", "rank")
         )
 
+    def search_filtered(
+        self,
+        queries: DataFrame,
+        k: int,
+        labels: DataFrame,
+        ef_search: Optional[int] = None,
+        nprobe: Optional[int] = None,
+        overfetch: int = 8,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+        label_col: str = "label",
+        want_col: str = "want_label",
+    ) -> DataFrame:
+        """Filtered (predicate + vector) ANN on the partitioned tier —
+        same post-filter-with-over-retrieval semantics as
+        ``VamanaIndex.search_filtered``: retrieve ``k * overfetch``
+        candidates per query across the probed shards, then keep each
+        query's k nearest label-matching hits via a broadcast (or, at
+        dataset-sized labels, shuffle) equi-join. Sound for predicates
+        with selectivity ≳ 1/overfetch of the beam; needle-in-haystack
+        labels belong on :func:`exact.exact_knn_filtered`.
+        """
+        ef = max(int(ef_search or self.params.ef_search), k * int(overfetch))
+        hits = self.search(
+            queries.select(query_id_col, query_vec_col),
+            k=k * int(overfetch),
+            ef_search=ef,
+            nprobe=nprobe,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+        )
+        wants = queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(want_col).alias("_want")
+        )
+        lab = labels.select("vec_id", F.col(label_col).alias("_lbl"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("dist").asc(), F.col("vec_id").asc()
+        )
+        return (
+            hits.join(F.broadcast(wants), "query_id")
+            .join(F.broadcast(lab), "vec_id")
+            .where(F.col("_lbl") == F.col("_want"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "vec_id", "dist", "rank")
+        )
+
     def search_pq(
         self,
         queries: DataFrame,
