@@ -392,3 +392,18 @@ def test_partitioned_filtered_search(pidx, embeddings):
     hits = sum(len(ap.get(k, set()) & v) for k, v in tr.items())
     total = sum(len(v) for v in tr.values())
     assert hits / total >= 0.85, f"partitioned filtered recall {hits/total}"
+
+
+def test_partitioned_range_search_agrees_with_exact(pidx, embeddings, queries):
+    # ball of ~30 points/query at sf0.01 — comfortably inside the beam
+    radius = 1.6
+    truth = {}
+    for r in exact.range_search(embeddings, queries, radius=radius).collect():
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+    got = {}
+    for r in pidx.range_search(queries, radius=radius, ef_search=128).collect():
+        assert r.dist <= radius
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(len(got.get(k, set()) & v) for k, v in truth.items())
+    total = sum(len(v) for v in truth.values())
+    assert total > 0 and hits / total >= 0.85, f"range recall {hits/total}"

@@ -562,6 +562,35 @@ class PartitionedVamanaIndex:
             .select("query_id", "vec_id", "dist", "rank")
         )
 
+    def range_search(
+        self,
+        queries: DataFrame,
+        radius: float,
+        ef_search: Optional[int] = None,
+        nprobe: Optional[int] = None,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+    ) -> DataFrame:
+        """Approximate radius query across the probed shards — same
+        semantics as ``VamanaIndex.range_search``: each shard's beam
+        explores ``ef_search`` candidates, the merge keeps in-radius
+        hits. Size ef_search ≳ the expected ball cardinality, or use
+        ``exact.range_search`` when the ball is a large fraction of the
+        dataset anyway. Radius units follow the metric's reported
+        distance (l2sq; 1-cos for cosine; -<q,x> for ip)."""
+        ef = int(ef_search or self.params.ef_search)
+        out = self.search(
+            queries,
+            k=ef,
+            ef_search=ef,
+            nprobe=nprobe,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+        )
+        return out.where(F.col("dist") <= float(radius)).select(
+            "query_id", "vec_id", "dist"
+        )
+
     def search_filtered(
         self,
         queries: DataFrame,
