@@ -859,3 +859,18 @@ def test_frequent_tokens_exact_above_threshold(documents, spark):
     assert got == exact_counts and got  # identical, non-empty
     with pytest.raises(ValueError):
         frequent_tokens(documents, support=0.0)
+
+
+def test_hash_embed_deterministic_normalized(documents):
+    out1 = {r.doc_id: list(r.embedding) for r in similarity.hash_embed(documents, dim=16).collect()}
+    out2 = {
+        r.doc_id: list(r.embedding)
+        for r in similarity.hash_embed(documents.repartition(7), dim=16).collect()
+    }
+    assert out1 == out2  # deterministic, layout-invariant
+    for v in out1.values():
+        n = sum(x * x for x in v) ** 0.5
+        assert abs(n - 1.0) < 1e-5  # L2-normalized
+    # seed changes the embedding space
+    out3 = {r.doc_id: list(r.embedding) for r in similarity.hash_embed(documents, dim=16, seed=7).collect()}
+    assert out3 != out1

@@ -287,3 +287,61 @@ def lsh_similarity_join(
     return cand.select(
         "a_id", "b_id", F.round(cosine_distance("a_v", "b_v"), 4).alias("cos_dist")
     ).where(F.col("cos_dist") <= max_cosine_dist)
+
+
+def hash_embed(
+    df: DataFrame,
+    dim: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Feature-hashing ("hashing trick") text embedder: deterministic
+    signed bag-of-words vectors with NO vocabulary — each token hashes
+    to a bucket (blake2b), a second hash bit signs the contribution,
+    and rows are L2-normalized. This is the model-UDF SLOT in the
+    chunk→embed→index→serve pipeline: swap in a real encoder with the
+    same (id, embedding) contract; the hashing trick keeps demos and
+    gates deterministic across engines and runs.
+
+    Map-only Arrow stage, zero shuffles; per-batch token hashes are
+    memoized so cost is ~one blake2b per DISTINCT token per batch.
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+
+    def emb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        memo: dict = {}
+
+        def tok_hash(w: str) -> int:
+            h = memo.get(w)
+            if h is None:
+                h = int.from_bytes(
+                    hashlib.blake2b(
+                        (str(seed) + ":" + w).encode(), digest_size=8
+                    ).digest(),
+                    "little",
+                )
+                memo[w] = h
+            return h
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = np.zeros((len(pdf), dim), dtype=np.float32)
+            for i, t in enumerate(pdf[text_col].astype(str)):
+                for w in t.split():
+                    h = tok_hash(w)
+                    out[i, h % dim] += 1.0 if (h >> 32) & 1 else -1.0
+            norms = np.linalg.norm(out, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            out /= norms
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].astype("int64"), "embedding": list(out)}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        emb, schema=f"{id_col} long, embedding array<float>"
+    )

@@ -2074,6 +2074,51 @@ def q_pack_documents(spark, sf_dir):
     ).withColumn("straddles", F.col("straddles").cast("long"))
 
 
+@declare("q_chunk_embed_search")
+def q_chunk_embed_search(spark, sf_dir):
+    """The full platform loop as ONE gated query: chunk documents
+    (chunk_tokens) -> deterministic hashing-trick embeddings
+    (hash_embed, the model-UDF slot) -> cosine Vamana index -> batch
+    serve. ``ok`` folds two checks per query row: recall@5 >= 0.8 vs
+    exact cosine kNN over the same chunk embeddings, and the
+    self-retrieval sanity that a chunk queries back its own vector at
+    rank 1 for >= 90% of queries (identical vector -> cosine distance
+    0). Rows-only: the graph build is randomized."""
+    from vamana_spark import quality
+    from vamana_spark.index.vamana import VamanaIndex
+
+    key = (spark.sparkContext.applicationId, sf_dir, "chunk_embed")
+    if key not in _PIDX_CACHE:
+        d = _docs(spark, sf_dir)
+        chunks = text.chunk_tokens(d, max_len=32, stride=32).select(
+            (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("cid"),
+            "chunk_text",
+        )
+        emb = similarity.hash_embed(
+            chunks, dim=32, text_col="chunk_text", id_col="cid"
+        ).withColumnRenamed("cid", "vec_id").cache()
+        params = VamanaParams(
+            dim=32, alpha=1.2, R=24, L=48, ef_search=64, seed=42,
+            metric="cosine",
+        )
+        _PIDX_CACHE[key] = (VamanaIndex.build(spark, emb, params), emb)
+    idx, emb = _PIDX_CACHE[key]
+    q = emb.where(F.col("vec_id") % 1000 == 0).where(
+        F.col("vec_id") % 20000 == 0
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = idx.search(q, k=5)
+    truth = exact.exact_knn(emb, q, k=5, metric="cosine")
+    self_hits = res.where(
+        (F.col("rank") == 1) & (F.col("vec_id") == F.col("query_id"))
+    ).count()
+    n_q = q.count()
+    return quality.recall_with_ok(
+        res.select("query_id", "vec_id", "dist", "rank"), truth, k=5
+    ).withColumn("ok", F.col("ok") & F.lit(self_hits >= int(0.9 * n_q)))
+
+
 @declare(
     "q_frequent_tokens",
     r"""
