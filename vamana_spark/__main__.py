@@ -143,8 +143,11 @@ def cmd_clean(args) -> int:
             deduped.select(args.id_col, args.text_col), args.id_col
         )
     cur.write.mode("overwrite").parquet(args.output)
+    # count the WRITTEN parquet (footer read) instead of re-running the
+    # whole uncached pipeline a second time
     print(json.dumps({
-        "input_rows": n_in, "output_rows": cur.count(),
+        "input_rows": n_in,
+        "output_rows": spark.read.parquet(args.output).count(),
         "passes": {"gopher": bool(args.gopher), "c4": bool(args.c4),
                    "pii": bool(args.pii), "line_dedup": bool(args.line_dedup)},
     }))

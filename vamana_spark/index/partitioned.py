@@ -616,7 +616,7 @@ class PartitionedVamanaIndex:
         ef = max(int(ef_search or self.params.ef_search), k * int(overfetch))
         hits = self.search(
             queries.select(query_id_col, query_vec_col),
-            k=k * int(overfetch),
+            k=ef,
             ef_search=ef,
             nprobe=nprobe,
             query_id_col=query_id_col,
@@ -629,9 +629,12 @@ class PartitionedVamanaIndex:
         w = Window.partitionBy("query_id").orderBy(
             F.col("dist").asc(), F.col("vec_id").asc()
         )
+        # no broadcast hint on labels: this tier exists for dataset sizes
+        # where the base table (and so its label column) may not fit an
+        # executor — Catalyst broadcasts small label tables on its own
         return (
             hits.join(F.broadcast(wants), "query_id")
-            .join(F.broadcast(lab), "vec_id")
+            .join(lab, "vec_id")
             .where(F.col("_lbl") == F.col("_want"))
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
@@ -810,15 +813,13 @@ class PartitionedVamanaIndex:
     def data_size(self) -> int:
         """Point count (reference GetDataSize; copies don't count)."""
         n = self.params.n
-        return int(n) if n is not None else int(
+        return int(n) if n else int(
             self.shards_df.select("vec_id").distinct().count()
         )
 
     def describe(self) -> dict:
         """Param surface (reference PrintParams / getters, R19)."""
-        import json as _json
-
-        d = _json.loads(self.params.to_json())
+        d = json.loads(self.params.to_json())
         d["num_centers"] = int(self.centers.shape[0])
         return d
 

@@ -304,8 +304,10 @@ def hash_embed(
     same (id, embedding) contract; the hashing trick keeps demos and
     gates deterministic across engines and runs.
 
-    Map-only Arrow stage, zero shuffles; per-batch token hashes are
-    memoized so cost is ~one blake2b per DISTINCT token per batch.
+    Map-only Arrow stage, zero shuffles; token hashes are memoized for
+    the lifetime of each task (cost ~one blake2b per distinct token a
+    task sees; the memo grows with the task's vocabulary — swap in a
+    bounded cache if a single task must stream an unbounded one).
     """
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")

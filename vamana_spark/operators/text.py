@@ -639,8 +639,10 @@ def frequent_tokens(
 
     Returns (token, freq) for tokens with freq > support * total.
     """
-    if not (0.0 < support < 1.0):
-        raise ValueError(f"support must be in (0,1), got {support}")
+    if not (1e-4 <= support < 1.0):
+        # Spark's freqItems itself rejects support < 1e-4 — fail here,
+        # before the counting pass, with a Pythonic error
+        raise ValueError(f"support must be in [1e-4, 1), got {support}")
     from vamana_spark.functions.util import ensure_parallelism
 
     toks = ensure_parallelism(df.select(text_col)).select(

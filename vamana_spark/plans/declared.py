@@ -2091,7 +2091,9 @@ def q_chunk_embed_search(spark, sf_dir):
     if key not in _PIDX_CACHE:
         d = _docs(spark, sf_dir)
         chunks = text.chunk_tokens(d, max_len=32, stride=32).select(
-            (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("cid"),
+            # 1e6 chunk namespace per doc: collision would need a 32M-token
+            # document at this max_len/stride
+            (F.col("doc_id") * 1_000_000 + F.col("chunk_id")).alias("cid"),
             "chunk_text",
         )
         emb = similarity.hash_embed(
@@ -2103,12 +2105,11 @@ def q_chunk_embed_search(spark, sf_dir):
         )
         _PIDX_CACHE[key] = (VamanaIndex.build(spark, emb, params), emb)
     idx, emb = _PIDX_CACHE[key]
-    q = emb.where(F.col("vec_id") % 1000 == 0).where(
-        F.col("vec_id") % 20000 == 0
-    ).select(
+    # first chunk (chunk_id 0) of every 20th document
+    q = emb.where(F.col("vec_id") % 20_000_000 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    res = idx.search(q, k=5)
+    res = idx.search(q, k=5).cache()  # consumed twice: self-hits + recall
     truth = exact.exact_knn(emb, q, k=5, metric="cosine")
     self_hits = res.where(
         (F.col("rank") == 1) & (F.col("vec_id") == F.col("query_id"))
