@@ -874,3 +874,37 @@ def test_hash_embed_deterministic_normalized(documents):
     # seed changes the embedding space
     out3 = {r.doc_id: list(r.embedding) for r in similarity.hash_embed(documents, dim=16, seed=7).collect()}
     assert out3 != out1
+
+
+def test_funnel_strict_ordering(spark):
+    import datetime as dt
+
+    from vamana_spark.operators.events import funnel
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        # user 1 completes the funnel in order
+        (1, 1, "view", ts(0)), (2, 1, "signup", ts(5)), (3, 1, "purchase", ts(9)),
+        # user 2: purchase BEFORE signup — step 3 must not count
+        (4, 2, "view", ts(0)), (5, 2, "purchase", ts(1)), (6, 2, "signup", ts(2)),
+        # user 3: signup only, never viewed — not in the funnel at all
+        (7, 3, "signup", ts(0)),
+        # user 4: view only
+        (8, 4, "view", ts(3)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = {r.user_id: r for r in funnel(df, ["view", "signup", "purchase"]).collect()}
+    assert got[1].steps_completed == 3
+    assert got[2].steps_completed == 2  # purchase-before-signup ignored
+    assert 3 not in got  # never entered the funnel
+    assert got[4].steps_completed == 1 and got[4].t_step_2 is None
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        funnel(df, [])

@@ -112,3 +112,52 @@ def top_users_by_value(events: DataFrame, k: int = 10) -> DataFrame:
     top = totals.orderBy(F.col("total_value").desc(), F.col("user_id").asc()).limit(k)
     w = Window.orderBy(F.col("total_value").desc(), F.col("user_id").asc())
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def funnel(
+    events: DataFrame,
+    steps: list,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel analysis: for each user, the earliest time each
+    ``steps[i]`` event occurred STRICTLY AFTER the user's step[i-1]
+    completion (the classic conversion funnel — view → signup →
+    purchase).
+
+    Returns (user, t_step_1..t_step_N, steps_completed): ``t_step_i``
+    is null once the chain breaks, ``steps_completed`` counts the
+    prefix reached.
+
+    Scale shape: one (filter → conditional-min groupBy → equi-join on
+    user) round per step — N small shuffles keyed by the user id, each
+    with map-side partial min; no per-user event collection, so whale
+    users cost one partial row per map task like everyone else.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    ev = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("_etype"),
+        F.col(ts_col).alias("_ts"),
+    )
+    cur = (
+        ev.where(F.col("_etype") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("_ts").alias("t_step_1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            ev.where(F.col("_etype") == step)
+            .join(cur.select("user_id", F.col(f"t_step_{i-1}").alias("_prev")), "user_id")
+            .where(F.col("_ts") > F.col("_prev"))
+            .groupBy("user_id")
+            .agg(F.min("_ts").alias(f"t_step_{i}"))
+        )
+        cur = cur.join(nxt, "user_id", "left")
+    done = sum(
+        F.when(F.col(f"t_step_{i}").isNotNull(), 1).otherwise(0)
+        for i in range(1, len(steps) + 1)
+    )
+    return cur.withColumn("steps_completed", done.cast("long"))

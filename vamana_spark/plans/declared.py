@@ -2074,6 +2074,45 @@ def q_pack_documents(spark, sf_dir):
     ).withColumn("straddles", F.col("straddles").cast("long"))
 
 
+@declare(
+    "q_funnel",
+    """
+    WITH ev AS (SELECT user_id, event_type, ts FROM events),
+    s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+           WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(ts) AS t2 FROM ev e JOIN s1 USING (user_id)
+           WHERE event_type = 'signup' AND ts > t1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(ts) AS t3 FROM ev e JOIN s2 USING (user_id)
+           WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id)
+    SELECT s1.user_id,
+           CAST(1 + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+                  + (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS steps_completed,
+           round(CAST(epoch(t2) - epoch(t1) AS DOUBLE), 3) AS secs_view_to_signup,
+           round(CAST(epoch(t3) - epoch(t2) AS DOUBLE), 3) AS secs_signup_to_purchase
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    """,
+)
+def q_funnel(spark, sf_dir):
+    """Ordered conversion funnel (view -> signup -> purchase): earliest
+    strictly-later completion per step, per user. Emits step counts and
+    inter-step durations (timezone-invariant derivations of the
+    operator's timestamps)."""
+    from vamana_spark.operators.events import _epoch_sec, funnel
+
+    out = funnel(_events(spark, sf_dir), ["view", "signup", "purchase"])
+    return out.select(
+        "user_id",
+        "steps_completed",
+        F.round(
+            _epoch_sec(F.col("t_step_2")) - _epoch_sec(F.col("t_step_1")), 3
+        ).alias("secs_view_to_signup"),
+        F.round(
+            _epoch_sec(F.col("t_step_3")) - _epoch_sec(F.col("t_step_2")), 3
+        ).alias("secs_signup_to_purchase"),
+    )
+
+
 @declare("q_chunk_embed_search")
 def q_chunk_embed_search(spark, sf_dir):
     """The full platform loop as ONE gated query: chunk documents
