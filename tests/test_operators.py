@@ -908,3 +908,31 @@ def test_funnel_strict_ordering(spark):
 
     with _p.raises(ValueError):
         funnel(df, [])
+
+
+def test_cohort_retention_offsets(spark):
+    import datetime as dt
+
+    from vamana_spark.operators.events import cohort_retention
+
+    def ts(day):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(days=day)  # Mon start
+
+    rows = [
+        (1, 1, "view", ts(0)),   # user 1: cohort week 0
+        (2, 1, "view", ts(8)),   # active again week 1
+        (3, 2, "view", ts(1)),   # user 2: cohort week 0, never returns
+        (4, 3, "view", ts(7)),   # user 3: cohort week 1
+        (5, 3, "view", ts(21)),  # active week 3 -> offset 2
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = {
+        (r.cohort_week, r.week_offset): r.n_users
+        for r in cohort_retention(df).collect()
+    }
+    assert got[("2024-01-01", 0)] == 2   # users 1 and 2 in week-0 cohort
+    assert got[("2024-01-01", 1)] == 1   # only user 1 returned
+    assert got[("2024-01-08", 0)] == 1   # user 3's cohort
+    assert got[("2024-01-08", 2)] == 1   # user 3, two weeks later

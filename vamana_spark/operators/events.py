@@ -161,3 +161,39 @@ def funnel(
         for i in range(1, len(steps) + 1)
     )
     return cur.withColumn("steps_completed", done.cast("long"))
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-activity week;
+    for each (cohort_week, week_offset), how many of that cohort were
+    active. The companion read-out to ``funnel`` for longitudinal
+    engagement.
+
+    Returns (cohort_week string, week_offset long, n_users long).
+    Scale shape: first-activity = one user-keyed min groupBy (map-side
+    partials); activity weeks = distinct projection; one equi-join on
+    the user id; final count groupBy. Weeks come from date_trunc on the
+    naive timestamp, so the bucketing is timezone-invariant.
+    """
+    wk = lambda c: F.date_trunc("week", c)  # noqa: E731
+    ev = events.select(
+        F.col(user_col).alias("user_id"), wk(F.col(ts_col)).alias("_week")
+    ).distinct()
+    first = ev.groupBy("user_id").agg(F.min("_week").alias("_cohort"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy("_cohort", "_week")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+        .select(
+            F.col("_cohort").cast("date").cast("string").alias("cohort_week"),
+            (
+                (_epoch_sec(F.col("_week")) - _epoch_sec(F.col("_cohort")))
+                / (7 * 86400)
+            ).cast("long").alias("week_offset"),
+            "n_users",
+        )
+    )

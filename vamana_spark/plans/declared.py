@@ -2075,6 +2075,30 @@ def q_pack_documents(spark, sf_dir):
 
 
 @declare(
+    "q_cohort_retention",
+    """
+    WITH ev AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    ), first AS (
+      SELECT user_id, min(week) AS cohort FROM ev GROUP BY user_id
+    )
+    SELECT CAST(CAST(cohort AS DATE) AS VARCHAR) AS cohort_week,
+           CAST((epoch(week) - epoch(cohort)) // 604800 AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users
+    FROM ev JOIN first USING (user_id)
+    GROUP BY cohort, week
+    """,
+)
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention over the events table — users bucketed by
+    first-activity week, counted per week offset (tz-invariant: weeks
+    truncate the naive timestamp)."""
+    from vamana_spark.operators.events import cohort_retention
+
+    return cohort_retention(_events(spark, sf_dir))
+
+
+@declare(
     "q_funnel",
     """
     WITH ev AS (SELECT user_id, event_type, ts FROM events),
