@@ -367,6 +367,7 @@ def _query_mix(timings: dict, extra: dict) -> None:
         timed("range_search", lambda: D.q_range_search(spark, SF_DIR).count())
         timed("filtered_knn", lambda: D.q_filtered_knn(spark, SF_DIR).count())
         timed("token_chunks", lambda: D.q_token_chunks(spark, SF_DIR).count())
+        timed("funnel", lambda: D.q_funnel(spark, SF_DIR).count())
 
         # --- composed quality pipeline: Gopher gate -> PII scrub ->
         # corpus line dedup (map-only except the one line-dedup shuffle)
