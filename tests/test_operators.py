@@ -936,3 +936,65 @@ def test_cohort_retention_offsets(spark):
     assert got[("2024-01-01", 1)] == 1   # only user 1 returned
     assert got[("2024-01-08", 0)] == 1   # user 3's cohort
     assert got[("2024-01-08", 2)] == 1   # user 3, two weeks later
+
+
+def test_funnel_matches_bruteforce_property(spark):
+    """Random event streams: the distributed funnel must equal a greedy
+    single-pass reference walk per user."""
+    import datetime as dt
+
+    from hypothesis import given, settings, strategies as st
+
+    from vamana_spark.operators.events import funnel
+
+    STEPS = ["a", "b", "c"]
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=4),      # user
+                st.sampled_from(["a", "b", "c", "x"]),      # type
+                st.integers(min_value=0, max_value=50),     # minute
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def prop(evts):
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (i, u, t, t0 + dt.timedelta(minutes=m))
+            for i, (u, t, m) in enumerate(evts)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        got = {
+            r.user_id: (r.steps_completed, r.t_step_1, r.t_step_2, r.t_step_3)
+            for r in funnel(df, STEPS).collect()
+        }
+        # greedy reference: earliest step-1; then earliest strictly-later
+        # occurrence of each next step
+        want = {}
+        by_user = {}
+        for _, u, t, ts in rows:
+            by_user.setdefault(u, []).append((ts, t))
+        for u, seq in by_user.items():
+            seq.sort()
+            times, prev = [], None
+            for step in STEPS:
+                cand = [
+                    ts for ts, t in seq
+                    if t == step and (prev is None or ts > prev)
+                ]
+                if not cand:
+                    break
+                prev = min(cand)
+                times.append(prev)
+            if times:
+                padded = times + [None] * (3 - len(times))
+                want[u] = (len(times), padded[0], padded[1], padded[2])
+        assert got == want
+
+    prop()
