@@ -2298,18 +2298,19 @@ def q_mixture_sample(spark, sf_dir):
 # covered by the local bit-strict parity suite, tests/test_oracle_parity
 # .py, every round).
 #
-# Round-5 window: never-driver-run queries first (q_partitioned_pq,
-# q_pii_scrub, q_gopher_filter, q_c4_clean, q_pack_documents), then the
-# 45 queries whose most recent driver row is r03 (the >= 2-rounds-stale
-# set once r04 verified the other window), then the 3 always-on
-# canaries. Entries past slot 50 spill to the r6 window; every declared
-# query stays covered every round by the local bit-strict parity suite,
+# Round-5 window: the 13 never-driver-run queries first (everything
+# added this round, through q_dedup_lines), then the 3 always-on
+# canaries, then the 45 queries whose most recent driver row is r03
+# (the >= 2-rounds-stale set once r04 verified the other window).
+# Entries past slot 50 spill to the r6 window; every declared query
+# stays covered every round by the local bit-strict parity suite,
 # tests/test_oracle_parity.py.
 _ROTATION_FRONT = [
     # new this round, never driver-run — verify first
     "q_partitioned_pq", "q_pii_scrub", "q_gopher_filter", "q_c4_clean",
     "q_pack_documents", "q_partitioned_cosine", "q_mixture_sample",
-    "q_broadcast_append",
+    "q_broadcast_append", "q_cohort_retention", "q_funnel",
+    "q_chunk_embed_search", "q_frequent_tokens", "q_dedup_lines",
     # canaries (core surface, cheap, always verified)
     "q_scan_embeddings", "q_knn_exact", "q_dedup_exact",
     # last driver row r03 — now the stale set (tail spills to the r6
