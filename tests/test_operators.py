@@ -998,3 +998,47 @@ def test_funnel_matches_bruteforce_property(spark):
         assert got == want
 
     prop()
+
+
+def test_duplicate_spans_planted(spark):
+    from vamana_spark.operators import dedup
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        # shared run embedded at different positions, unique elsewhere
+        (0, "u0a u0b " + shared + " u0c"),            # span tokens 3..10
+        (1, shared + " v1a v1b v1c v1d"),             # span tokens 1..8
+        # doc with only internal repetition: min_docs counts DISTINCT
+        # docs, so a phrase repeated within one doc alone is not a dup
+        (2, "solo one two three four solo one two three four"),
+        # too short for a 5-shingle
+        (3, "tiny doc here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_end): r.n_span_tokens
+        for r in dedup.duplicate_spans(df, k=5, min_docs=2).collect()
+    }
+    assert got == {(0, 3, 10): 8, (1, 1, 8): 8}
+
+
+def test_duplicate_spans_merges_adjacent_runs(spark):
+    from vamana_spark.operators import dedup
+
+    # two duplicated 5-gram runs separated by a gap of exactly k start
+    # positions merge into one maximal span; a wider gap stays two spans
+    a = "p1 p2 p3 p4 p5"
+    b = "q1 q2 q3 q4 q5"
+    rows = [
+        (0, a + " x1 x2 x3 x4 " + b),      # starts 1 and 10: gap 9 > 5 -> two spans
+        (1, a + " " + b),                  # starts 1 and 6: gap 5 <= 5 -> one span
+        (2, a + " zz " + a),               # a duplicated corpus-wide
+        (3, b + " yy " + b),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in dedup.duplicate_spans(df, k=5, min_docs=2).collect()
+    )
+    assert (1, 1, 10) in got                      # merged maximal span
+    assert (0, 1, 5) in got and (0, 10, 14) in got  # unmerged pair

@@ -890,3 +890,88 @@ def dedup_lines(
             F.coalesce(text_col, F.lit("")).alias(text_col),
         )
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicated-SPAN detection — the substring-dedup pass
+    ("Deduplicating Training Data Makes Language Models Better",
+    Lee et al. 2022, re-expressed as a shingle inventory instead of a
+    suffix array): every maximal token run covered by k-token shingles
+    that appear verbatim in >= ``min_docs`` distinct documents.
+
+    Returns (id, span_start, span_end, n_span_tokens) — 1-based token
+    positions of each maximal duplicated span per document. Downstream
+    curation cuts the spans out of the text (span-level dedup), which
+    removes boilerplate/licensing blobs doc-level dedup can't touch.
+
+    Dataflow: tokenize → per-position k-shingle (map-only, pipelined —
+    the token array never crosses a shuffle) → distinct-doc count per
+    shingle hash (Spark plans count_distinct as a two-stage aggregate
+    with map-side partials) → duplicated hashes equi-joined back onto
+    the occurrence stream → per-doc window merges duplicated shingle
+    starts closer than k into maximal spans.
+
+    100 TB shape: shuffle cardinality is the corpus token count (the
+    token_histogram / contamination_check class), keyed by a 64-bit
+    shingle hash — uniform, skew-free. The join back is an equi-join on
+    that hash: a boilerplate shingle present in millions of docs emits
+    exactly its occurrence rows (output-linear, never a cross product);
+    the alternative (collect_list of occurrences per shingle) would
+    funnel a hot shingle's occurrences into one task, so the join-back
+    is the scalable choice even though it re-reads the occurrence side.
+    Hashing trims both shuffles to 8 bytes/key vs ~k tokens of text; a
+    collision only ever ADDS one false k-token shingle (birthday math:
+    ~30 expected collisions at 10^12 distinct shingles — swap a 128-bit
+    hash in where that matters; the DuckDB oracle groups by the raw
+    shingle string and the parity gate pins testdata scales where
+    collision odds are ~1e-14).
+    """
+    from vamana_spark.functions.util import ensure_parallelism
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    t = ensure_parallelism(df.select(F.col(id_col), toks.alias("_toks")))
+    n = F.size("_toks")
+    starts = F.when(
+        n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    s = t.select(F.col(id_col), F.col("_toks"), F.explode(starts).alias("pos"))
+    occ = s.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.xxhash64(F.concat_ws(" ", F.slice("_toks", F.col("pos"), k))).alias(
+            "_h"
+        ),
+    )
+    dup = (
+        occ.groupBy("_h")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .where(F.col("_nd") >= int(min_docs))
+        .select("_h")
+    )
+    hits = occ.join(dup, "_h").select(F.col(id_col), F.col("pos"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(
+        F.lit(1)
+    )
+    return (
+        hits.withColumn("_brk", brk)
+        .withColumn("_g", F.sum("_brk").over(w))
+        .groupBy(id_col, "_g")
+        .agg(F.min("pos").alias("_mn"), F.max("pos").alias("_mx"))
+        .select(
+            F.col(id_col),
+            F.col("_mn").cast("long").alias("span_start"),
+            (F.col("_mx") + (k - 1)).cast("long").alias("span_end"),
+            (F.col("_mx") + (k - 1) - F.col("_mn") + 1)
+            .cast("long")
+            .alias("n_span_tokens"),
+        )
+    )

@@ -2287,6 +2287,47 @@ def q_mixture_sample(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+@declare(
+    "q_dup_spans",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS pos, toks
+      FROM t
+    ), sh AS (
+      SELECT doc_id, pos, array_to_string(toks[pos:pos+4], ' ') AS sh FROM s
+    ), dup AS (
+      SELECT sh FROM sh GROUP BY sh HAVING count(DISTINCT doc_id) >= 2
+    ), hits AS (
+      SELECT sh.doc_id, sh.pos FROM sh JOIN dup USING (sh)
+    ), isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+                  THEN 0 ELSE 1 END AS brk
+      FROM hits
+    ), grp AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM isl
+    )
+    SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 4 AS BIGINT) AS span_end,
+           CAST(max(pos) + 4 - min(pos) + 1 AS BIGINT) AS n_span_tokens
+    FROM grp GROUP BY doc_id, g
+    """,
+)
+def q_dup_spans(spark, sf_dir):
+    """Exact duplicated-span inventory (substring-dedup class, Lee et
+    al. 2022): maximal token spans covered by 5-gram shingles shared by
+    >= 2 documents — the span-level pass that catches boilerplate blobs
+    doc-level dedup can't."""
+    return dedup.duplicate_spans(_docs(spark, sf_dir), k=5, min_docs=2)
+
+
 # ======================================================================
 # ROTATION — driver-verification window management
 # ======================================================================
@@ -2311,6 +2352,7 @@ _ROTATION_FRONT = [
     "q_pack_documents", "q_partitioned_cosine", "q_mixture_sample",
     "q_broadcast_append", "q_cohort_retention", "q_funnel",
     "q_chunk_embed_search", "q_frequent_tokens", "q_dedup_lines",
+    "q_dup_spans",
     # canaries (core surface, cheap, always verified)
     "q_scan_embeddings", "q_knn_exact", "q_dedup_exact",
     # last driver row r03 — now the stale set (tail spills to the r6
