@@ -1042,3 +1042,65 @@ def test_duplicate_spans_merges_adjacent_runs(spark):
     )
     assert (1, 1, 10) in got                      # merged maximal span
     assert (0, 1, 5) in got and (0, 10, 14) in got  # unmerged pair
+
+
+def test_semantic_dedup_planted_groups(spark):
+    import numpy as np
+
+    from vamana_spark.operators import dedup
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((6, 16)).astype(float)
+    rows = []
+    # ids 0..5: distinct random directions (pairwise cos << 0.9)
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # ids 10..15: exact duplicates (scaled) of ids 0..5
+    for i, v in enumerate(base):
+        rows.append((10 + i, [float(2.0 * x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in dedup.semantic_dedup(
+        df, threshold=0.95, num_clusters=2, seed=1
+    ).collect()}
+    assert len(out) == 12
+    for i in range(6):
+        assert out[i].keep, f"original {i} must survive"
+        assert not out[10 + i].keep, f"copy {10+i} must drop"
+        assert out[10 + i].dup_of == i
+        assert abs(out[10 + i].max_sim - 1.0) < 1e-9
+
+
+def test_semantic_dedup_greedy_chain(spark):
+    import numpy as np
+
+    from vamana_spark.operators import dedup
+
+    # a ~ b and b ~ c but a !~ c: greedy min-id keeps a, drops b (dup_of
+    # a) and c (dup_of b — which is itself dropped: documented greedy)
+    a = np.array([1.0, 0.0])
+    b = np.array([np.cos(0.25), np.sin(0.25)])
+    c = np.array([np.cos(0.5), np.sin(0.5)])
+    df = spark.createDataFrame(
+        [(0, a.tolist()), (1, b.tolist()), (2, c.tolist())],
+        "vec_id long, embedding array<double>",
+    )
+    thr = float(np.cos(0.3))  # a·b and b·c above, a·c below
+    out = {r.vec_id: r for r in dedup.semantic_dedup(
+        df, threshold=thr, num_clusters=1, seed=1
+    ).collect()}
+    assert out[0].keep
+    assert not out[1].keep and out[1].dup_of == 0
+    assert not out[2].keep and out[2].dup_of == 1
+
+
+def test_semantic_dedup_zero_vector_survives(spark):
+    from vamana_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    # zero vectors normalize to zero -> cosine 0 with everything,
+    # including each other: all three survive
+    out = dedup.semantic_dedup(df, threshold=0.5, num_clusters=1, seed=1)
+    assert all(r.keep for r in out.collect())

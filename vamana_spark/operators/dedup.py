@@ -975,3 +975,110 @@ def duplicate_spans(
             .alias("n_span_tokens"),
         )
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    num_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    block_rows: int = 2048,
+) -> DataFrame:
+    """Semantic dedup (the SemDeDup recipe, Abbas et al. 2023):
+    k-means-cluster the UNIT-normalized embedding space, then mark a
+    point as duplicate when its cosine similarity to some LOWER-id
+    point in the SAME cluster reaches ``threshold``. The cluster
+    blocking is what bounds the quadratic: pairs are only ever scored
+    within a cluster, never across the corpus.
+
+    Returns one row per input point:
+      (id, cluster_id, keep, dup_of, max_sim) —
+      keep    : survives dedup (no lower-id point above threshold)
+      dup_of  : the most-similar lower-id cluster-mate at/above
+                threshold (smallest id on ties); null when kept
+      max_sim : cosine similarity to dup_of; null when kept
+
+    Keep policy is deterministic min-id-wins (greedy: a dropped row's
+    ``dup_of`` may itself be dropped further down a similarity chain —
+    the standard greedy semantics). SemDeDup's centroid-distance keep
+    policy slots in by changing the within-cluster ordering only.
+
+    Normalization happens INSIDE the operator (zero vectors become
+    their own singletons: trivially kept), so clustering runs on the
+    unit sphere — parallel vectors land in the same cluster by
+    construction, which is what makes exact-duplicate capture exact.
+
+    100 TB shape: clustering reuses ``ivf_build`` (map-only Lloyd
+    passes, driver reduces num_clusters partial sums); the pair scan is
+    one ``applyInPandas`` per cluster, computing X_block @ X.T in
+    ``block_rows`` strips — O(c^2) multiplies but O(block_rows * c)
+    memory for a size-c cluster. num_clusters is the scale knob: size
+    clusters to ~10^4-10^5 rows (n / num_clusters); a skewed giant
+    cluster degrades time quadratically but never memory.
+    """
+    from vamana_spark.operators.similarity import ivf_build
+
+    import numpy as np
+
+    spark = emb.sparkSession
+    src = emb.select(F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("_v"))
+
+    def normalize(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(X, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "_u": list(X / nrm)}
+            )
+
+    unit = src.mapInPandas(normalize, schema="vec_id long, _u array<double>")
+    assignments = ivf_build(
+        unit, num_clusters, id_col="vec_id", vec_col="_u", seed=seed
+    ).withColumnRenamed("list_id", "cluster_id")
+    clustered = unit.join(assignments, "vec_id")
+
+    thr = float(threshold)
+    blk = int(block_rows)
+
+    def dedup_cluster(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cid = int(key[0])
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        X = np.stack(pdf["_u"].to_numpy())
+        n = len(ids)
+        dup_of = np.full(n, -1, dtype=np.int64)
+        max_sim = np.full(n, np.nan)
+        for lo in range(1, n, blk):
+            hi = min(lo + blk, n)
+            sims = X[lo:hi] @ X.T  # (strip, n)
+            # only lower-id columns count; argmax's first-index tie
+            # break = smallest id because rows are id-sorted
+            for g in range(lo, hi):
+                row = sims[g - lo, :g]
+                j = int(np.argmax(row))
+                if row[j] >= thr:
+                    dup_of[g] = ids[j]
+                    max_sim[g] = float(row[j])
+        keep = dup_of < 0
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster_id": cid,
+                "keep": keep,
+                "dup_of": pd.array(
+                    [None if k else int(d) for k, d in zip(keep, dup_of)],
+                    dtype="Int64",
+                ),
+                "max_sim": [None if k else s for k, s in zip(keep, max_sim)],
+            }
+        )
+
+    return clustered.groupBy("cluster_id").applyInPandas(
+        dedup_cluster,
+        schema="vec_id long, cluster_id int, keep boolean, dup_of long, max_sim double",
+    )

@@ -2328,6 +2328,52 @@ def q_dup_spans(spark, sf_dir):
     return dedup.duplicate_spans(_docs(spark, sf_dir), k=5, min_docs=2)
 
 
+@declare("q_semantic_dedup")
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (cluster-blocked cosine) over the
+    embeddings table augmented with planted exact duplicates (every 7th
+    vector re-inserted scaled x1.5 under id+100000 — unit-normalizes to
+    an identical point, so it MUST drop). Rows-only gate; the embedded
+    ok column re-verifies every drop's (row, dup_of) cosine JVM-side at
+    >= threshold AND that all planted copies were dropped."""
+    from vamana_spark.functions.vector import cosine_distance
+    from vamana_spark.operators import dedup as DD
+
+    thr = 0.9
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    copies = e.where(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    aug = e.unionByName(copies)
+    res = DD.semantic_dedup(aug, threshold=thr, num_clusters=8, seed=42)
+    n_planted = copies.count()
+    n_planted_dropped = res.where(
+        (F.col("vec_id") >= 100000) & ~F.col("keep")
+    ).count()
+    v = aug.select(F.col("vec_id"), F.col("embedding").alias("_v"))
+    d = aug.select(
+        F.col("vec_id").alias("dup_of"), F.col("embedding").alias("_dv")
+    )
+    jvm_sim = F.lit(1.0) - cosine_distance("_v", "_dv")
+    return (
+        res.join(v, "vec_id")
+        .join(d, "dup_of", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            "keep",
+            "dup_of",
+            F.round("max_sim", 4).alias("max_sim"),
+            (
+                (F.col("keep") & F.col("dup_of").isNull())
+                | (~F.col("keep") & (jvm_sim >= thr - 1e-9))
+            ).alias("ok"),
+        )
+        .withColumn("ok", F.col("ok") & F.lit(n_planted_dropped == n_planted))
+    )
+
+
 # ======================================================================
 # ROTATION — driver-verification window management
 # ======================================================================
@@ -2352,7 +2398,7 @@ _ROTATION_FRONT = [
     "q_pack_documents", "q_partitioned_cosine", "q_mixture_sample",
     "q_broadcast_append", "q_cohort_retention", "q_funnel",
     "q_chunk_embed_search", "q_frequent_tokens", "q_dedup_lines",
-    "q_dup_spans",
+    "q_dup_spans", "q_semantic_dedup",
     # canaries (core surface, cheap, always verified)
     "q_scan_embeddings", "q_knn_exact", "q_dedup_exact",
     # last driver row r03 — now the stale set (tail spills to the r6
