@@ -1104,3 +1104,23 @@ def test_semantic_dedup_zero_vector_survives(spark):
     # including each other: all three survive
     out = dedup.semantic_dedup(df, threshold=0.5, num_clusters=1, seed=1)
     assert all(r.keep for r in out.collect())
+
+
+def test_cut_duplicate_spans_removes_planted_run(spark):
+    from vamana_spark.operators import dedup
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (0, "u0a u0b " + shared + " u0c"),
+        (1, shared + " v1a v1b v1c v1d"),
+        (2, "no dups in this one at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup.cut_duplicate_spans(
+        df, k=5, min_docs=2
+    ).collect()}
+    assert got[0].text == "u0a u0b u0c"
+    assert (got[0].n_tokens, got[0].n_kept_tokens) == (11, 3)
+    assert got[1].text == "v1a v1b v1c v1d"
+    assert got[2].text == "no dups in this one at all"
+    assert got[2].n_kept_tokens == got[2].n_tokens == 7

@@ -1082,3 +1082,58 @@ def semantic_dedup(
         dedup_cluster,
         schema="vec_id long, cluster_id int, keep boolean, dup_of long, max_sim double",
     )
+
+
+def cut_duplicate_spans(
+    df: DataFrame,
+    spans: Optional[DataFrame] = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Apply span-level dedup: rebuild each document with every
+    duplicated span (from :func:`duplicate_spans`, or a caller-supplied
+    ``spans`` frame with the same schema) cut out.
+
+    Returns (id, n_tokens, n_kept_tokens, text): token counts before /
+    after the cut and the surviving text (tokens joined by single
+    spaces — the same whitespace normalization the span detector
+    tokenized under).
+
+    Semantics note: this cuts EVERY occurrence of a duplicated span
+    (the aggressive C4-style pass). Lee et al.'s keep-one-copy variant
+    needs cross-document span identity, which maximal-interval merging
+    deliberately discards; compose ``duplicate_spans`` with a custom
+    keep policy if one copy must survive.
+
+    100 TB shape: spans per doc are aggregated to ONE array row
+    (groupBy(id) with map-side partials — a doc has few merged spans by
+    construction), joined back to the documents on id, and the cut is a
+    positional array filter — the token stream itself never shuffles
+    and never explodes.
+    """
+    if spans is None:
+        spans = duplicate_spans(df, text_col, id_col, k=k, min_docs=min_docs)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    t = df.select(F.col(id_col), toks.alias("_toks")).join(
+        per_doc, id_col, "left"
+    )
+    in_span = lambda i: F.exists(  # noqa: E731 — positional predicate
+        F.col("_spans"),
+        lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"]),
+    )
+    kept = F.when(
+        F.col("_spans").isNull(), F.col("_toks")
+    ).otherwise(F.filter(F.col("_toks"), lambda x, i: ~in_span(i)))
+    return t.select(
+        F.col(id_col),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept_tokens"),
+        F.array_join(kept, " ").alias(text_col),
+    )

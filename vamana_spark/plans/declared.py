@@ -2328,6 +2328,61 @@ def q_dup_spans(spark, sf_dir):
     return dedup.duplicate_spans(_docs(spark, sf_dir), k=5, min_docs=2)
 
 
+@declare(
+    "q_cut_spans",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS pos, toks
+      FROM t
+    ), sh AS (
+      SELECT doc_id, pos, array_to_string(toks[pos:pos+4], ' ') AS sh FROM s
+    ), dup AS (
+      SELECT sh FROM sh GROUP BY sh HAVING count(DISTINCT doc_id) >= 2
+    ), hits AS (
+      SELECT sh.doc_id, sh.pos FROM sh JOIN dup USING (sh)
+    ), isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+                  THEN 0 ELSE 1 END AS brk
+      FROM hits
+    ), grp AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM isl
+    ), spans AS (
+      SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end
+      FROM grp GROUP BY doc_id, g
+    ), per_doc AS (
+      SELECT doc_id, list({'s': span_start, 'e': span_end}) AS sp
+      FROM spans GROUP BY doc_id
+    ), cut AS (
+      SELECT t.doc_id, t.toks,
+             CASE WHEN p.sp IS NULL THEN t.toks
+                  ELSE list_filter(t.toks, (x, i) ->
+                         NOT list_bool_or(list_transform(p.sp,
+                               s -> i >= s.s AND i <= s.e)))
+             END AS kept
+      FROM t LEFT JOIN per_doc p USING (doc_id)
+    )
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(kept) AS BIGINT) AS n_kept_tokens,
+           -- DuckDB's array_to_string([]) is NULL; Spark's array_join is ''
+           coalesce(array_to_string(kept, ' '), '') AS text
+    FROM cut
+    """,
+)
+def q_cut_spans(spark, sf_dir):
+    """Span-level dedup applied: rebuild every document with its
+    duplicated 5-gram spans (q_dup_spans) cut out — token counts before
+    and after plus the surviving text."""
+    return dedup.cut_duplicate_spans(_docs(spark, sf_dir), k=5, min_docs=2)
+
+
 @declare("q_semantic_dedup")
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup (cluster-blocked cosine) over the
@@ -2398,7 +2453,7 @@ _ROTATION_FRONT = [
     "q_pack_documents", "q_partitioned_cosine", "q_mixture_sample",
     "q_broadcast_append", "q_cohort_retention", "q_funnel",
     "q_chunk_embed_search", "q_frequent_tokens", "q_dedup_lines",
-    "q_dup_spans", "q_semantic_dedup",
+    "q_dup_spans", "q_semantic_dedup", "q_cut_spans",
     # canaries (core surface, cheap, always verified)
     "q_scan_embeddings", "q_knn_exact", "q_dedup_exact",
     # last driver row r03 — now the stale set (tail spills to the r6
