@@ -1124,3 +1124,51 @@ def test_cut_duplicate_spans_removes_planted_run(spark):
     assert got[1].text == "v1a v1b v1c v1d"
     assert got[2].text == "no dups in this one at all"
     assert got[2].n_kept_tokens == got[2].n_tokens == 7
+
+
+def test_duplicate_spans_matches_bruteforce_property(spark):
+    """Random small-vocab corpora: the distributed shingle-inventory
+    span detector must equal a brute-force dict-based reference."""
+    import numpy as np
+
+    from vamana_spark.operators import dedup
+
+    def ref_spans(docs, k, min_docs):
+        from collections import defaultdict
+
+        occ = defaultdict(set)
+        toks = {d: t.lower().split() for d, t in docs}
+        for d, t in toks.items():
+            for i in range(len(t) - k + 1):
+                occ[tuple(t[i : i + k])].add(d)
+        dup = {s for s, ds in occ.items() if len(ds) >= min_docs}
+        out = set()
+        for d, t in toks.items():
+            starts = [
+                i + 1
+                for i in range(len(t) - k + 1)
+                if tuple(t[i : i + k]) in dup
+            ]
+            run = []
+            for p in starts + [None]:
+                if run and (p is None or p - run[-1] > k):
+                    out.add((d, run[0], run[-1] + k - 1))
+                    run = []
+                if p is not None:
+                    run.append(p)
+        return out
+
+    rng = np.random.default_rng(123)
+    vocab = [f"w{i}" for i in range(6)]  # tiny vocab forces collisions
+    for trial in range(3):
+        docs = [
+            (d, " ".join(rng.choice(vocab, size=rng.integers(1, 30))))
+            for d in range(8)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in dedup.duplicate_spans(df, k=3, min_docs=2).collect()
+        }
+        want = ref_spans(docs, 3, 2)
+        assert got == want, f"trial {trial}: {got ^ want}"
