@@ -1037,10 +1037,31 @@ def semantic_dedup(
             )
 
     unit = src.mapInPandas(normalize, schema="vec_id long, _u array<double>")
-    assignments = ivf_build(
+    # ivf_build's Lloyd passes run eagerly and hand back the trained
+    # centers; its final per-row assignment DataFrame stays LAZY and is
+    # deliberately never executed — the fused pass below re-derives the
+    # assignment while carrying the unit vector, which replaces a
+    # full-data (unit ⋈ assignments) vec_id shuffle pair with zero
+    # shuffles: the only data shuffle left is the cluster-keyed one.
+    centers = ivf_build(
         unit, num_clusters, id_col="vec_id", vec_col="_u", seed=seed
-    ).withColumnRenamed("list_id", "cluster_id")
-    clustered = unit.join(assignments, "vec_id")
+    )._ivf_centers
+    bc = spark.sparkContext.broadcast(centers)
+
+    def assign_carry(batches):
+        from vamana_spark import exact as _exact
+
+        Cv = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            U = np.stack(pdf["_u"].to_numpy())
+            a = _exact._dist_matrix(U, Cv, "l2sq").argmin(axis=1)
+            yield pdf.assign(cluster_id=a.astype(np.int32))
+
+    clustered = unit.mapInPandas(
+        assign_carry, schema="vec_id long, _u array<double>, cluster_id int"
+    )
 
     thr = float(threshold)
     blk = int(block_rows)
