@@ -407,3 +407,76 @@ def test_partitioned_range_search_agrees_with_exact(pidx, embeddings, queries):
     hits = sum(len(got.get(k, set()) & v) for k, v in truth.items())
     total = sum(len(v) for v in truth.values())
     assert total > 0 and hits / total >= 0.85, f"range recall {hits/total}"
+
+
+def test_brute_path_exhaustive_equals_exact(pidx, embeddings, queries):
+    """Small shards + exhaustive probes: the per-shard BLAS scan makes
+    the fan-out search EXACT — the merged top-k must equal exact kNN's
+    ids rank-for-rank (every shard's exact top-k includes every global
+    winner stored there)."""
+    truth = {
+        (r.query_id, r.rank): r.vec_id
+        for r in exact.exact_knn(embeddings, queries, k=10).collect()
+    }
+    got = {
+        (r.query_id, r.rank): r.vec_id
+        for r in pidx.search(queries, k=10).collect()  # default: brute
+    }
+    assert got == truth
+
+
+def test_beam_path_still_green(pidx, embeddings, queries):
+    """brute_threshold=0 forces the graph kernel on every shard — the
+    beam path must stay recall-green so the auto-switch never hides a
+    graph regression."""
+    truth = exact.exact_knn(embeddings, queries, k=10)
+    approx = pidx.search(queries, k=10, brute_threshold=0)
+    r = quality.avg_recall(approx, truth, k=10)
+    assert r >= 0.8, f"beam-path recall@10 = {r}"
+
+
+def test_pq_brute_and_beam_paths_agree(pidx, embeddings, queries):
+    """Both ADC paths (exhaustive scan vs graph walk) feed the same
+    exact re-rank; each must clear the PQ recall gate."""
+    truth = exact.exact_knn(embeddings, queries, k=10)
+    for thr in (None, 0):  # None -> brute at this shard size, 0 -> beam
+        approx = pidx.search_pq(queries, k=10, brute_threshold=thr)
+        r = quality.avg_recall(approx, truth, k=10)
+        assert r >= 0.7, f"pq path thr={thr}: recall@10 = {r}"
+
+
+def test_brute_kernels_match_reference():
+    """NumPy-level: the BLAS scan equals a naive exact reference, and
+    the exhaustive ADC scan equals a naive LUT sum."""
+    import numpy as np
+
+    from vamana_spark.index import kernels
+
+    rng = np.random.default_rng(3)
+    P = rng.standard_normal((37, 16)).astype(np.float32)
+    Q = rng.standard_normal((11, 16)).astype(np.float32)
+    rq, rid, rd = kernels.brute_topk_batch(P, Q, k=5)
+    D = ((Q[:, None, :].astype(np.float64) - P[None, :, :]) ** 2).sum(-1)
+    for qi in range(11):
+        ids = rid[rq == qi]
+        want = np.lexsort((np.arange(37), D[qi]))[:5]
+        assert list(ids) == list(want), qi
+        assert np.allclose(rd[rq == qi], D[qi][want], atol=1e-5)
+
+    m, ksub, dsub = 4, 8, 4
+    cents = rng.standard_normal((m, ksub, dsub)).astype(np.float32)
+    codes = rng.integers(0, ksub, size=(37, m)).astype(np.uint8)
+    rq, rid, rd = kernels.brute_topk_batch_adc(codes, cents, Q, k=5)
+    lut = (
+        (Q.reshape(11, m, 1, dsub).astype(np.float64) - cents[None]) ** 2
+    ).sum(-1)
+    Dadc = np.zeros((11, 37))
+    for j in range(m):
+        Dadc[:, :] += lut[:, j, codes[:, j]]
+    for qi in range(11):
+        ids = rid[rq == qi]
+        want = np.lexsort((np.arange(37), Dadc[qi]))[:5]
+        assert list(ids) == list(want), qi
+        # kernel accumulates the ADC sums in float32 (dists are
+        # approximate by contract); reference here is float64
+        assert np.allclose(rd[rq == qi], Dadc[qi][want], atol=1e-3)

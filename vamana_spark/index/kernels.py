@@ -908,3 +908,127 @@ def search_topk_batch_adc(
         np.concatenate(out_ids) if out_ids else np.array([], dtype=np.int64),
         np.concatenate(out_d) if out_d else np.array([], dtype=np.float64),
     )
+
+
+def brute_topk_batch(
+    P: np.ndarray, Q: np.ndarray, k: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Exact batched top-k by one BLAS pass — the SMALL-SHARD fast path.
+
+    Beam search costs ~ef·R distance comps per query in interpreter-
+    driven hops; an exhaustive scan costs n fully-vectorized comps. On a
+    shard with n ≤ ef·R the scan does strictly fewer comps, runs at
+    BLAS speed, and is EXACT (per-shard recall 1.0) — the classic
+    IVF-flat behavior. The graph kernel pays off only past that point.
+
+    Returns (row_idx, ids, dists) — same contract as the first three
+    outputs of ``search_topk_batch``: flat per-query top-k, rank order
+    ascending by (dist, id) within a row; dists are squared L2 in the
+    caller's (already metric-transformed) space.
+
+    Queries are chunked so the (chunk, n) distance block stays ~32 MB;
+    the shard matrix is never chunked (it is the caller's memory unit).
+    """
+    nq = Q.shape[0]
+    n = P.shape[0]
+    if nq == 0 or n == 0:
+        z = np.array([], dtype=np.int64)
+        return z, z, np.array([], dtype=np.float64)
+    k = min(k, n)
+    Pf = np.ascontiguousarray(P, dtype=np.float32)
+    p2 = np.einsum("ij,ij->i", Pf, Pf, dtype=np.float64)
+    rows_out, ids_out, d_out = [], [], []
+    chunk = max(1, (1 << 22) // n)
+    for lo in range(0, nq, chunk):
+        Qc = np.ascontiguousarray(Q[lo : lo + chunk], dtype=np.float32)
+        q2 = np.einsum("ij,ij->i", Qc, Qc, dtype=np.float64)
+        d = q2[:, None] + p2[None, :] - 2.0 * (Qc @ Pf.T).astype(np.float64)
+        np.maximum(d, 0.0, out=d)
+        if k < n:
+            sel = np.argpartition(d, k - 1, axis=1)[:, :k]
+        else:
+            sel = np.broadcast_to(np.arange(n), (d.shape[0], n)).copy()
+        # the norm-expansion form selects fast but carries cancellation
+        # residue (a self-match reports ~1e-6, not 0.0, where the beam
+        # kernel's difference form reports an exact 0) — recompute the
+        # k selected distances difference-form (nq·k·dim, cheap) so the
+        # emitted values match the graph path's semantics bit-for-bit
+        # on exact hits, then re-rank on the recomputed values
+        diff = Qc[:, None, :].astype(np.float64) - Pf[sel].astype(np.float64)
+        dsel = np.einsum("bkd,bkd->bk", diff, diff)
+        # deterministic rank: ascending dist, node-id tiebreak (stable
+        # id-sort first, then stable dist-sort preserves id order)
+        o1 = np.argsort(sel, axis=1, kind="stable")
+        sel = np.take_along_axis(sel, o1, axis=1)
+        dsel = np.take_along_axis(dsel, o1, axis=1)
+        o2 = np.argsort(dsel, axis=1, kind="stable")
+        sel = np.take_along_axis(sel, o2, axis=1)
+        dsel = np.take_along_axis(dsel, o2, axis=1)
+        b = sel.shape[0]
+        rows_out.append(np.repeat(np.arange(lo, lo + b, dtype=np.int64), k))
+        ids_out.append(sel.ravel().astype(np.int64))
+        d_out.append(dsel.ravel())
+    return (
+        np.concatenate(rows_out),
+        np.concatenate(ids_out),
+        np.concatenate(d_out),
+    )
+
+
+def brute_topk_batch_adc(
+    codes: np.ndarray, cents: np.ndarray, Q: np.ndarray, k: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Exhaustive ADC scan — the small-shard fast path of the PQ tier.
+
+    Same rationale as :func:`brute_topk_batch`: on shards with
+    n ≤ ef·R, summing the per-query LUT over ALL n code rows (m gathers
+    of a (chunk, n) block) beats walking the graph, and returns the
+    best-possible ADC shortlist (exhaustive over the shard). Distances
+    are APPROXIMATE (ADC), exactly like ``search_topk_batch_adc``; the
+    caller's exact re-rank is unchanged.
+
+    Returns (row_idx, ids, adc_dists) with ascending (dist, id) rank
+    order within each query row.
+    """
+    nq, dim = Q.shape
+    n, m = codes.shape
+    if nq == 0 or n == 0:
+        z = np.array([], dtype=np.int64)
+        return z, z, np.array([], dtype=np.float64)
+    k = min(k, n)
+    dsub = dim // m
+    C = cents.astype(np.float32)  # (m, ksub, dsub)
+    c2 = np.einsum("mkd,mkd->mk", C, C)  # (m, ksub)
+    rows_out, ids_out, d_out = [], [], []
+    chunk = max(1, (1 << 21) // n)
+    for lo in range(0, nq, chunk):
+        Qc = Q[lo : lo + chunk].astype(np.float32).reshape(-1, m, dsub)
+        # LUT[b, j, c] = ||q_sub - centroid||^2 via the norm-expansion
+        # matmul (einsum → batched GEMM) — the naive broadcast-subtract
+        # temp is (chunk·m·ksub·dsub) floats and dominated the runtime
+        q2 = np.einsum("bmd,bmd->bm", Qc, Qc)  # (b, m)
+        qc = np.einsum("bmd,mkd->bmk", Qc, C)  # (b, m, ksub)
+        lut = q2[:, :, None] + c2[None, :, :] - 2.0 * qc
+        D = np.zeros((Qc.shape[0], n), dtype=np.float32)
+        for j in range(m):
+            D += lut[:, j, codes[:, j]]
+        if k < n:
+            sel = np.argpartition(D, k - 1, axis=1)[:, :k]
+        else:
+            sel = np.broadcast_to(np.arange(n), (D.shape[0], n)).copy()
+        dsel = np.take_along_axis(D, sel, axis=1)
+        o1 = np.argsort(sel, axis=1, kind="stable")
+        sel = np.take_along_axis(sel, o1, axis=1)
+        dsel = np.take_along_axis(dsel, o1, axis=1)
+        o2 = np.argsort(dsel, axis=1, kind="stable")
+        sel = np.take_along_axis(sel, o2, axis=1)
+        dsel = np.take_along_axis(dsel, o2, axis=1)
+        b = sel.shape[0]
+        rows_out.append(np.repeat(np.arange(lo, lo + b, dtype=np.int64), k))
+        ids_out.append(sel.ravel().astype(np.int64))
+        d_out.append(dsel.ravel())
+    return (
+        np.concatenate(rows_out),
+        np.concatenate(ids_out),
+        np.concatenate(d_out),
+    )

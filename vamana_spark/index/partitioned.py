@@ -486,6 +486,7 @@ class PartitionedVamanaIndex:
         nprobe: Optional[int] = None,
         query_id_col: str = "query_id",
         query_vec_col: str = "query_vec",
+        brute_threshold: Optional[int] = None,
     ) -> DataFrame:
         """Fan-out top-k: probe ``nprobe`` nearest shards per query
         (default: all), merge per-query winners globally.
@@ -494,18 +495,32 @@ class PartitionedVamanaIndex:
         over queries): executor-side probe assignment (``_route``) →
         cogroup with the packed shards on the ``shard`` key (Spark's
         equi-join of grouped data — no broadcast dict, no driver
-        collect, no cross product) → lockstep batched beam kernel
-        (``kernels.search_topk_batch``, the same 8-way kernel the
-        broadcast tier uses) over ALL queries routed to a shard → global
-        window merge. Shuffles: routed query rows keyed by shard (small)
-        and S*k candidate rows per query into the merge — the index
-        never moves.
+        collect, no cross product) → per-shard kernel over ALL queries
+        routed to the shard → global window merge. Shuffles: routed
+        query rows keyed by shard (small) and S*k candidate rows per
+        query into the merge — the index never moves.
+
+        Per-shard kernel auto-switch: beam search costs ~ef·R distance
+        comps per query; an exhaustive scan costs n_shard vectorized
+        comps and is exact. At ``n_shard ≤ brute_threshold`` (default
+        ef·R, the comp-count equivalence point) the shard task takes
+        the BLAS scan (``kernels.brute_topk_batch`` — IVF-flat
+        behavior, measured ~3× faster end-to-end at 250-pt shards);
+        past it, the lockstep batched beam kernel
+        (``kernels.search_topk_batch``, the broadcast tier's kernel)
+        walks the shard subgraph. Pass ``brute_threshold=0`` to force
+        the graph path.
         """
         S = int(self.params.num_shards)
         nprobe = S if nprobe is None else min(nprobe, S)
         ef = int(ef_search or self.params.ef_search)
         metric_k = int(k)
         metric, mips_m = self.params.metric, self.params.mips_m
+        brute_cap = (
+            int(ef * self.params.R)
+            if brute_threshold is None
+            else int(brute_threshold)
+        )
 
         packed = self._packed_df("flat")
         routed = self._route(queries, nprobe, query_id_col, query_vec_col)
@@ -521,9 +536,13 @@ class PartitionedVamanaIndex:
             # qv is already metric-transformed by _route
             Q = np.stack(right["qv"].to_numpy()).astype(np.float32)
             qids = right["query_id"].to_numpy(dtype=np.int64)
-            rq, rid, rd, _, _ = kernels.search_topk_batch(
-                P, nbr, medoid, Q, metric_k, _ef_for_shard(ef, metric_k, P.shape[0])
-            )
+            if P.shape[0] <= brute_cap:
+                rq, rid, rd = kernels.brute_topk_batch(P, Q, metric_k)
+            else:
+                rq, rid, rd, _, _ = kernels.search_topk_batch(
+                    P, nbr, medoid, Q, metric_k,
+                    _ef_for_shard(ef, metric_k, P.shape[0]),
+                )
             rd = rd.astype(np.float64)
             if metric == "ip":
                 # augmented-L2 back to -<q,x> (query aug component is 0,
@@ -652,10 +671,17 @@ class PartitionedVamanaIndex:
         rerank: Optional[int] = None,
         query_id_col: str = "query_id",
         query_vec_col: str = "query_vec",
+        brute_threshold: Optional[int] = None,
     ) -> DataFrame:
         """Beyond-RAM serving: beam search over PQ codes (ADC) inside
         each shard, exact re-rank of the merged shortlist — the DiskANN
         recipe the reference's paper cites (readme.md:3).
+
+        Small shards take the exhaustive ADC scan instead of the graph
+        walk (``kernels.brute_topk_batch_adc``; same n ≤ ef·R
+        equivalence switch as ``search`` — see there), which returns
+        the best-possible shortlist for the shard. ``brute_threshold=0``
+        forces the graph path.
 
         Memory shape: a shard task holds codes (n*m bytes) + codebooks
         + padded adjacency — ~``dim*4/m``× (16× at dim=64, m=8, counting
@@ -683,6 +709,11 @@ class PartitionedVamanaIndex:
         # bench load) for candidates the global cut discards anyway;
         # recall is gated (>=0.8 ok-col + tests), not inferred.
         pk = max(k, min(kprime, 2 * -(-kprime // max(nprobe, 1))))
+        brute_cap = (
+            int(max(ef, kprime) * self.params.R)
+            if brute_threshold is None
+            else int(brute_threshold)
+        )
 
         packed = self._packed_df("pq", pq_m, pq_ksub)
         routed = self._route(queries, nprobe, query_id_col, query_vec_col)
@@ -698,10 +729,13 @@ class PartitionedVamanaIndex:
             Q = np.stack(right["qv"].to_numpy()).astype(np.float64)
             qids = right["query_id"].to_numpy(dtype=np.int64)
             n_sh = codes.shape[0]
-            rq, rid, rd = kernels.search_topk_batch_adc(
-                codes, cents, nbr, medoid, Q, pk,
-                _ef_for_shard(max(ef, kprime), kprime, n_sh),
-            )
+            if n_sh <= brute_cap:
+                rq, rid, rd = kernels.brute_topk_batch_adc(codes, cents, Q, pk)
+            else:
+                rq, rid, rd = kernels.search_topk_batch_adc(
+                    codes, cents, nbr, medoid, Q, pk,
+                    _ef_for_shard(max(ef, kprime), kprime, n_sh),
+                )
             return pd.DataFrame(
                 {"query_id": qids[rq], "vec_id": ids[rid], "dist": rd}
             )
