@@ -9,7 +9,7 @@ manually to refresh the SCALE.md scale-ladder row:
 Measures, at n=100k / dim=64 on local[32]:
   * sharded broadcast-tier build (the auto-tier route at this size)
   * sustained batch search qps over a 25k-query batch + recall@10
-  * partitioned-tier build + flat and PQ serving qps at nprobe=4
+  * partitioned-tier build + flat and PQ serving qps at nprobe=8/32
 Prints one JSON object.
 """
 
@@ -67,9 +67,13 @@ def main() -> None:
     # ---- sharded broadcast-tier build (same shards-scale-with-n recipe
     # as the 25k bench block: per-shard dense-kernel cost is
     # (n*overlap/shards)^2, so shards grow linearly with n)
+    # operating point from the r5 tuning sweep (/tmp/tune100k.txt,
+    # recorded in SCALE.md): 96x3 + ef=200 holds recall ~0.91 on
+    # uniform-random 64-d data (the adversarial no-cluster case);
+    # 256x3 builds ~25% faster but needs ef=400 for the same recall.
     params = VamanaParams(
-        dim=DIM, alpha=1.2, R=32, L=64, ef_search=100, seed=42,
-        num_shards=256, shard_overlap=3,
+        dim=DIM, alpha=1.2, R=32, L=64, ef_search=200, seed=42,
+        num_shards=96, shard_overlap=3,
     )
     t0 = time.perf_counter()
     idx = VamanaIndex.build(spark, emb, params)
@@ -101,7 +105,9 @@ def main() -> None:
     )
     t0 = time.perf_counter()
     pidx = PartitionedVamanaIndex.build(
-        spark, emb, pparams, num_shards=16, overlap=2
+        spark, emb, pparams, num_shards=32, overlap=2
+        # 32 shards -> ~6k points/shard: keeps the per-shard dense
+        # build O(n^2) cost bounded (16 shards doubled it for nothing)
     )
     pidx.shards_df = pidx.shards_df.cache()
     pidx.shards_df.count()
@@ -110,15 +116,18 @@ def main() -> None:
 
     for mode, key in (("flat", "partitioned"), ("pq", "partitioned_pq")):
         fn = pidx.search if mode == "flat" else pidx.search_pq
-        fn(allq.limit(8), k=10, nprobe=4).count()  # warm the pack
+        # PQ needs a deeper exact-re-rank shortlist at this scale: m=8
+        # codes on uniform-random 64-d data are a coarse ADC ranking
+        kw = {"nprobe": 8} if mode == "flat" else {"nprobe": 8, "rerank": 100}
+        fn(allq.limit(8), k=10, **kw).count()  # warm the pack
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            fn(allq, k=10, nprobe=4).count()
+            fn(allq, k=10, **kw).count()
             best = min(best, time.perf_counter() - t0)
-        out[f"{key}_qps_nprobe4"] = round(nq / best, 1)
-        out[f"{key}_recall_at_10_nprobe4"] = round(
-            quality.avg_recall(fn(sample, k=10, nprobe=4), truth, k=10), 4
+        out[f"{key}_qps_nprobe8"] = round(nq / best, 1)
+        out[f"{key}_recall_at_10_nprobe8"] = round(
+            quality.avg_recall(fn(sample, k=10, **kw), truth, k=10), 4
         )
 
     print(json.dumps(out))
