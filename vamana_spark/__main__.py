@@ -7,7 +7,7 @@ search → recall, main.cpp:33-168) plus the pipeline operators:
   search  --index idx_dir --queries q.parquet --output out.parquet [--k]
   knn     --input emb.parquet --queries q.parquet --output out.parquet [--k]
   recall  --approx a.parquet --truth t.parquet [--k]
-  dedup   --input docs.parquet --output out.parquet [--mode exact|minhash]
+  dedup   --input docs.parquet --output out.parquet [--mode exact|minhash|spans|semantic]
   decontaminate --train tr.parquet --test te.parquet --output out.parquet
                 [--n 8 --max-shingle-docs N]
   sample  --input docs.parquet --output out.parquet --n N
@@ -97,6 +97,21 @@ def cmd_dedup(args) -> int:
     docs = spark.read.parquet(args.input)
     if args.mode == "exact":
         out = dedup.exact_dedup(docs, text_col=args.text_col, id_col=args.id_col)
+    elif args.mode == "spans":
+        # span-level substring dedup: rewrite docs with duplicated
+        # k-token spans cut out (Lee et al. 2022 pass)
+        out = dedup.cut_duplicate_spans(
+            docs, text_col=args.text_col, id_col=args.id_col, k=args.span_k
+        )
+    elif args.mode == "semantic":
+        # SemDeDup over an embedding column: survivors only
+        from pyspark.sql import functions as F
+
+        keep = dedup.semantic_dedup(
+            docs, threshold=args.threshold, id_col=args.id_col,
+            vec_col=args.vec_col,
+        ).where(F.col("keep")).select(F.col("vec_id").alias(args.id_col))
+        out = docs.join(keep, args.id_col)
     else:
         out = dedup.minhash_near_dups(
             docs, text_col=args.text_col, id_col=args.id_col, threshold=args.threshold
@@ -392,10 +407,16 @@ def main(argv=None) -> int:
     d = sub.add_parser("dedup")
     d.add_argument("--input", required=True)
     d.add_argument("--output", required=True)
-    d.add_argument("--mode", choices=["exact", "minhash"], default="exact")
+    d.add_argument(
+        "--mode",
+        choices=["exact", "minhash", "spans", "semantic"],
+        default="exact",
+    )
     d.add_argument("--text-col", dest="text_col", default="text")
     d.add_argument("--id-col", dest="id_col", default="doc_id")
+    d.add_argument("--vec-col", dest="vec_col", default="embedding")
     d.add_argument("--threshold", type=float, default=0.7)
+    d.add_argument("--span-k", dest="span_k", type=int, default=5)
     d.set_defaults(fn=cmd_dedup)
 
     dc = sub.add_parser("decontaminate")
