@@ -1172,3 +1172,48 @@ def test_duplicate_spans_matches_bruteforce_property(spark):
         }
         want = ref_spans(docs, 3, 2)
         assert got == want, f"trial {trial}: {got ^ want}"
+
+
+def test_semantic_dedup_matches_bruteforce_property(spark):
+    """num_clusters=1 removes the blocking: the operator must equal a
+    brute-force greedy min-id reference on random vector sets."""
+    import numpy as np
+
+    from vamana_spark.operators import dedup
+
+    def ref(vecs, thr):
+        ids = sorted(vecs)
+        U = {}
+        for i in ids:
+            v = np.asarray(vecs[i], dtype=float)
+            n = np.linalg.norm(v)
+            U[i] = v / n if n > 0 else v
+        out = {}
+        for gi, g in enumerate(ids):
+            best, best_sim = None, -np.inf
+            for h in ids[:gi]:
+                s = float(U[g] @ U[h])
+                if s > best_sim:  # ties -> smallest id (first wins)
+                    best, best_sim = h, s
+            if best is not None and best_sim >= thr:
+                out[g] = (False, best)
+            else:
+                out[g] = (True, None)
+        return out
+
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        # low-dim vectors force plenty of above-threshold pairs
+        vecs = {
+            int(i): rng.standard_normal(3).tolist() for i in range(12)
+        }
+        df = spark.createDataFrame(
+            list(vecs.items()), "vec_id long, embedding array<double>"
+        )
+        got = {
+            r.vec_id: (r.keep, r.dup_of)
+            for r in dedup.semantic_dedup(
+                df, threshold=0.8, num_clusters=1, seed=5
+            ).collect()
+        }
+        assert got == ref(vecs, 0.8), f"trial {trial}"
