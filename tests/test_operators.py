@@ -1217,3 +1217,28 @@ def test_semantic_dedup_matches_bruteforce_property(spark):
             ).collect()
         }
         assert got == ref(vecs, 0.8), f"trial {trial}"
+
+
+def test_bigram_logprob_hand_case(spark):
+    import math
+
+    from vamana_spark.operators import text as T
+
+    # corpus: "a b a b", "a c", "solo"; vocab {a,b,c,solo} -> V=4;
+    # contexts: c(a .)=3, c(b .)=1; bigrams: a b (x2), b a, a c
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a c"), (2, "solo")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in T.bigram_logprob_score(df, smoothing=0.5).collect()}
+    V = 4.0
+    lp_ab = math.log((2 + 0.5) / (3 + 0.5 * V))
+    lp_ba = math.log((1 + 0.5) / (1 + 0.5 * V))
+    lp_ac = math.log((1 + 0.5) / (3 + 0.5 * V))
+    exp0 = (lp_ab + lp_ba + lp_ab) / 3
+    assert got[0].n_bigrams == 3
+    assert abs(got[0].avg_bigram_logprob - round(exp0, 6)) < 1e-9
+    assert abs(got[0].bigram_ppl - round(math.exp(-exp0), 4)) < 1e-9
+    assert got[1].n_bigrams == 1
+    assert abs(got[1].avg_bigram_logprob - round(lp_ac, 6)) < 1e-9
+    assert 2 not in got  # <2 tokens -> no bigrams -> absent

@@ -664,3 +664,70 @@ def frequent_tokens(
     finally:
         toks.unpersist()
     return out
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """(id, n_bigrams, avg_bigram_logprob, bigram_ppl): mean add-k-
+    smoothed CONDITIONAL bigram log-probability of each document under
+    the corpus's own bigram model — one step up from
+    ``unigram_logprob_score`` toward the KenLM-style perplexity filters
+    (CCNet / RedPajama) corpus curation actually runs:
+    ln P(w2|w1) = ln((c(w1 w2) + k) / (c(w1 ·) + k·V)).
+    ``bigram_ppl`` = exp(-avg): low = fluent under the corpus mode,
+    high = outlier; filter both tails. Docs with fewer than two tokens
+    have no bigrams and are absent from the output.
+
+    Scale shape: bigram and w1-context counts are two grouped aggs over
+    the exploded bigram stream (corpus-token-count cardinality, Zipf
+    skew absorbed by map-side partials); scoring is an equi-join on the
+    bigram plus one on the context, then a per-doc avg; the vocab total
+    is a one-row broadcast. Everything is built-ins — fully
+    oracle-able.
+    """
+    s = float(smoothing)
+    toks = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+        ).alias("_t"),
+    )
+    big = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "CASE WHEN size(_t) >= 2 THEN transform("
+                "sequence(1, size(_t) - 1), i -> concat(_t[i-1], ' ', _t[i])"
+                ") ELSE array() END"
+            )
+        ).alias("bigram"),
+    )
+    bc = big.groupBy("bigram").agg(F.count("*").alias("_bfreq"))
+    uc = (
+        big.select(F.split(F.col("bigram"), " ").getItem(0).alias("_w1"))
+        .groupBy("_w1")
+        .agg(F.count("*").alias("_ufreq"))
+    )
+    vocab = toks.select(F.explode("_t").alias("_tok")).agg(
+        F.count_distinct("_tok").cast("double").alias("_vocab")
+    )
+    lp = F.log(
+        (F.col("_bfreq") + F.lit(s)) / (F.col("_ufreq") + F.lit(s) * F.col("_vocab"))
+    )
+    return (
+        big.join(bc, "bigram")
+        .withColumn("_w1", F.split(F.col("bigram"), " ").getItem(0))
+        .join(uc, "_w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(F.col(id_col), lp.alias("_lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg("_lp"), 6).alias("avg_bigram_logprob"),
+            F.round(F.exp(-F.avg("_lp")), 4).alias("bigram_ppl"),
+        )
+    )

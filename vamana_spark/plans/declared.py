@@ -2329,6 +2329,44 @@ def q_dup_spans(spark, sf_dir):
 
 
 @declare(
+    "q_bigram_logprob",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+      FROM documents
+    ), b AS (
+      SELECT doc_id, tk,
+             unnest(generate_series(1, greatest(len(tk) - 1, 0))) AS i
+      FROM t
+    ), bg AS (
+      SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bigram, tk[i] AS w1 FROM b
+    ), bc AS (
+      SELECT bigram, count(*) AS bfreq FROM bg GROUP BY bigram
+    ), uc AS (
+      SELECT w1, count(*) AS ufreq FROM bg GROUP BY w1
+    ), voc AS (
+      SELECT CAST(count(DISTINCT token) AS DOUBLE) AS vocab
+      FROM (SELECT unnest(tk) AS token FROM t)
+    )
+    SELECT bg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((bfreq + 0.5) / (ufreq + 0.5 * vocab))), 6)
+               AS avg_bigram_logprob,
+           round(exp(-avg(ln((bfreq + 0.5) / (ufreq + 0.5 * vocab)))), 4)
+               AS bigram_ppl
+    FROM bg JOIN bc USING (bigram) JOIN uc USING (w1), voc
+    GROUP BY bg.doc_id
+    """,
+)
+def q_bigram_logprob(spark, sf_dir):
+    """Bigram-LM perplexity filter (CCNet/KenLM class): mean smoothed
+    conditional log-probability + perplexity per doc under the corpus's
+    own bigram model."""
+    return text.bigram_logprob_score(_docs(spark, sf_dir))
+
+
+@declare(
     "q_cut_spans",
     r"""
     WITH t AS (
@@ -2453,7 +2491,7 @@ _ROTATION_FRONT = [
     "q_pack_documents", "q_partitioned_cosine", "q_mixture_sample",
     "q_broadcast_append", "q_cohort_retention", "q_funnel",
     "q_chunk_embed_search", "q_frequent_tokens", "q_dedup_lines",
-    "q_dup_spans", "q_semantic_dedup", "q_cut_spans",
+    "q_dup_spans", "q_semantic_dedup", "q_cut_spans", "q_bigram_logprob",
     # canaries (core surface, cheap, always verified)
     "q_scan_embeddings", "q_knn_exact", "q_dedup_exact",
     # last driver row r03 — now the stale set (tail spills to the r6
