@@ -1242,3 +1242,34 @@ def test_bigram_logprob_hand_case(spark):
     assert got[1].n_bigrams == 1
     assert abs(got[1].avg_bigram_logprob - round(lp_ac, 6)) < 1e-9
     assert 2 not in got  # <2 tokens -> no bigrams -> absent
+
+
+def test_random_projection_paths_agree_and_preserve_distance(spark):
+    import numpy as np
+
+    from vamana_spark.operators.similarity import random_projection
+
+    rng = np.random.default_rng(9)
+    X = rng.standard_normal((40, 64)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    fast = {r.vec_id: np.array(r.projected)
+            for r in random_projection(df, out_dim=16, seed=7).collect()}
+    fold = {r.vec_id: np.array(r.projected)
+            for r in random_projection(df, out_dim=16, seed=7, arrow=False).collect()}
+    assert set(fast) == set(fold) == set(range(40))
+    for i in range(40):
+        # same values up to float64 summation order
+        assert np.allclose(fast[i], fold[i], atol=1e-9), i
+
+    # JL sanity: projected pairwise sq-distances concentrate around the
+    # originals (loose 3x band — 16 dims is a coarse sketch)
+    P = np.stack([fast[i] for i in range(40)])
+    d_orig = ((X[:, None, :].astype(np.float64) - X[None]) ** 2).sum(-1)
+    d_proj = ((P[:, None, :] - P[None]) ** 2).sum(-1)
+    iu = np.triu_indices(40, 1)
+    ratio = d_proj[iu] / d_orig[iu]
+    assert 0.3 < np.median(ratio) < 3.0
+    assert (ratio > 0.05).all() and (ratio < 20.0).all()

@@ -347,3 +347,88 @@ def hash_embed(
     return df.select(id_col, text_col).mapInPandas(
         emb, schema=f"{id_col} long, embedding array<float>"
     )
+
+
+def _jl_signs(out_dim: int, dim: int, seed: int):
+    """(out_dim, dim) Rademacher ±1 sign matrix from the repo's
+    engine-portable md5 scheme: sign[j][i] = +1 iff the first hex digit
+    of md5("seed:j:i") >= 8. Any engine with md5 reproduces it."""
+    import hashlib
+
+    import numpy as np
+
+    S = np.empty((out_dim, dim), dtype=np.float64)
+    for j in range(out_dim):
+        for i in range(dim):
+            h = hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()
+            S[j, i] = 1.0 if int(h[0], 16) >= 8 else -1.0
+    return S
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    arrow: bool = True,
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction: project the
+    embedding column onto ``out_dim`` seeded Rademacher (±1) directions,
+    scaled by 1/sqrt(out_dim) (the Achlioptas sign projection — distance
+    -preserving in expectation, the standard cheap prep before LSH /
+    coarse ANN on very high-dim embeddings).
+
+    Returns (id, projected array<double>). Deterministic in (dims,
+    seed) and engine-portable: the sign matrix derives from md5, so a
+    DuckDB oracle reproduces the values bit-for-bit against the
+    ``arrow=False`` path (whose sequential fold matches SQL list_sum
+    order). The default Arrow path does one NumPy matmul per batch —
+    same values up to float64 summation order — map-only, zero
+    shuffles at any corpus size.
+    """
+    first = df.select(F.size(vec_col).alias("d")).first()
+    dim = int(first["d"])
+    S = _jl_signs(int(out_dim), dim, seed)
+    scale = 1.0 / float(out_dim) ** 0.5
+
+    if arrow:
+        import numpy as np
+
+        spark = df.sparkSession
+        bc = spark.sparkContext.broadcast(S)
+
+        def project(batches):
+            import pandas as pd
+
+            Sv = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                P = (X @ Sv.T) * scale
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col].to_numpy(), "projected": list(P)}
+                )
+
+        return df.select(id_col, vec_col).mapInPandas(
+            project, schema=f"{id_col} long, projected array<double>"
+        )
+
+    # pure-Catalyst fold: sequential, bit-matches SQL list_sum order
+    comps = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(s)) for s in S[j]]),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            * F.lit(scale)
+        )
+        for j in range(int(out_dim))
+    ]
+    return df.select(F.col(id_col), F.array(*comps).alias("projected"))

@@ -2329,6 +2329,39 @@ def q_dup_spans(spark, sf_dir):
 
 
 @declare(
+    "q_random_projection",
+    r"""
+    WITH m AS (
+      SELECT j,
+             [CASE WHEN CAST(('0x' || substring(md5(concat_ws(':', 7, j, i)), 1, 1))
+                        AS BIGINT) >= 8
+                   THEN 1.0 ELSE -1.0 END
+              for i in range(0, 64)] AS signs
+      FROM (SELECT unnest(generate_series(0, 15)) AS j)
+    )
+    SELECT e.vec_id, CAST(m.j AS BIGINT) AS j,
+           list_sum(list_transform(list_zip(e.embedding, m.signs),
+                    x -> CAST(x[1] AS DOUBLE) * x[2])) / sqrt(16.0) AS comp
+    FROM embeddings e CROSS JOIN m
+    """,
+)
+def q_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss sign projection of the embeddings to 16
+    dims — components exploded so the gate hashes exact values; the
+    Catalyst-fold path is used because its sequential sum matches SQL
+    list_sum order bit-for-bit (the Arrow matmul path is the hot-path
+    variant, same values up to float64 summation order)."""
+    from vamana_spark.operators.similarity import random_projection
+
+    proj = random_projection(
+        _emb(spark, sf_dir), out_dim=16, seed=7, arrow=False
+    )
+    return proj.select(
+        "vec_id", F.posexplode("projected").alias("j", "comp")
+    ).select("vec_id", F.col("j").cast("long").alias("j"), "comp")
+
+
+@declare(
     "q_bigram_logprob",
     r"""
     WITH t AS (
@@ -2492,6 +2525,7 @@ _ROTATION_FRONT = [
     "q_broadcast_append", "q_cohort_retention", "q_funnel",
     "q_chunk_embed_search", "q_frequent_tokens", "q_dedup_lines",
     "q_dup_spans", "q_semantic_dedup", "q_cut_spans", "q_bigram_logprob",
+    "q_random_projection",
     # canaries (core surface, cheap, always verified)
     "q_scan_embeddings", "q_knn_exact", "q_dedup_exact",
     # last driver row r03 — now the stale set (tail spills to the r6
