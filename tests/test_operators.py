@@ -1273,3 +1273,26 @@ def test_random_projection_paths_agree_and_preserve_distance(spark):
     ratio = d_proj[iu] / d_orig[iu]
     assert 0.3 < np.median(ratio) < 3.0
     assert (ratio > 0.05).all() and (ratio < 20.0).all()
+
+
+def test_group_centroids_hand_case(spark):
+    from vamana_spark.operators.similarity import group_centroids
+
+    df = spark.createDataFrame(
+        [
+            (0, "a", [1.0, 3.0]),
+            (1, "a", [3.0, 5.0]),
+            (2, "b", [10.0, -2.0]),
+        ],
+        "vec_id long, label string, embedding array<double>",
+    )
+    got = {
+        (r.label, r.i): (r.centroid, r.n_members)
+        for r in group_centroids(df).collect()
+    }
+    assert got == {
+        ("a", 0): (2.0, 2),
+        ("a", 1): (4.0, 2),
+        ("b", 0): (10.0, 1),
+        ("b", 1): (-2.0, 1),
+    }

@@ -432,3 +432,39 @@ def random_projection(
         for j in range(int(out_dim))
     ]
     return df.select(F.col(id_col), F.array(*comps).alias("projected"))
+
+
+def group_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group mean embedding (class prototypes): (label, i, centroid,
+    n_members) with components exploded — the prototype tables that
+    drive nearest-class-mean classification, per-class drift monitoring,
+    and cluster seeding.
+
+    Scale shape: posexplode → groupBy(label, i) avg is the Spark-first
+    element-wise array mean — partial aggregation reduces each map task
+    to (#labels × dim) partial rows regardless of input size, so the
+    shuffle is label-cardinality-bounded, never data-bounded.
+    Components round to ``round_digits`` (engine-exact reproducibility:
+    float sums are order-sensitive; rounding at 1e-6 absorbs it).
+    """
+    ex = df.select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("i", "comp")
+    )
+    return (
+        ex.groupBy(label_col, "i")
+        .agg(
+            F.round(F.avg(F.col("comp").cast("double")), round_digits).alias(
+                "centroid"
+            ),
+            F.count("*").cast("long").alias("n_members"),
+        )
+        .select(
+            F.col(label_col), F.col("i").cast("long").alias("i"),
+            "centroid", "n_members",
+        )
+    )

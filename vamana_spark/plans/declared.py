@@ -2329,6 +2329,26 @@ def q_dup_spans(spark, sf_dir):
 
 
 @declare(
+    "q_group_centroids",
+    r"""
+    SELECT label, CAST(i AS BIGINT) AS i,
+           round(avg(CAST(c AS DOUBLE)), 6) AS centroid,
+           CAST(count(*) AS BIGINT) AS n_members
+    FROM (SELECT label, unnest(embedding) AS c,
+                 generate_subscripts(embedding, 1) - 1 AS i
+          FROM embeddings)
+    GROUP BY label, i
+    """,
+)
+def q_group_centroids(spark, sf_dir):
+    """Per-label mean embedding (class prototypes), components exploded
+    — partial-agg bounded shuffle regardless of input size."""
+    from vamana_spark.operators.similarity import group_centroids
+
+    return group_centroids(_emb(spark, sf_dir))
+
+
+@declare(
     "q_random_projection",
     r"""
     WITH m AS (
@@ -2525,7 +2545,7 @@ _ROTATION_FRONT = [
     "q_broadcast_append", "q_cohort_retention", "q_funnel",
     "q_chunk_embed_search", "q_frequent_tokens", "q_dedup_lines",
     "q_dup_spans", "q_semantic_dedup", "q_cut_spans", "q_bigram_logprob",
-    "q_random_projection",
+    "q_random_projection", "q_group_centroids",
     # canaries (core surface, cheap, always verified)
     "q_scan_embeddings", "q_knn_exact", "q_dedup_exact",
     # last driver row r03 — now the stale set (tail spills to the r6
