@@ -268,3 +268,53 @@ def test_embedding_near_dups_auto_routes_past_size_guard(spark, sf_dir):
         dedup.embedding_near_dups(emb, threshold=0.9, max_exact_rows=10**9)
     )
     assert "BroadcastNestedLoopJoin" in small or "CartesianProduct" in small, small
+
+
+def test_duplicate_spans_no_cross_product_and_hash_keys(spark, sf_dir):
+    """The join-back is an equi-join on the shingle hash; token text
+    never crosses a shuffle; the span merge + aggregate share one
+    doc-keyed exchange (window partitioning satisfies the groupBy's
+    clustering subset)."""
+    df = dedup.duplicate_spans(D._docs(spark, sf_dir))
+    p = plan(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+    # exactly one Sort/Window pipeline exchange keyed by the doc id
+    assert p.count("Window") >= 1, p
+
+
+def test_cut_spans_single_doc_join_no_token_explode_on_output(spark, sf_dir):
+    df = dedup.cut_duplicate_spans(D._docs(spark, sf_dir))
+    p = plan(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+
+
+def test_semantic_dedup_single_data_shuffle(spark, sf_dir):
+    """After the fused assign-carry pass the only full-data exchange is
+    the cluster-keyed one feeding the per-cluster pair scan — no
+    vec_id join-back of the unit vectors."""
+    emb = D._emb(spark, sf_dir)
+    df = dedup.semantic_dedup(emb, threshold=0.9, num_clusters=4, seed=1)
+    p = plan(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p, p
+
+
+def test_bigram_logprob_partial_agg_equijoins(spark, sf_dir):
+    from vamana_spark.operators import text as T
+
+    df = T.bigram_logprob_score(D._docs(spark, sf_dir))
+    p = plan(df)
+    assert "CartesianProduct" not in p, p
+    # corpus count tables join back by equi-keys (bigram / context)
+    assert "BroadcastNestedLoop" not in p or "_vocab" in p, p
+    assert "partial_count" in p or "HashAggregate" in p, p
+
+
+def test_group_centroids_partial_agg(spark, sf_dir):
+    from vamana_spark.operators.similarity import group_centroids
+
+    df = group_centroids(D._emb(spark, sf_dir))
+    p = plan(df)
+    # map-side partials: two HashAggregates around one exchange
+    assert p.count("HashAggregate") >= 2 and "Exchange" in p, p
+    assert "CartesianProduct" not in p, p
