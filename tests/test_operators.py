@@ -1296,3 +1296,21 @@ def test_group_centroids_hand_case(spark):
         ("b", 0): (10.0, 1),
         ("b", 1): (-2.0, 1),
     }
+
+
+def test_nearest_centroid_hand_case(spark):
+    from vamana_spark.operators.similarity import nearest_centroid_classify
+
+    # two tight clusters around (0,0) and (10,10)
+    rows = [
+        (0, 0, [0.0, 0.1]), (1, 0, [0.1, -0.1]),
+        (2, 1, [10.0, 9.9]), (3, 1, [9.9, 10.1]),
+        # mislabeled point sitting in cluster 1's region: nearest-mean
+        # must assign it pred_label 1 regardless of its own label
+        (4, 0, [9.0, 9.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    got = {r.vec_id: r.pred_label for r in nearest_centroid_classify(df).collect()}
+    assert got[0] == 0 and got[1] == 0
+    assert got[2] == 1 and got[3] == 1
+    assert got[4] == 1

@@ -468,3 +468,52 @@ def group_centroids(
             "centroid", "n_members",
         )
     )
+
+
+def nearest_centroid_classify(
+    emb: DataFrame,
+    centroids: Optional[DataFrame] = None,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Nearest-class-mean classification (pseudo-labeling / Rocchio):
+    assign every vector to its closest class prototype.
+
+    ``centroids`` defaults to :func:`group_centroids` over the labeled
+    input itself (self-labeling sanity / drift monitoring); pass a
+    frame with the same (label, i, centroid) schema to classify against
+    prototypes from another corpus.
+
+    Returns (id, pred_label, dist). Scale shape: the prototype table is
+    label-cardinality-sized, so the assignment is exact kNN with k=1
+    against a broadcast-small points side — one pass over the data,
+    no shuffle of the embedding column at all.
+    """
+    cents = centroids if centroids is not None else group_centroids(
+        emb, label_col=label_col, vec_col=vec_col
+    )
+    cvec = (
+        cents.groupBy(label_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("i"), F.col("centroid")))
+            ).alias("_sc")
+        )
+        .select(
+            F.col(label_col).cast("long").alias("vec_id"),
+            F.transform(F.col("_sc"), lambda s: s["centroid"]).alias(
+                "embedding"
+            ),
+        )
+    )
+    q = emb.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    res = exact.exact_knn(cvec, q, k=1, round_digits=round_digits)
+    return res.select(
+        F.col("query_id").alias(id_col),
+        F.col("vec_id").alias("pred_label"),
+        F.col("dist"),
+    )

@@ -2349,6 +2349,40 @@ def q_group_centroids(spark, sf_dir):
 
 
 @declare(
+    "q_nearest_centroid",
+    f"""
+    WITH c AS (
+      SELECT label, i, round(avg(CAST(comp AS DOUBLE)), 6) AS centroid
+      FROM (SELECT label, unnest(embedding) AS comp,
+                   generate_subscripts(embedding, 1) - 1 AS i
+            FROM embeddings)
+      GROUP BY label, i
+    ), cv AS (
+      SELECT CAST(label AS BIGINT) AS pred_label,
+             list(centroid ORDER BY i) AS cvec
+      FROM c GROUP BY label
+    ), d AS (
+      SELECT e.vec_id, cv.pred_label,
+             {{dist}} AS dist
+      FROM embeddings e, cv
+    ), r AS (
+      SELECT vec_id, pred_label, dist,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, pred_label) AS rn
+      FROM d
+    )
+    SELECT vec_id, pred_label, round(dist, 4) AS dist FROM r WHERE rn = 1
+    """.format(dist=_sq_l2_sql("e.embedding", "cv.cvec")),
+)
+def q_nearest_centroid(spark, sf_dir):
+    """Nearest-class-mean assignment (Rocchio / pseudo-labeling):
+    every vector classified against the 10 class prototypes — exact
+    1-NN against a label-cardinality-sized broadcast side."""
+    from vamana_spark.operators.similarity import nearest_centroid_classify
+
+    return nearest_centroid_classify(_emb(spark, sf_dir))
+
+
+@declare(
     "q_random_projection",
     r"""
     WITH m AS (
@@ -2545,7 +2579,7 @@ _ROTATION_FRONT = [
     "q_broadcast_append", "q_cohort_retention", "q_funnel",
     "q_chunk_embed_search", "q_frequent_tokens", "q_dedup_lines",
     "q_dup_spans", "q_semantic_dedup", "q_cut_spans", "q_bigram_logprob",
-    "q_random_projection", "q_group_centroids",
+    "q_random_projection", "q_group_centroids", "q_nearest_centroid",
     # canaries (core surface, cheap, always verified)
     "q_scan_embeddings", "q_knn_exact", "q_dedup_exact",
     # last driver row r03 — now the stale set (tail spills to the r6
