@@ -157,6 +157,15 @@ def cmd_clean(args) -> int:
         cur = cur.drop(args.text_col).join(
             deduped.select(args.id_col, args.text_col), args.id_col
         )
+    if args.ppl_band:
+        lo, hi = (float(x) for x in args.ppl_band.split(":"))
+        scored = text.bigram_logprob_score(
+            cur, text_col=args.text_col, id_col=args.id_col
+        )
+        keep = scored.where(
+            F.col("bigram_ppl").between(lo, hi)
+        ).select(args.id_col)
+        cur = cur.join(keep, args.id_col)
     cur.write.mode("overwrite").parquet(args.output)
     # count the WRITTEN parquet (footer read) instead of re-running the
     # whole uncached pipeline a second time
@@ -164,7 +173,8 @@ def cmd_clean(args) -> int:
         "input_rows": n_in,
         "output_rows": spark.read.parquet(args.output).count(),
         "passes": {"gopher": bool(args.gopher), "c4": bool(args.c4),
-                   "pii": bool(args.pii), "line_dedup": bool(args.line_dedup)},
+                   "pii": bool(args.pii), "line_dedup": bool(args.line_dedup),
+                   "ppl_band": args.ppl_band},
     }))
     return 0
 
@@ -386,6 +396,11 @@ def main(argv=None) -> int:
                     help="replace emails/SSNs/IPs/phones with typed tokens")
     cl.add_argument("--line-dedup", dest="line_dedup", action="store_true",
                     help="corpus-level first-occurrence line dedup")
+    cl.add_argument("--ppl-band", dest="ppl_band", default=None,
+                    metavar="LO:HI",
+                    help="keep docs whose bigram perplexity (corpus-own "
+                         "model) falls in [LO, HI] — drops both the "
+                         "degenerate-repetitive and the gibberish tails")
     cl.set_defaults(fn=cmd_clean)
 
     kn = sub.add_parser("knn")
