@@ -2565,13 +2565,13 @@ def q_semantic_dedup(spark, sf_dir):
 # covered by the local bit-strict parity suite, tests/test_oracle_parity
 # .py, every round).
 #
-# Round-5 window: the 13 never-driver-run queries first (everything
-# added this round, through q_dedup_lines), then the 3 always-on
-# canaries, then the 45 queries whose most recent driver row is r03
-# (the >= 2-rounds-stale set once r04 verified the other window).
-# Entries past slot 50 spill to the r6 window; every declared query
-# stays covered every round by the local bit-strict parity suite,
-# tests/test_oracle_parity.py.
+# Round-5 window: every never-driver-run query first (everything added
+# this round, through q_nearest_centroid), then the 3 always-on
+# canaries, then as many of the 45 queries whose most recent driver
+# row is r03 (the >= 2-rounds-stale set once r04 verified the other
+# window) as fit. Entries past slot 50 spill to the r6 window; every
+# declared query stays covered every round by the local bit-strict
+# parity suite, tests/test_oracle_parity.py.
 _ROTATION_FRONT = [
     # new this round, never driver-run — verify first
     "q_partitioned_pq", "q_pii_scrub", "q_gopher_filter", "q_c4_clean",
