@@ -1314,3 +1314,31 @@ def test_nearest_centroid_hand_case(spark):
     assert got[0] == 0 and got[1] == 0
     assert got[2] == 1 and got[3] == 1
     assert got[4] == 1
+
+
+def test_write_parquet_sized_plain_and_hive(spark, documents, tmp_path):
+    import glob
+
+    from vamana_spark.sources.sinks import write_parquet_sized
+
+    # plain layout: a tiny byte target must split into several files
+    p1 = str(tmp_path / "sized_plain")
+    stats = write_parquet_sized(
+        documents, p1, target_file_mb=0.02, compression_ratio=1.0
+    )
+    files = glob.glob(p1 + "/part-*.parquet")
+    assert stats["n_files"] > 1
+    # round-robin repartition: file count matches the plan exactly
+    assert len(files) == stats["n_files"]
+    back = spark.read.parquet(p1)
+    assert back.count() == stats["rows"] == documents.count()
+
+    # hive layout: one dir per source, skew capped by maxRecordsPerFile
+    p2 = str(tmp_path / "sized_hive")
+    stats2 = write_parquet_sized(
+        documents, p2, target_file_mb=64, partition_by=("source",)
+    )
+    dirs = glob.glob(p2 + "/source=*")
+    n_sources = documents.select("source").distinct().count()
+    assert len(dirs) == n_sources
+    assert spark.read.parquet(p2).count() == stats2["rows"]
