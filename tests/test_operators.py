@@ -1342,3 +1342,16 @@ def test_write_parquet_sized_plain_and_hive(spark, documents, tmp_path):
     n_sources = documents.select("source").distinct().count()
     assert len(dirs) == n_sources
     assert spark.read.parquet(p2).count() == stats2["rows"]
+
+
+def test_centroid_outliers_flags_planted_outlier(spark):
+    from vamana_spark.operators.similarity import centroid_outliers
+
+    # 20 points near the origin + one far outlier, single group
+    rows = [(i, [0.01 * i, -0.01 * i]) for i in range(20)]
+    rows.append((99, [50.0, 50.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r for r in centroid_outliers(df, label_col=None).collect()}
+    assert got[99].outlier and got[99].z > 3.0
+    assert sum(1 for r in got.values() if r.outlier) == 1
+    assert "label" not in got[99].__fields__ and "_g" not in got[99].__fields__

@@ -517,3 +517,69 @@ def nearest_centroid_classify(
         F.col("vec_id").alias("pred_label"),
         F.col("dist"),
     )
+
+
+def centroid_outliers(
+    emb: DataFrame,
+    label_col: Optional[str] = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Embedding-space outlier scoring: each vector's L2 distance to its
+    group centroid (global centroid when ``label_col`` is None),
+    z-scored within the group — the embedding-quality pass that drops
+    mis-embedded rows (truncated inputs, wrong-modality content,
+    encoder failures) before they poison dedup thresholds and ANN
+    training sets.
+
+    Returns (id, label?, dist, z, outlier) — ``outlier`` is
+    z > ``z_threshold``. Scale shape: centroids come from the partial-
+    agg-bounded ``group_centroids``; the mean/std of the distances is a
+    second grouped agg over one scalar per row; both join back by the
+    group key (broadcast-small). The embedding column itself never
+    shuffles.
+    """
+    from vamana_spark.functions.vector import pairwise_distance
+
+    gcol = label_col
+    src = emb
+    if gcol is None:
+        gcol = "_g"
+        src = emb.withColumn("_g", F.lit(0))
+    cents = group_centroids(src, label_col=gcol, vec_col=vec_col)
+    cvec = (
+        cents.groupBy(gcol)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("i"), F.col("centroid")))
+            ).alias("_sc")
+        )
+        .select(
+            F.col(gcol),
+            F.transform(F.col("_sc"), lambda s: s["centroid"]).alias("_cv"),
+        )
+    )
+    d = src.join(F.broadcast(cvec), gcol).select(
+        F.col(id_col),
+        F.col(gcol),
+        F.sqrt(pairwise_distance(vec_col, "_cv", "l2sq")).alias("dist"),
+    )
+    stats = d.groupBy(gcol).agg(
+        F.avg("dist").alias("_mu"),
+        F.coalesce(F.stddev_samp("dist"), F.lit(0.0)).alias("_sd"),
+    )
+    z = F.when(
+        F.col("_sd") > 0, (F.col("dist") - F.col("_mu")) / F.col("_sd")
+    ).otherwise(F.lit(0.0))
+    out = (
+        d.join(F.broadcast(stats), gcol)
+        .select(
+            F.col(id_col),
+            F.col(gcol),
+            F.round("dist", 4).alias("dist"),
+            F.round(z, 4).alias("z"),
+            (z > F.lit(float(z_threshold))).alias("outlier"),
+        )
+    )
+    return out.drop("_g") if label_col is None else out

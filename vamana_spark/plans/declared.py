@@ -2383,6 +2383,42 @@ def q_nearest_centroid(spark, sf_dir):
 
 
 @declare(
+    "q_centroid_outliers",
+    f"""
+    WITH c AS (
+      SELECT label, i, round(avg(CAST(comp AS DOUBLE)), 6) AS centroid
+      FROM (SELECT label, unnest(embedding) AS comp,
+                   generate_subscripts(embedding, 1) - 1 AS i
+            FROM embeddings)
+      GROUP BY label, i
+    ), cv AS (
+      SELECT label, list(centroid ORDER BY i) AS cvec FROM c GROUP BY label
+    ), d AS (
+      SELECT e.vec_id, e.label,
+             sqrt({{dist}}) AS dist
+      FROM embeddings e JOIN cv USING (label)
+    ), s AS (
+      SELECT label, avg(dist) AS mu,
+             coalesce(stddev_samp(dist), 0.0) AS sd
+      FROM d GROUP BY label
+    )
+    SELECT d.vec_id, d.label, round(d.dist, 4) AS dist,
+           round(CASE WHEN sd > 0 THEN (d.dist - mu) / sd ELSE 0.0 END, 4) AS z,
+           CASE WHEN sd > 0 AND (d.dist - mu) / sd > 3.0
+                THEN true ELSE false END AS outlier
+    FROM d JOIN s USING (label)
+    """.format(dist=_sq_l2_sql("e.embedding", "cv.cvec")),
+)
+def q_centroid_outliers(spark, sf_dir):
+    """Embedding-quality pass: per-label distance-to-centroid z-score,
+    outliers flagged past 3 sigma — drops mis-embedded rows before they
+    poison dedup thresholds and ANN training sets."""
+    from vamana_spark.operators.similarity import centroid_outliers
+
+    return centroid_outliers(_emb(spark, sf_dir))
+
+
+@declare(
     "q_random_projection",
     r"""
     WITH m AS (
@@ -2580,6 +2616,7 @@ _ROTATION_FRONT = [
     "q_chunk_embed_search", "q_frequent_tokens", "q_dedup_lines",
     "q_dup_spans", "q_semantic_dedup", "q_cut_spans", "q_bigram_logprob",
     "q_random_projection", "q_group_centroids", "q_nearest_centroid",
+    "q_centroid_outliers",
     # canaries (core surface, cheap, always verified)
     "q_scan_embeddings", "q_knn_exact", "q_dedup_exact",
     # last driver row r03 — now the stale set (tail spills to the r6
