@@ -1355,3 +1355,76 @@ def test_centroid_outliers_flags_planted_outlier(spark):
     assert got[99].outlier and got[99].z > 3.0
     assert sum(1 for r in got.values() if r.outlier) == 1
     assert "label" not in got[99].__fields__ and "_g" not in got[99].__fields__
+
+
+def test_cut_spans_matches_bruteforce_property(spark):
+    """Random small-vocab corpora: the cut rebuild must equal tokens
+    minus the positions covered by the brute-force span reference."""
+    import numpy as np
+
+    from vamana_spark.operators import dedup
+
+    def ref_cut(docs, k, min_docs):
+        from collections import defaultdict
+
+        occ = defaultdict(set)
+        toks = {d: t.lower().split() for d, t in docs}
+        for d, t in toks.items():
+            for i in range(len(t) - k + 1):
+                occ[tuple(t[i : i + k])].add(d)
+        dup = {s for s, ds in occ.items() if len(ds) >= min_docs}
+        out = {}
+        for d, t in toks.items():
+            covered = set()
+            starts = [
+                i + 1
+                for i in range(len(t) - k + 1)
+                if tuple(t[i : i + k]) in dup
+            ]
+            for p in starts:
+                covered.update(range(p, p + k))
+            kept = [w for j, w in enumerate(t, start=1) if j not in covered]
+            out[d] = (len(t), len(kept), " ".join(kept))
+        return out
+
+    rng = np.random.default_rng(321)
+    vocab = [f"w{i}" for i in range(6)]
+    for trial in range(2):
+        docs = [
+            (d, " ".join(rng.choice(vocab, size=rng.integers(1, 25))))
+            for d in range(8)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_tokens, r.n_kept_tokens, r.text)
+            for r in dedup.cut_duplicate_spans(df, k=3, min_docs=2).collect()
+        }
+        assert got == ref_cut(docs, 3, 2), f"trial {trial}"
+
+
+def test_semantic_dedup_centroid_far_policy(spark):
+    import numpy as np
+
+    from vamana_spark.operators import dedup
+
+    # one cluster: a tight near-dup pair where the HIGHER id sits
+    # farther from the cluster centroid, plus anchor points that pull
+    # the centroid away. centroid_far must keep the far (higher-id)
+    # copy; min_id must keep the lower id.
+    a = np.array([1.0, 0.02])   # near-dup pair, id 10 (closer to centroid)
+    b = np.array([1.0, -0.02])  # id 11 (farther: anchors sit at +y)
+    anchors = [np.array([0.6, 0.8]), np.array([0.7, 0.7])]  # ids 0,1
+    rows = [(0, anchors[0].tolist()), (1, anchors[1].tolist()),
+            (10, a.tolist()), (11, b.tolist())]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    thr = 0.999  # only the (a, b) pair clears it
+
+    far = {r.vec_id: r for r in dedup.semantic_dedup(
+        df, threshold=thr, num_clusters=1, seed=1, keep_policy="centroid_far"
+    ).collect()}
+    assert far[11].keep and not far[10].keep and far[10].dup_of == 11
+
+    minid = {r.vec_id: r for r in dedup.semantic_dedup(
+        df, threshold=thr, num_clusters=1, seed=1
+    ).collect()}
+    assert minid[10].keep and not minid[11].keep and minid[11].dup_of == 10

@@ -985,6 +985,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     seed: int = 42,
     block_rows: int = 2048,
+    keep_policy: str = "min_id",
 ) -> DataFrame:
     """Semantic dedup (the SemDeDup recipe, Abbas et al. 2023):
     k-means-cluster the UNIT-normalized embedding space, then mark a
@@ -1000,10 +1001,13 @@ def semantic_dedup(
                 threshold (smallest id on ties); null when kept
       max_sim : cosine similarity to dup_of; null when kept
 
-    Keep policy is deterministic min-id-wins (greedy: a dropped row's
-    ``dup_of`` may itself be dropped further down a similarity chain —
-    the standard greedy semantics). SemDeDup's centroid-distance keep
-    policy slots in by changing the within-cluster ordering only.
+    ``keep_policy``: "min_id" (default — deterministic, id-stable
+    across runs) or "centroid_far" (the paper's policy: within a
+    duplicate group the example farthest from the cluster centroid
+    survives, keeping the diverse tail of each semantic neighborhood).
+    Both are the same greedy scan under different keep-priority
+    orderings, and both inherit the greedy-chain semantics: a dropped
+    row's ``dup_of`` may itself be dropped further down a chain.
 
     Normalization happens INSIDE the operator (zero vectors become
     their own singletons: trivially kept), so clustering runs on the
@@ -1066,19 +1070,34 @@ def semantic_dedup(
     thr = float(threshold)
     blk = int(block_rows)
 
+    policy = str(keep_policy)
+    if policy not in ("min_id", "centroid_far"):
+        raise ValueError(f"keep_policy must be min_id|centroid_far, got {policy!r}")
+
     def dedup_cluster(key, pdf: pd.DataFrame) -> pd.DataFrame:
         cid = int(key[0])
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         X = np.stack(pdf["_u"].to_numpy())
         n = len(ids)
+        if policy == "centroid_far":
+            # SemDeDup's published keep policy: within a duplicate
+            # group the example FARTHEST from the cluster centroid
+            # survives. Implemented as the keep-priority ORDER of the
+            # same greedy scan: score rows far-to-near (ties: smaller
+            # id first), so earlier == higher keep priority.
+            c = X.mean(axis=0)
+            d2 = ((X - c) ** 2).sum(axis=1)
+            order = np.lexsort((ids, -d2))
+            ids, X = ids[order], X[order]
         dup_of = np.full(n, -1, dtype=np.int64)
         max_sim = np.full(n, np.nan)
         for lo in range(1, n, blk):
             hi = min(lo + blk, n)
             sims = X[lo:hi] @ X.T  # (strip, n)
-            # only lower-id columns count; argmax's first-index tie
-            # break = smallest id because rows are id-sorted
+            # only higher-priority (earlier) columns count; argmax's
+            # first-index tie break = highest keep priority (min id in
+            # the default ordering, since rows are id-sorted)
             for g in range(lo, hi):
                 row = sims[g - lo, :g]
                 j = int(np.argmax(row))
