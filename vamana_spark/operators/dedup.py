@@ -678,13 +678,26 @@ def simhash_near_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    bands: int = 4,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
-    Blocking: 4 bands of 16 bits — any pair within Hamming 3 of a 64-bit
-    signature must agree on at least one band (pigeonhole). Candidates
-    from band equi-joins, then exact popcount verification.
+    Blocking: ``bands`` equal-width bands of the 64-bit signature — any
+    pair within Hamming ``bands - 1`` must agree on at least one band
+    (pigeonhole), so ``max_hamming`` above that silently loses recall
+    (asserted). Candidates from band equi-joins, then exact popcount
+    verification. More bands widen the guaranteed radius but shrink the
+    band value space (8 bands → 8-bit values), so buckets grow — the
+    ``_banded_pairs_capped`` star-guard bounds the damage, but wide-radius
+    scans belong at modest corpus sizes; MinHash-LSH is the scale path.
     """
+    assert 64 % bands == 0, f"bands {bands} must divide 64"
+    assert max_hamming <= bands - 1, (
+        f"banding with {bands} bands only guarantees candidates up to "
+        f"hamming {bands - 1}; got max_hamming={max_hamming}"
+    )
+    width = 64 // bands
+    mask = (1 << width) - 1
     sigs = simhash_signatures(df, text_col, id_col)
     banded = sigs.select(
         F.col(id_col),
@@ -692,10 +705,10 @@ def simhash_near_dups(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), b * 16)
-                    .bitwiseAND(F.lit(0xFFFF))
-                    .cast("int")
-                    for b in range(4)
+                    F.shiftright(F.col("simhash"), b * width)
+                    .bitwiseAND(F.lit(mask))
+                    .cast("long")
+                    for b in range(bands)
                 ]
             )
         ).alias("band_id", "band_val"),
@@ -716,6 +729,48 @@ def simhash_near_dups(
     return cand.select(
         "a_id", "b_id", ham.cast("int").alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
+
+
+def simhash_verified_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 7,
+    bands: int = 8,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """SimHash-blocked pairs re-verified with exact word n-gram Jaccard:
+    (a_id, b_id, hamming, jaccard) for candidates with Hamming <=
+    ``max_hamming`` AND Jaccard >= ``threshold``.
+
+    This is the oracle-able projection of the SimHash pass (VERDICT r5
+    #9): the signature/hamming values are engine-internal (xxhash64),
+    but the surviving PAIRS and their exact Jaccard are reproducible by
+    any engine that can enumerate pairs — provided the blocking has
+    full recall at the operating point (defaults guarantee candidates
+    to Hamming 7; near-dups at Jaccard >= 0.5 sit well inside that on
+    token-weighted SimHash).
+    """
+    cand = simhash_near_dups(
+        df, text_col, id_col, max_hamming=max_hamming, bands=bands
+    )
+    sh = shingle_sets(df, text_col, id_col, shingle_n)
+    av = sh.select(F.col(id_col).alias("a_id"), F.col("_sh").alias("a_sh"))
+    bv = sh.select(F.col(id_col).alias("b_id"), F.col("_sh").alias("b_sh"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
+    union = F.size(F.array_union("a_sh", "b_sh")).cast("double")
+    return (
+        cand.join(av, "a_id")
+        .join(bv, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "hamming",
+            F.round(inter / F.greatest(union, F.lit(1.0)), 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
 
 
 # ------------------------------------------------- embedding cosine near-dup

@@ -428,21 +428,54 @@ def q_lsh_join(spark, sf_dir):
     ).orderBy("a_id", "b_id")
 
 
-@declare("q_minhash_pairs")
+# Full-corpus exact word-3gram Jaccard pairs at >= 0.5 — ground truth
+# for BOTH sketch-blocked near-dup passes below. The sketches/signatures
+# are engine-internal, but their VERIFIED pair sets are plain set
+# algebra any engine reproduces (VERDICT r5 #9); blocking recall at the
+# operating point is what makes verified == truth (LSH: all true pairs
+# in sf data sit at J >= 0.9, band-collision certainty ~1; SimHash:
+# 8x8-bit banding guarantees candidates to Hamming 7, measured true-pair
+# max is 5).
+_JACCARD_PAIRS_SQL = """
+    WITH s AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+               ELSE [array_to_string(toks, ' ')] END) AS sh
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+        FROM documents
+      )
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           round(len(list_intersect(a.sh, b.sh))
+                 / CAST(greatest(len(list_distinct(a.sh || b.sh)), 1) AS DOUBLE), 4) AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))
+          / CAST(greatest(len(list_distinct(a.sh || b.sh)), 1) AS DOUBLE) >= 0.5
+"""
+
+
+@declare("q_minhash_pairs", _JACCARD_PAIRS_SQL)
 def q_minhash_pairs(spark, sf_dir):
-    """X2 MinHash-LSH near-dup pairs (xxhash64 signatures are
-    Spark-specific → rows-only; exact-Jaccard variant is the oracle)."""
+    """X2 MinHash-LSH near-dup pairs, emitted as the exact-verified
+    projection (a_id, b_id, jaccard >= 0.5) — hash-matched against the
+    full-pairs DuckDB oracle; the banded signatures stay internal."""
     return dedup.minhash_near_dups(
         _docs(spark, sf_dir), threshold=0.5
     ).orderBy("a_id", "b_id")
 
 
-@declare("q_simhash_near_dups")
+@declare("q_simhash_near_dups", _JACCARD_PAIRS_SQL)
 def q_simhash_near_dups(spark, sf_dir):
-    """X2 SimHash near-dup pairs (xxhash64-based → rows-only)."""
-    return dedup.simhash_near_dups(_docs(spark, sf_dir), max_hamming=3).orderBy(
-        "a_id", "b_id"
-    )
+    """X2 SimHash near-dup pairs, emitted as the exact-verified
+    projection (candidates blocked by 8x8-bit bands, guaranteed to
+    Hamming 7; exact Jaccard >= 0.5 on candidates) — hash-matched
+    against the same full-pairs oracle as the MinHash pass."""
+    return dedup.simhash_verified_near_dups(
+        _docs(spark, sf_dir), max_hamming=7, bands=8, threshold=0.5
+    ).select("a_id", "b_id", "jaccard").orderBy("a_id", "b_id")
 
 
 # ======================================================================
@@ -471,15 +504,37 @@ def q_dedup_exact(spark, sf_dir):
 @declare(
     "q_dup_groups",
     """
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+    )
     SELECT min(doc_id) AS canonical_id, CAST(count(*) AS BIGINT) AS n_members
-    FROM documents GROUP BY text HAVING count(*) > 1
+    FROM aug GROUP BY text HAVING count(*) > 1
     """,
 )
 def q_dup_groups(spark, sf_dir):
-    """X1: exact-duplicate clusters (raw text identity)."""
-    return dedup.duplicate_groups(_docs(spark, sf_dir)).select(
-        "canonical_id", "n_members"
+    """X1: exact-duplicate clusters (raw text identity).
+
+    sf0.01 documents contain no natural exact-duplicate groups (the r05
+    driver row was a vacuous 0-rows-vs-0-rows), so the query plants
+    deterministic copies in-query — every 10th doc gains one verbatim
+    copy, every 50th a second — exercising both pair groups and a
+    3-member group against the oracle (the q_gopher_filter augmentation
+    pattern)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    aug = d.unionByName(
+        d.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    ).unionByName(
+        d.where(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        )
     )
+    return dedup.duplicate_groups(aug).select("canonical_id", "n_members")
 
 
 _TOKS = _TOKS_SQL.format(t="text")
