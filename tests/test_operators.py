@@ -1428,3 +1428,123 @@ def test_semantic_dedup_centroid_far_policy(spark):
         df, threshold=thr, num_clusters=1, seed=1
     ).collect()}
     assert minid[10].keep and not minid[11].keep and minid[11].dup_of == 10
+
+
+# ------------------------------- r6: persist hygiene / quadratic guards
+
+def test_minhash_repeated_runs_no_persist_leak(spark, documents):
+    """minhash_near_dups materializes intermediates via localCheckpoint
+    (GC-owned blocks), never persist() (CacheManager-pinned): repeated
+    invocations in one session must not accumulate storage (VERDICT r5
+    #5 / r4 ADVICE). GC + ContextCleaner are async, so poll."""
+    import gc
+    import time
+
+    def n_persistent():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    def settle(limit, timeout=30.0):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            if n_persistent() <= limit:
+                return True
+            time.sleep(0.5)
+        return False
+
+    dedup.minhash_near_dups(documents, threshold=0.5).count()
+    settle(0)
+    base = n_persistent()
+    dedup.minhash_near_dups(documents, threshold=0.5).count()
+    dedup.simhash_near_dups(documents, max_hamming=3).count()
+    assert settle(base), (
+        f"persistent RDD blocks grew and never settled: "
+        f"{n_persistent()} > baseline {base}"
+    )
+
+
+def test_ngram_jaccard_auto_tier_no_cartesian(spark, documents):
+    """Above max_exact_rows with no block_col, ngram_jaccard_join must
+    route to MinHash-LSH candidates (equi-join) — no cartesian product
+    in the plan (VERDICT r5 #4, the embedding_near_dups auto-tier)."""
+    routed = dedup.ngram_jaccard_join(
+        documents, n=3, threshold=0.5, max_exact_rows=10
+    )
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # and it still finds the corpus's true high-jaccard pairs
+    exact = {
+        (r.a_id, r.b_id)
+        for r in dedup.ngram_jaccard_join(
+            documents, n=3, threshold=0.9, max_exact_rows=10**9
+        ).collect()
+    }
+    got = {(r.a_id, r.b_id) for r in routed.where(F.col("jaccard") >= 0.9).collect()}
+    assert got == exact
+
+
+def test_split_oversized_labels_bounds():
+    """The semantic_dedup giant-cluster splitter: k-means children for
+    separable data, id-order chunk enforcement for the degenerate
+    identical cluster — every child <= cap, unconditionally."""
+    rng = np.random.default_rng(7)
+    cap = 120
+    # 4 well-separated blobs of 100 -> k-means splits on blob boundaries
+    centers = np.array([[10, 0], [-10, 0], [0, 10], [0, -10]], dtype=float)
+    X = np.concatenate([c + 0.1 * rng.normal(size=(100, 2)) for c in centers])
+    ids = np.arange(len(X))
+    lab = dedup._split_oversized_labels(X, ids, cap)
+    sizes = np.bincount(lab)
+    assert sizes.max() <= cap
+    for b in range(4):  # each blob lands in exactly one child
+        assert len(set(lab[b * 100 : (b + 1) * 100])) == 1
+    # degenerate: 1000 identical vectors — Lloyd can't separate, the
+    # chunk fallback must still enforce the cap
+    Xi = np.ones((1000, 4))
+    labi = dedup._split_oversized_labels(Xi, np.arange(1000), cap)
+    assert np.bincount(labi).max() <= cap
+    # at-or-under cap: no split at all
+    assert set(dedup._split_oversized_labels(Xi[:cap], np.arange(cap), cap)) == {0}
+
+
+def test_semantic_dedup_giant_cluster_capped(spark):
+    """Adversarial one-cluster corpus (VERDICT r5 #3): every point lands
+    in a single k-means cluster; max_cluster_rows must bound the scan
+    tasks while exact planted duplicates are still dropped (identical
+    vectors co-locate under the k-means split)."""
+    rng = np.random.default_rng(42)
+    blob_centers = np.array([[5, 0, 0], [-5, 0, 0], [0, 5, 0], [0, 0, 5]], dtype=float)
+    rows = []
+    vid = 0
+    planted = []
+    for c in blob_centers:
+        for _ in range(150):
+            v = c + 0.05 * rng.normal(size=3)
+            rows.append((vid, v.tolist()))
+            if vid % 10 == 0:  # plant an exact copy with a higher id
+                rows.append((100_000 + vid, v.tolist()))
+                planted.append(100_000 + vid)
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: r
+        for r in dedup.semantic_dedup(
+            df, threshold=0.99, num_clusters=1, seed=3, max_cluster_rows=200
+        ).collect()
+    }
+    assert len(out) == len(rows)
+    dropped = [p for p in planted if not out[p].keep]
+    assert dropped == planted, (
+        f"{len(planted) - len(dropped)} planted exact copies survived the "
+        f"capped scan"
+    )
+
+
+def test_semantic_dedup_rejects_non_integral_ids(spark):
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])], "vec_id string, embedding array<double>"
+    )
+    with pytest.raises(TypeError, match="integral id column"):
+        dedup.semantic_dedup(df, id_col="vec_id")

