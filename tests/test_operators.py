@@ -1316,6 +1316,24 @@ def test_nearest_centroid_hand_case(spark):
     assert got[4] == 1
 
 
+def test_nearest_centroid_string_labels(spark):
+    """r5 ADVICE (medium): string labels must classify correctly, not
+    silently null out through a long cast — pred_label keeps the label
+    type via the surrogate-id join."""
+    from vamana_spark.operators.similarity import nearest_centroid_classify
+
+    rows = [
+        (0, "near", [0.0, 0.1]), (1, "near", [0.1, -0.1]),
+        (2, "far", [10.0, 9.9]), (3, "far", [9.9, 10.1]),
+        (4, "near", [9.0, 9.0]),  # mislabeled, sits in 'far' territory
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    out = nearest_centroid_classify(df)
+    assert dict(out.dtypes)["pred_label"] == "string"
+    got = {r.vec_id: r.pred_label for r in out.collect()}
+    assert got == {0: "near", 1: "near", 2: "far", 3: "far", 4: "far"}
+
+
 def test_write_parquet_sized_plain_and_hive(spark, documents, tmp_path):
     import glob
 
@@ -1342,6 +1360,9 @@ def test_write_parquet_sized_plain_and_hive(spark, documents, tmp_path):
     n_sources = documents.select("source").distinct().count()
     assert len(dirs) == n_sources
     assert spark.read.parquet(p2).count() == stats2["rows"]
+    # n_files reports ACTUAL files written, hive layout included (r5
+    # ADVICE: the old plan-formula figure was wrong under partitionBy)
+    assert stats2["n_files"] == len(glob.glob(p2 + "/source=*/part-*.parquet"))
 
 
 def test_centroid_outliers_flags_planted_outlier(spark):

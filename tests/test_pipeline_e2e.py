@@ -51,3 +51,27 @@ def test_media_to_ann_pipeline(spark, documents):
     top1 = [r for r in res if r.rank == 1]
     assert len(top1) == 10
     assert all(r.vec_id == r.query_id and r.dist == 0.0 for r in top1)
+
+
+def test_cli_clean_ppl_band_keeps_short_docs(spark, tmp_path, capsys):
+    """r5 ADVICE: --ppl-band must not silently drop docs with <2 tokens
+    (they carry no bigram score); they pass through unfiltered."""
+    import json
+
+    from vamana_spark.__main__ import main
+
+    src = str(tmp_path / "ppl_in")
+    dst = str(tmp_path / "ppl_out")
+    rows = [
+        (1, "word"),                               # 1 token: unscorable
+        (2, "a normal document with several plain words in it"),
+        (3, "a normal document with several plain words in it too"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    rc = main(["clean", "--input", src, "--output", dst,
+               "--ppl-band", "0:1e18"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["output_rows"] == 3  # the 1-token doc survived
+    kept = {r.doc_id for r in spark.read.parquet(dst).collect()}
+    assert 1 in kept

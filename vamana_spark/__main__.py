@@ -161,11 +161,18 @@ def cmd_clean(args) -> int:
         lo, hi = (float(x) for x in args.ppl_band.split(":"))
         scored = text.bigram_logprob_score(
             cur, text_col=args.text_col, id_col=args.id_col
+        ).select(args.id_col, "bigram_ppl")
+        # LEFT join: docs with <2 tokens get no bigram score and pass
+        # through unfiltered (r5 ADVICE — an inner join silently dropped
+        # them regardless of the band); shorter gates belong to --gopher
+        cur = (
+            cur.join(scored, args.id_col, "left")
+            .where(
+                F.col("bigram_ppl").isNull()
+                | F.col("bigram_ppl").between(lo, hi)
+            )
+            .drop("bigram_ppl")
         )
-        keep = scored.where(
-            F.col("bigram_ppl").between(lo, hi)
-        ).select(args.id_col)
-        cur = cur.join(keep, args.id_col)
     cur.write.mode("overwrite").parquet(args.output)
     # count the WRITTEN parquet (footer read) instead of re-running the
     # whole uncached pipeline a second time
@@ -400,7 +407,9 @@ def main(argv=None) -> int:
                     metavar="LO:HI",
                     help="keep docs whose bigram perplexity (corpus-own "
                          "model) falls in [LO, HI] — drops both the "
-                         "degenerate-repetitive and the gibberish tails")
+                         "degenerate-repetitive and the gibberish tails; "
+                         "docs with <2 tokens have no bigram score and "
+                         "pass through unfiltered")
     cl.set_defaults(fn=cmd_clean)
 
     kn = sub.add_parser("knn")

@@ -944,15 +944,23 @@ def brute_topk_batch(
         q2 = np.einsum("ij,ij->i", Qc, Qc, dtype=np.float64)
         d = q2[:, None] + p2[None, :] - 2.0 * (Qc @ Pf.T).astype(np.float64)
         np.maximum(d, 0.0, out=d)
-        if k < n:
-            sel = np.argpartition(d, k - 1, axis=1)[:, :k]
+        # select k + a small margin: the norm-expansion distances carry
+        # ~1e-6 cancellation residue, so when the true k-th and (k+1)-th
+        # neighbors sit closer than that the float32 selection can admit
+        # the wrong one (r5 ADVICE). The margin rows are re-ranked on
+        # EXACT recomputed distances below and the cut to k happens
+        # after — a boundary flip now needs the true gap to beat the
+        # residue across 8 extra candidates, not one.
+        margin = min(k + 8, n)
+        if margin < n:
+            sel = np.argpartition(d, margin - 1, axis=1)[:, :margin]
         else:
             sel = np.broadcast_to(np.arange(n), (d.shape[0], n)).copy()
         # the norm-expansion form selects fast but carries cancellation
         # residue (a self-match reports ~1e-6, not 0.0, where the beam
         # kernel's difference form reports an exact 0) — recompute the
-        # k selected distances difference-form (nq·k·dim, cheap) so the
-        # emitted values match the graph path's semantics bit-for-bit
+        # selected distances difference-form (nq·margin·dim, cheap) so
+        # the emitted values match the graph path's semantics bit-for-bit
         # on exact hits, then re-rank on the recomputed values
         diff = Qc[:, None, :].astype(np.float64) - Pf[sel].astype(np.float64)
         dsel = np.einsum("bkd,bkd->bk", diff, diff)
@@ -962,8 +970,8 @@ def brute_topk_batch(
         sel = np.take_along_axis(sel, o1, axis=1)
         dsel = np.take_along_axis(dsel, o1, axis=1)
         o2 = np.argsort(dsel, axis=1, kind="stable")
-        sel = np.take_along_axis(sel, o2, axis=1)
-        dsel = np.take_along_axis(dsel, o2, axis=1)
+        sel = np.take_along_axis(sel, o2, axis=1)[:, :k]
+        dsel = np.take_along_axis(dsel, o2, axis=1)[:, :k]
         b = sel.shape[0]
         rows_out.append(np.repeat(np.arange(lo, lo + b, dtype=np.int64), k))
         ids_out.append(sel.ravel().astype(np.int64))

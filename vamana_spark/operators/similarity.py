@@ -486,10 +486,19 @@ def nearest_centroid_classify(
     frame with the same (label, i, centroid) schema to classify against
     prototypes from another corpus.
 
-    Returns (id, pred_label, dist). Scale shape: the prototype table is
-    label-cardinality-sized, so the assignment is exact kNN with k=1
-    against a broadcast-small points side — one pass over the data,
-    no shuffle of the embedding column at all.
+    Returns (id, pred_label, dist) — ``pred_label`` keeps the label
+    column's own type (string labels stay strings: the prototypes get
+    surrogate dense ids for the kNN contract and the winning surrogate
+    joins back to its label, so no label is ever cast — r5 ADVICE: the
+    old ``cast('long')`` nulled every string label silently). Distance
+    ties break by label sort order (ascending), deterministic for any
+    orderable label type.
+
+    Scale shape: the prototype table is label-cardinality-sized, so the
+    assignment is exact kNN with k=1 against a broadcast-small points
+    side — one pass over the data, no shuffle of the embedding column
+    at all; the surrogate window runs on the label-cardinality table
+    only.
     """
     cents = centroids if centroids is not None else group_centroids(
         emb, label_col=label_col, vec_col=vec_col
@@ -502,19 +511,25 @@ def nearest_centroid_classify(
             ).alias("_sc")
         )
         .select(
-            F.col(label_col).cast("long").alias("vec_id"),
+            F.col(label_col),
             F.transform(F.col("_sc"), lambda s: s["centroid"]).alias(
                 "embedding"
             ),
+        )
+        .withColumn(
+            "vec_id",
+            F.row_number().over(Window.orderBy(F.col(label_col))).cast("long"),
         )
     )
     q = emb.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )
-    res = exact.exact_knn(cvec, q, k=1, round_digits=round_digits)
-    return res.select(
+    res = exact.exact_knn(cvec.select("vec_id", "embedding"), q, k=1,
+                          round_digits=round_digits)
+    lab = cvec.select("vec_id", F.col(label_col).alias("pred_label"))
+    return res.join(F.broadcast(lab), "vec_id").select(
         F.col("query_id").alias(id_col),
-        F.col("vec_id").alias("pred_label"),
+        F.col("pred_label"),
         F.col("dist"),
     )
 

@@ -2431,10 +2431,14 @@ def q_group_centroids(spark, sf_dir):
 def q_nearest_centroid(spark, sf_dir):
     """Nearest-class-mean assignment (Rocchio / pseudo-labeling):
     every vector classified against the 10 class prototypes — exact
-    1-NN against a label-cardinality-sized broadcast side."""
+    1-NN against a label-cardinality-sized broadcast side. pred_label
+    keeps the label's own type (int here → cast long for the oracle's
+    BIGINT projection)."""
     from vamana_spark.operators.similarity import nearest_centroid_classify
 
-    return nearest_centroid_classify(_emb(spark, sf_dir))
+    return nearest_centroid_classify(_emb(spark, sf_dir)).withColumn(
+        "pred_label", F.col("pred_label").cast("long")
+    )
 
 
 @declare(

@@ -42,6 +42,21 @@ def estimate_row_bytes(
     return max(raw / float(compression_ratio), 1.0)
 
 
+def _count_part_files(spark, path: str) -> int:
+    """Actual data files written under ``path`` (recursive, Hadoop FS —
+    works for local paths and object stores alike)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(p, True)
+    n = 0
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if name.startswith("part-"):
+            n += 1
+    return n
+
+
 def write_parquet_sized(
     df: DataFrame,
     path: str,
@@ -50,6 +65,7 @@ def write_parquet_sized(
     mode: str = "overwrite",
     sample_rows: int = 10_000,
     compression_ratio: float = 3.0,
+    materialize: bool = True,
 ) -> dict:
     """Write ``df`` as parquet with files sized near ``target_file_mb``.
 
@@ -61,8 +77,21 @@ def write_parquet_sized(
     guard — a task that received a whale partition still emits
     size-bounded files).
 
-    Returns {rows, est_row_bytes, n_files, rows_per_file}.
+    ``materialize`` (default on): ``localCheckpoint`` the input first,
+    so the row-count probe and the write share ONE computation of the
+    lineage instead of running it twice (r5 ADVICE — the compaction
+    target is exactly the expensive-lineage case). Costs one
+    executor-local copy of the data; pass ``materialize=False`` for
+    inputs that are already cheap rescans (a plain parquet read).
+
+    Returns {rows, est_row_bytes, n_files, rows_per_file} — ``n_files``
+    counts the part-files actually written (both layouts), not the
+    planned figure (r5 ADVICE: the plan formula was wrong for the hive
+    layout).
     """
+    spark = df.sparkSession
+    if materialize:
+        df = df.localCheckpoint()
     rows = df.count()
     est = estimate_row_bytes(df, sample_rows, compression_ratio)
     target_bytes = max(float(target_file_mb) * (1 << 20), 1.0)
@@ -86,6 +115,6 @@ def write_parquet_sized(
     return {
         "rows": rows,
         "est_row_bytes": round(est, 1),
-        "n_files": n_files,
+        "n_files": _count_part_files(spark, path),
         "rows_per_file": rows_per_file,
     }
