@@ -1007,19 +1007,29 @@ def brute_topk_batch_adc(
     dsub = dim // m
     C = cents.astype(np.float32)  # (m, ksub, dsub)
     c2 = np.einsum("mkd,mkd->mk", C, C)  # (m, ksub)
+    CT = np.ascontiguousarray(C.transpose(0, 2, 1))  # (m, dsub, ksub)
+    codes = np.ascontiguousarray(codes)
     rows_out, ids_out, d_out = [], [], []
     chunk = max(1, (1 << 21) // n)
     for lo in range(0, nq, chunk):
         Qc = Q[lo : lo + chunk].astype(np.float32).reshape(-1, m, dsub)
-        # LUT[b, j, c] = ||q_sub - centroid||^2 via the norm-expansion
-        # matmul (einsum → batched GEMM) — the naive broadcast-subtract
-        # temp is (chunk·m·ksub·dsub) floats and dominated the runtime
+        # LUT[j, b, c] = ||q_sub - centroid||^2 via the norm-expansion
+        # batched GEMM (np.matmul over the m axis — einsum's bmd,mkd
+        # path measured 9x slower at the bench shape) assembled in-place
+        # in the GEMM output buffer (no broadcast temps)
         q2 = np.einsum("bmd,bmd->bm", Qc, Qc)  # (b, m)
-        qc = np.einsum("bmd,mkd->bmk", Qc, C)  # (b, m, ksub)
-        lut = q2[:, :, None] + c2[None, :, :] - 2.0 * qc
-        D = np.zeros((Qc.shape[0], n), dtype=np.float32)
-        for j in range(m):
-            D += lut[:, j, codes[:, j]]
+        lut = np.matmul(Qc.transpose(1, 0, 2), CT)  # (m, b, ksub)
+        lut *= -2.0
+        lut += c2[:, None, :]
+        lut += q2.T[:, :, None]
+        # per-subspace gather-accumulate: np.take over the contiguous
+        # (b, ksub) LUT page (measured 5x faster than fancy-indexing the
+        # (b, m, ksub) layout). For small shards a one-hot GEMM is
+        # faster still but multi-threads BLAS inside already-parallel
+        # executor tasks — the single-threaded gather is the safe shape.
+        D = np.take(lut[0], codes[:, 0], axis=1)
+        for j in range(1, m):
+            D += np.take(lut[j], codes[:, j], axis=1)
         if k < n:
             sel = np.argpartition(D, k - 1, axis=1)[:, :k]
         else:
