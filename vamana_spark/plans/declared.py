@@ -2660,40 +2660,43 @@ def q_semantic_dedup(spark, sf_dir):
 # covered by the local bit-strict parity suite, tests/test_oracle_parity
 # .py, every round).
 #
-# Round-5 window: every never-driver-run query first (everything added
-# this round, through q_nearest_centroid), then the 3 always-on
-# canaries, then as many of the 45 queries whose most recent driver
-# row is r03 (the >= 2-rounds-stale set once r04 verified the other
-# window) as fit. Entries past slot 50 spill to the r6 window; every
-# declared query stays covered every round by the local bit-strict
-# parity suite, tests/test_oracle_parity.py.
+# Round-6 window (exactly 50 entries — the driver's check budget), by
+# priority: (1) the 4 TPC-H shapes added in r5 that spilled past slot
+# 50 and have NEVER had a driver row (VERDICT r5 next-#1); (2) queries
+# whose implementation or oracle CHANGED this round (de-vacuated
+# dup-groups, verified-pair minhash/simhash oracles, capped semantic
+# dedup, surrogate-label nearest-centroid, ADC-kernel PQ path) — their
+# r05 rows describe the old code; (3) the 3 always-on canaries; (4) the
+# 19 queries whose latest row is r03 (3 rounds stale); (5) 18 of the 47
+# r04-row queries, leading with the five whose search path sits on the
+# r6-modified brute_topk_batch margin re-rank. The 29 remaining
+# r04-row queries rotate in r7; every declared query still runs against
+# the bit-strict local parity suite (tests/test_oracle_parity.py)
+# every round.
 _ROTATION_FRONT = [
-    # new this round, never driver-run — verify first
-    "q_partitioned_pq", "q_pii_scrub", "q_gopher_filter", "q_c4_clean",
-    "q_pack_documents", "q_partitioned_cosine", "q_mixture_sample",
-    "q_broadcast_append", "q_cohort_retention", "q_funnel",
-    "q_chunk_embed_search", "q_frequent_tokens", "q_dedup_lines",
-    "q_dup_spans", "q_semantic_dedup", "q_cut_spans", "q_bigram_logprob",
-    "q_random_projection", "q_group_centroids", "q_nearest_centroid",
-    "q_centroid_outliers",
-    # canaries (core surface, cheap, always verified)
+    # (1) never driver-run
+    "q_min_cost_supplier", "q_revenue_concentration",
+    "q_supplier_part_variety", "q_sole_supplier_orders",
+    # (2) changed in r6
+    "q_dup_groups", "q_minhash_pairs", "q_simhash_near_dups",
+    "q_semantic_dedup", "q_nearest_centroid", "q_partitioned_pq",
+    # (3) canaries (core surface, cheap, always verified)
     "q_scan_embeddings", "q_knn_exact", "q_dedup_exact",
-    # last driver row r03 — now the stale set (tail spills to the r6
-    # window; the local parity suite still runs them every round)
-    "q_get_point", "q_distance_pair", "q_knn_batch",
-    "q_1nn_start_resolution", "q_medoid_exact", "q_knn_cosine",
-    "q_vector_norms", "q_degree_stats", "q_ann_search", "q_range_search",
-    "q_filtered_knn", "q_ann_filtered", "q_recall_at_k",
-    "q_ip_graph_recall", "q_ivf_topk", "q_lsh_join", "q_minhash_pairs",
-    "q_simhash_near_dups", "q_dup_groups", "q_text_stats",
-    "q_grouped_text_stats", "q_language_id", "q_fingerprint",
-    "q_quality_score", "q_unigram_logprob", "q_repetition_stats",
+    # (4) latest row r03
     "q_token_entropy", "q_token_chunks", "q_random_vectors",
     "q_token_histogram", "q_tfidf_top_terms", "q_ngram_jaccard",
     "q_dup_clusters", "q_corpus_dedup", "q_stratified_sample",
     "q_train_test_split", "q_contamination", "q_weighted_sample",
     "q_embedding_near_dups", "q_scalar_quantize", "q_sq_knn", "q_pq_knn",
     "q_ivfpq_knn", "q_events_hourly", "q_top_users",
+    # (5) latest row r04 — brute_topk_batch-dependent first
+    "q_partitioned_ann", "q_partitioned_recall", "q_index_append",
+    "q_index_delete", "q_knn_ip",
+    "q_sessionize", "q_session_stats", "q_tpch_pricing",
+    "q_tpch_join_agg", "q_top_customers", "q_order_priority",
+    "q_part_supplier_volume", "q_regional_revenue", "q_media_meta",
+    "q_media_decode", "q_media_frames", "q_media_features",
+    "q_rollup_revenue",
 ]
 
 
