@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""One-off 1M-vector scale checkpoint — the first ladder rung where the
+broadcast ceiling and shard stitching genuinely bind (VERDICT r5 #7).
+
+Not part of the per-round bench (runtime ~tens of minutes); run
+manually to refresh the SCALE.md ladder row:
+
+    python tools/scale_smoke_1m.py
+
+Measures, at n=1M / dim=64 on local[32]:
+  * sharded broadcast-tier build (960 shards x overlap 3 — the same
+    ~3.1k-rows/shard dense-kernel operating point the 100k rung
+    validated; the packed index is ~0.5 GB, approaching the 2 GiB
+    broadcast guard honestly rather than synthetically)
+  * sustained batch search qps over a 25k-query batch + recall@10
+    against exact ground truth on a 250-query sample
+  * partitioned-tier build (256 shards x overlap 2 — ~7.8k rows/shard
+    keeps each dense kernel's n^2 scratch at ~250 MB so 32 concurrent
+    Python workers stay within the box) + flat and PQ serving at
+    nprobe=64/256 (the same 1/4 probe fraction as the 100k rung)
+Prints one JSON object.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N, DIM, NQ_MOD = 1_000_000, 64, 40  # vec_id % 40 == 0 -> 25k queries
+
+
+def _gen(path: str) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rng = np.random.default_rng(42)
+    schema = pa.schema(
+        [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
+    )
+    chunk = 100_000
+    with pq.ParquetWriter(path, schema) as w:
+        for lo in range(0, N, chunk):
+            X = rng.uniform(-1, 1, (chunk, DIM)).astype(np.float32)
+            w.write_table(
+                pa.table(
+                    {
+                        "vec_id": pa.array(range(lo, lo + chunk), type=pa.int64()),
+                        "embedding": pa.array(list(X), type=pa.list_(pa.float32())),
+                    },
+                    schema=schema,
+                )
+            )
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession, functions as F
+
+    from vamana_spark import VamanaIndex, VamanaParams, exact, quality
+    from vamana_spark.index.partitioned import PartitionedVamanaIndex
+
+    path = "/tmp/sf1m/embeddings.parquet"
+    if not os.path.exists(path):
+        _gen(path)
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "64g")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    emb = spark.read.parquet(path).cache()
+    emb.count()
+    out: dict = {"n": N, "dim": DIM}
+
+    # ---- sharded broadcast-tier build: shards scale linearly with n so
+    # the per-shard dense-kernel point stays at the 100k-validated
+    # ~3.1k rows (96x3 at 100k -> 960x3 at 1M), ef=200 for recall ~0.9
+    params = VamanaParams(
+        dim=DIM, alpha=1.2, R=32, L=64, ef_search=200, seed=42,
+        num_shards=960, shard_overlap=3,
+    )
+    t0 = time.perf_counter()
+    idx = VamanaIndex.build(spark, emb, params)
+    out["build_sec"] = round(time.perf_counter() - t0, 2)
+
+    allq = emb.where(F.col("vec_id") % NQ_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).cache()
+    nq = allq.count()
+    idx.search(allq.limit(8), k=10).count()  # warm the broadcast
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        idx.search(allq, k=10).count()
+        best = min(best, time.perf_counter() - t0)
+    out["nq"] = nq
+    out["qps_sustained"] = round(nq / best, 1)
+
+    sample = allq.where(F.col("query_id") % 4000 == 0)  # 250 queries
+    truth = exact.exact_knn_batch(emb, sample, k=10).cache()
+    truth.count()
+    out["recall_at_10"] = round(
+        quality.avg_recall(idx.search(sample, k=10), truth, k=10), 4
+    )
+    idx.release()
+
+    # ---- partitioned serving tier (the beyond-broadcast path)
+    pparams = VamanaParams(
+        dim=DIM, alpha=1.2, R=32, L=64, ef_search=100, seed=42
+    )
+    t0 = time.perf_counter()
+    pidx = PartitionedVamanaIndex.build(
+        spark, emb, pparams, num_shards=256, overlap=2
+    )
+    pidx.shards_df = pidx.shards_df.cache()
+    pidx.shards_df.count()
+    pidx._packed_df("flat")
+    out["partitioned_build_plus_pack_sec"] = round(time.perf_counter() - t0, 2)
+
+    for mode, key in (("flat", "partitioned"), ("pq", "partitioned_pq")):
+        fn = pidx.search if mode == "flat" else pidx.search_pq
+        kw = {"nprobe": 64} if mode == "flat" else {"nprobe": 64, "rerank": 100}
+        fn(allq.limit(8), k=10, **kw).count()  # warm the pack
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(allq, k=10, **kw).count()
+            best = min(best, time.perf_counter() - t0)
+        out[f"{key}_qps_nprobe64"] = round(nq / best, 1)
+        out[f"{key}_recall_at_10_nprobe64"] = round(
+            quality.avg_recall(fn(sample, k=10, **kw), truth, k=10), 4
+        )
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -418,11 +418,33 @@ def q_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(e, _fixed_queries(e, 50), k=10, num_lists=8, nprobe=4)
 
 
-@declare("q_lsh_join")
+_COS_AB_SQL = (
+    "1.0 - list_sum(list_transform(list_zip(a.embedding, b.embedding),"
+    " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+)
+
+
+@declare(
+    "q_lsh_join",
+    f"""
+    WITH d AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             round({_COS_AB_SQL}, 4) AS cos_dist
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT a_id, b_id, cos_dist FROM d WHERE cos_dist <= 0.5
+    """,
+)
 def q_lsh_join(spark, sf_dir):
-    """X3 LSH variant: random-hyperplane cosine radius self-join
-    (seeded numpy planes are engine-internal → rows-only; the exact
-    verification is on LSH candidates only)."""
+    """X3 LSH variant: random-hyperplane cosine radius self-join. The
+    seeded planes are engine-internal, but the VERIFIED projection —
+    candidate pairs re-checked with exact cosine distance <= 0.5 — is
+    hash-matched against the full-pairs DuckDB oracle (the
+    q_minhash_pairs pattern): equality holds because the deterministic
+    16-plane/4-band blocking catches every true pair on this corpus
+    (the radius set is sparse and well inside the collision curve)."""
     return similarity.lsh_similarity_join(
         _emb(spark, sf_dir), num_planes=16, bands=4, max_cosine_dist=0.5
     ).orderBy("a_id", "b_id")
@@ -2665,14 +2687,14 @@ def q_semantic_dedup(spark, sf_dir):
 # 50 and have NEVER had a driver row (VERDICT r5 next-#1); (2) queries
 # whose implementation or oracle CHANGED this round (de-vacuated
 # dup-groups, verified-pair minhash/simhash oracles, capped semantic
-# dedup, surrogate-label nearest-centroid, ADC-kernel PQ path) — their
-# r05 rows describe the old code; (3) the 3 always-on canaries; (4) the
-# 19 queries whose latest row is r03 (3 rounds stale); (5) 18 of the 47
-# r04-row queries, leading with the five whose search path sits on the
-# r6-modified brute_topk_batch margin re-rank. The 29 remaining
-# r04-row queries rotate in r7; every declared query still runs against
-# the bit-strict local parity suite (tests/test_oracle_parity.py)
-# every round.
+# dedup, surrogate-label nearest-centroid, ADC-kernel PQ path, the
+# verified-projection lsh_join oracle) — their r05 rows describe the
+# old code; (3) the 3 always-on canaries; (4) the 19 queries whose
+# latest row is r03 (3 rounds stale); (5) 17 of the 47 r04-row queries,
+# leading with the five whose search path sits on the r6-modified
+# brute_topk_batch margin re-rank. The 30 remaining r04-row queries
+# rotate in r7; every declared query still runs against the bit-strict
+# local parity suite (tests/test_oracle_parity.py) every round.
 _ROTATION_FRONT = [
     # (1) never driver-run
     "q_min_cost_supplier", "q_revenue_concentration",
@@ -2680,6 +2702,7 @@ _ROTATION_FRONT = [
     # (2) changed in r6
     "q_dup_groups", "q_minhash_pairs", "q_simhash_near_dups",
     "q_semantic_dedup", "q_nearest_centroid", "q_partitioned_pq",
+    "q_lsh_join",
     # (3) canaries (core surface, cheap, always verified)
     "q_scan_embeddings", "q_knn_exact", "q_dedup_exact",
     # (4) latest row r03
@@ -2696,7 +2719,6 @@ _ROTATION_FRONT = [
     "q_tpch_join_agg", "q_top_customers", "q_order_priority",
     "q_part_supplier_volume", "q_regional_revenue", "q_media_meta",
     "q_media_decode", "q_media_frames", "q_media_features",
-    "q_rollup_revenue",
 ]
 
 
