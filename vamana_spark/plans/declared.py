@@ -2688,13 +2688,14 @@ def q_semantic_dedup(spark, sf_dir):
 # whose implementation or oracle CHANGED this round (de-vacuated
 # dup-groups, verified-pair minhash/simhash oracles, capped semantic
 # dedup, surrogate-label nearest-centroid, ADC-kernel PQ path, the
-# verified-projection lsh_join oracle) — their r05 rows describe the
-# old code; (3) the 3 always-on canaries; (4) the 19 queries whose
-# latest row is r03 (3 rounds stale); (5) 17 of the 47 r04-row queries,
-# leading with the five whose search path sits on the r6-modified
-# brute_topk_batch margin re-rank. The 30 remaining r04-row queries
-# rotate in r7; every declared query still runs against the bit-strict
-# local parity suite (tests/test_oracle_parity.py) every round.
+# verified-projection lsh_join oracle, the exact+invariant approx-
+# distinct oracle) — their r05 rows describe the old code; (3) the 3
+# always-on canaries; (4) the 19 queries whose latest row is r03
+# (3 rounds stale); (5) 16 of the 47 r04-row queries, leading with the
+# five whose search path sits on the r6-modified brute_topk_batch
+# margin re-rank. The 31 remaining r04-row queries rotate in r7; every
+# declared query still runs against the bit-strict local parity suite
+# (tests/test_oracle_parity.py) every round.
 _ROTATION_FRONT = [
     # (1) never driver-run
     "q_min_cost_supplier", "q_revenue_concentration",
@@ -2702,7 +2703,7 @@ _ROTATION_FRONT = [
     # (2) changed in r6
     "q_dup_groups", "q_minhash_pairs", "q_simhash_near_dups",
     "q_semantic_dedup", "q_nearest_centroid", "q_partitioned_pq",
-    "q_lsh_join",
+    "q_lsh_join", "q_approx_distinct",
     # (3) canaries (core surface, cheap, always verified)
     "q_scan_embeddings", "q_knn_exact", "q_dedup_exact",
     # (4) latest row r03
@@ -2718,7 +2719,7 @@ _ROTATION_FRONT = [
     "q_sessionize", "q_session_stats", "q_tpch_pricing",
     "q_tpch_join_agg", "q_top_customers", "q_order_priority",
     "q_part_supplier_volume", "q_regional_revenue", "q_media_meta",
-    "q_media_decode", "q_media_frames", "q_media_features",
+    "q_media_decode", "q_media_frames",
 ]
 
 

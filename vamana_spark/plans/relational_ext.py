@@ -278,17 +278,39 @@ def q_distinct_users(spark, sf_dir):
     )
 
 
-@declare("q_approx_distinct")
+@declare(
+    "q_approx_distinct",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           TRUE AS hll_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 def q_approx_distinct(spark, sf_dir):
     """Approximate aggregates (HLL): approx_count_distinct per event_type.
 
-    Rows-only: HLL sketches are engine-specific; the accuracy bound
-    (within 5% of exact) is asserted in tests instead.
+    The HLL sketch value itself is engine-specific, so the projection
+    is the deterministic part (exact distinct, row count) plus the
+    accuracy invariant AS a column — ``hll_within_5pct`` is computed
+    from the live approx_count_distinct output, so a broken HLL path
+    flips the hash (the q_gopher_filter in-query-verification pattern).
     """
     e = _events(spark, sf_dir)
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    agg = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
         F.count("*").cast("long").alias("n_events"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        (
+            F.abs(F.col("_approx") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("hll_within_5pct"),
     )
 
 
