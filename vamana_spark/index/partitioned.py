@@ -759,23 +759,24 @@ class PartitionedVamanaIndex:
             .drop("_r")
         )
         # exact re-rank: equi-joins only; vectors read back for the
-        # shortlist rows alone (AQE broadcasts the small side)
+        # shortlist rows alone (AQE broadcasts the small side). The
+        # shortlist joins the UN-deduplicated shard rows — overlap
+        # copies are dropped AFTER the join, on |Q|*kprime*overlap
+        # rows, because dropDuplicates on shards_df itself would
+        # shuffle the ENTIRE corpus per search call (the base table
+        # must stay at rest; only shortlist-matched rows move).
         p = self.shards_df.select("vec_id", F.col("embedding").alias("_pv"))
-        if self._overlap() > 1:  # one vector row per point for the join
-            p = p.dropDuplicates(["vec_id"])
         q = queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(query_vec_col).alias("_qv"),
         )
-        exactd = (
-            shortlist.drop("dist")
-            .join(p, "vec_id")
-            .join(q, "query_id")
-            .select(
-                "query_id",
-                "vec_id",
-                pairwise_distance("_qv", "_pv", self.params.metric).alias("dist"),
-            )
+        cand = shortlist.drop("dist").join(p, "vec_id")
+        if self._overlap() > 1:  # one vector row per (query, point)
+            cand = cand.dropDuplicates(["query_id", "vec_id"])
+        exactd = cand.join(q, "query_id").select(
+            "query_id",
+            "vec_id",
+            pairwise_distance("_qv", "_pv", self.params.metric).alias("dist"),
         )
         w = Window.partitionBy("query_id").orderBy(
             F.col("dist").asc(), F.col("vec_id").asc()
