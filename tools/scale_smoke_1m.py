@@ -87,9 +87,15 @@ def main() -> None:
     # ---- sharded broadcast-tier build: shards scale linearly with n so
     # the per-shard dense-kernel point stays at the 100k-validated
     # ~3.1k rows (96x3 at 100k -> 960x3 at 1M), ef=200 for recall ~0.9
+    n_shards = int(os.environ.get("NUM_SHARDS", "960"))
+    overlap = int(os.environ.get("OVERLAP", "3"))
+    R = int(os.environ.get("GRAPH_R", "32"))
+    L = int(os.environ.get("GRAPH_L", str(2 * R)))
+    out["num_shards"], out["shard_overlap"] = n_shards, overlap
+    out["R"], out["L"] = R, L
     params = VamanaParams(
-        dim=DIM, alpha=1.2, R=32, L=64, ef_search=200, seed=42,
-        num_shards=960, shard_overlap=3,
+        dim=DIM, alpha=1.2, R=R, L=L, ef_search=200, seed=42,
+        num_shards=n_shards, shard_overlap=overlap,
     )
     t0 = time.perf_counter()
     idx = VamanaIndex.build(spark, emb, params)
@@ -99,22 +105,37 @@ def main() -> None:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     ).cache()
     nq = allq.count()
-    idx.search(allq.limit(8), k=10).count()  # warm the broadcast
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        idx.search(allq, k=10).count()
-        best = min(best, time.perf_counter() - t0)
     out["nq"] = nq
-    out["qps_sustained"] = round(nq / best, 1)
-
+    idx.search(allq.limit(8), k=10).count()  # warm the broadcast
     sample = allq.where(F.col("query_id") % 4000 == 0)  # 250 queries
     truth = exact.exact_knn_batch(emb, sample, k=10).cache()
     truth.count()
-    out["recall_at_10"] = round(
-        quality.avg_recall(idx.search(sample, k=10), truth, k=10), 4
-    )
+    # ef is a pure search-time knob on the fixed stitched graph: the
+    # first 1M run showed the 100k trend continuing (recall at ef=200
+    # sags to 0.62 when per-shard coverage drops to 1/960 of a uniform
+    # cloud), so sweep the beam to map the recall/qps frontier and
+    # record the operating point that clears 0.8.
+    efs = [int(x) for x in os.environ.get("EF_SWEEP", "200,400,800").split(",")]
+    out["ef_sweep"] = {}
+    for ef in efs:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            idx.search(allq, k=10, ef_search=ef).count()
+            best = min(best, time.perf_counter() - t0)
+        rec = round(
+            quality.avg_recall(idx.search(sample, k=10, ef_search=ef), truth, k=10),
+            4,
+        )
+        out["ef_sweep"][ef] = {"qps_sustained": round(nq / best, 1), "recall_at_10": rec}
+        print(json.dumps({"ef": ef, **out["ef_sweep"][ef]}), flush=True)
+    out["qps_sustained"] = out["ef_sweep"][efs[0]]["qps_sustained"]
+    out["recall_at_10"] = out["ef_sweep"][efs[0]]["recall_at_10"]
     idx.release()
+
+    if os.environ.get("SKIP_PARTITIONED"):
+        print(json.dumps(out))
+        return
 
     # ---- partitioned serving tier (the beyond-broadcast path)
     pparams = VamanaParams(
