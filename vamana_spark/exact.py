@@ -68,12 +68,15 @@ def exact_knn(
     query_vec_col: str = "query_vec",
     round_digits: Optional[int] = None,
     exclude_self: bool = False,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Exact top-k neighbors for every query (declarative plan).
 
     Returns ``(query_id, vec_id, dist, rank)`` with rank 1..k ascending by
     distance, ties broken by vec_id. ``round_digits`` rounds the *output*
-    distance only — ranking always uses full precision.
+    distance only — ranking always uses full precision. ``dim`` (when
+    the fixed dimension is known/enforced) switches the distance to its
+    unrolled form — bit-identical, ~2x cheaper per row.
     """
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_qv")
@@ -87,7 +90,7 @@ def exact_knn(
     d = joined.select(
         "query_id",
         "vec_id",
-        pairwise_distance("_qv", "_pv", metric).alias("dist"),
+        pairwise_distance("_qv", "_pv", metric, dim=dim).alias("dist"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
     out = d.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -776,7 +776,9 @@ class PartitionedVamanaIndex:
         exactd = cand.join(q, "query_id").select(
             "query_id",
             "vec_id",
-            pairwise_distance("_qv", "_pv", self.params.metric).alias("dist"),
+            pairwise_distance(
+                "_qv", "_pv", self.params.metric, dim=self.params.dim
+            ).alias("dist"),
         )
         w = Window.partitionBy("query_id").orderBy(
             F.col("dist").asc(), F.col("vec_id").asc()

@@ -343,7 +343,7 @@ def pq_search(
         .select(
             "query_id",
             "vec_id",
-            pairwise_distance("_qv", "_pv").alias("dist"),
+            pairwise_distance("_qv", "_pv", dim=codebook.dim).alias("dist"),
         )
     )
     w2 = Window.partitionBy("query_id").orderBy(
@@ -601,7 +601,7 @@ def ivfpq_search(
         .select(
             "query_id",
             "vec_id",
-            pairwise_distance("_qv", "_pv").alias("dist"),
+            pairwise_distance("_qv", "_pv", dim=model.codebook.dim).alias("dist"),
         )
     )
     w2 = Window.partitionBy("query_id").orderBy(

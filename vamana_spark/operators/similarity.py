@@ -217,7 +217,9 @@ def ivf_topk(
     from vamana_spark.functions.vector import pairwise_distance
 
     d = cands.select(
-        "query_id", "vec_id", pairwise_distance("_qv", "_pv", "l2sq").alias("dist")
+        "query_id",
+        "vec_id",
+        pairwise_distance("_qv", "_pv", "l2sq", dim=int(C.shape[1])).alias("dist"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
     return (
