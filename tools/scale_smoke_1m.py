@@ -8,12 +8,16 @@ manually to refresh the SCALE.md ladder row:
     python tools/scale_smoke_1m.py
 
 Measures, at n=1M / dim=64 on local[32]:
-  * sharded broadcast-tier build (960 shards x overlap 3 — the same
-    ~3.1k-rows/shard dense-kernel operating point the 100k rung
-    validated; the packed index is ~0.5 GB, approaching the 2 GiB
-    broadcast guard honestly rather than synthetically)
+  * sharded broadcast-tier build — default 480 shards x overlap 3 with
+    R=64/L=128, the operating point the r6 sweep landed on (extending
+    the 100k per-shard recipe to 960x3 R=32 builds 2.8x faster but
+    recall at ef=200 collapses to 0.62 — shard size and degree must
+    both grow with n on uniform data; see SCALE.md). The packed index
+    is ~0.75 GB, approaching the 2 GiB broadcast guard honestly rather
+    than synthetically. NUM_SHARDS/OVERLAP/GRAPH_R/GRAPH_L/EF_SWEEP
+    env vars re-run any other frontier point.
   * sustained batch search qps over a 25k-query batch + recall@10
-    against exact ground truth on a 250-query sample
+    against exact ground truth on a 250-query sample, per swept ef
   * partitioned-tier build (256 shards x overlap 2 — ~7.8k rows/shard
     keeps each dense kernel's n^2 scratch at ~250 MB so 32 concurrent
     Python workers stay within the box) + flat and PQ serving at
@@ -87,9 +91,12 @@ def main() -> None:
     # ---- sharded broadcast-tier build: shards scale linearly with n so
     # the per-shard dense-kernel point stays at the 100k-validated
     # ~3.1k rows (96x3 at 100k -> 960x3 at 1M), ef=200 for recall ~0.9
-    n_shards = int(os.environ.get("NUM_SHARDS", "960"))
+    # defaults = the recorded SCALE.md 1M operating point (480x3 R=64;
+    # the r6 sweep showed shard size AND degree must grow with n —
+    # 960x3 R=32 builds 2.8x faster but recall at ef=200 is 0.62)
+    n_shards = int(os.environ.get("NUM_SHARDS", "480"))
     overlap = int(os.environ.get("OVERLAP", "3"))
-    R = int(os.environ.get("GRAPH_R", "32"))
+    R = int(os.environ.get("GRAPH_R", "64"))
     L = int(os.environ.get("GRAPH_L", str(2 * R)))
     out["num_shards"], out["shard_overlap"] = n_shards, overlap
     out["R"], out["L"] = R, L
