@@ -35,12 +35,19 @@ def _unrolled_fold(a: ColumnOrName, b, term, dim: int) -> Column:
     """Left-to-right unrolled  ((t0 + t1) + t2) + ...  over fixed dim.
 
     Bit-identical to the ``aggregate`` fold (same accumulation order,
-    same double ops) but ~2x faster at dim 64: no per-row array
+    same double ops) but ~2x faster PER ROW at dim 64: no per-row array
     allocation, no higher-order-function lambda dispatch — just a flat
     codegen'd expression tree. Only sound when every array is exactly
     ``dim`` long (the engine's R1 dim filter guarantees it on index
     paths); a shorter array yields NULL via getItem instead of a
     silent partial sum.
+
+    Cost model (measured r6): the big tree costs ~0.5 s of whole-stage
+    codegen per FRESH plan, won back at ~0.4 µs/row. Use it on serving
+    paths where the plan (and its broadcasts) is stable across batches
+    so codegen caches — the partitioned tier's exact re-rank; keep the
+    fold on one-shot pipelines that rebuild the plan per call over
+    |Q|·k'-row shortlists (pq_search / ivfpq_search / ivf_topk).
     """
     acc = None
     for i in range(dim):

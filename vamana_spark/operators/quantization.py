@@ -343,7 +343,10 @@ def pq_search(
         .select(
             "query_id",
             "vec_id",
-            pairwise_distance("_qv", "_pv", dim=codebook.dim).alias("dist"),
+            # fold, not unroll: the codebook (and so the broadcast) is fresh per
+            # call, so the unrolled tree's ~0.5s codegen cost would recur on
+            # every pipeline invocation while the shortlist is only |Q|*k' rows
+            pairwise_distance("_qv", "_pv").alias("dist"),
         )
     )
     w2 = Window.partitionBy("query_id").orderBy(
@@ -601,7 +604,8 @@ def ivfpq_search(
         .select(
             "query_id",
             "vec_id",
-            pairwise_distance("_qv", "_pv", dim=model.codebook.dim).alias("dist"),
+            # fold, not unroll — same per-call codegen argument as pq_search
+            pairwise_distance("_qv", "_pv").alias("dist"),
         )
     )
     w2 = Window.partitionBy("query_id").orderBy(

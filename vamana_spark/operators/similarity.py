@@ -219,7 +219,9 @@ def ivf_topk(
     d = cands.select(
         "query_id",
         "vec_id",
-        pairwise_distance("_qv", "_pv", "l2sq", dim=int(C.shape[1])).alias("dist"),
+        # fold, not unroll: ivf_topk builds fresh centers per call, so the
+        # unrolled tree's per-plan codegen cost would recur every invocation
+        pairwise_distance("_qv", "_pv", "l2sq").alias("dist"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
     return (
