@@ -322,7 +322,11 @@ class VamanaIndex:
             # broadcast tier: vectors come from a broadcast matrix, the
             # prune runs lockstep over whole Arrow batches — no embedding
             # joins, no per-node Python calls
-            ppdf = pts.select("ordinal", "embedding").orderBy("ordinal").toPandas()
+            # no Spark-side orderBy (a full sort shuffle of the point set);
+            # collect unordered and argsort the ordinals driver-side
+            ppdf = pts.select("ordinal", "embedding").toPandas()
+            _ord = np.argsort(ppdf["ordinal"].to_numpy(dtype=np.int64), kind="stable")
+            ppdf = ppdf.iloc[_ord].reset_index(drop=True)
             Pmat = np.stack(ppdf["embedding"].to_numpy()).astype(np.float32)
             Pmat = _metric_transform(Pmat, metric, mips_m)
             bP = spark.sparkContext.broadcast(Pmat)
@@ -394,15 +398,18 @@ class VamanaIndex:
                 ]
             ) if params.metric == "l2sq" else 0
 
-        # nodes that somehow got no out-edges (singleton shards): empty adjacency
-        missing = pts.select("ordinal").join(
-            graph_df.select("ordinal"), "ordinal", "left_anti"
-        ).withColumn("neighbors", F.array().cast("array<long>"))
-        graph_df = graph_df.unionByName(missing)
-
         # materialize the graph: searches call _load_local (twice: points +
         # graph) and would otherwise replay the entire shard build per call
         graph_df = graph_df.localCheckpoint(eager=True)
+        # defensive only: assignment puts every point in >=1 shard and the
+        # shard kernels emit a row per input node (possibly empty-adjacency),
+        # so the anti-join repair runs ONLY when the cheap post-checkpoint
+        # count disagrees — not as an unconditional shuffle on every build
+        if graph_df.count() != n_total:
+            missing = pts.select("ordinal").join(
+                graph_df.select("ordinal"), "ordinal", "left_anti"
+            ).withColumn("neighbors", F.array().cast("array<long>"))
+            graph_df = graph_df.unionByName(missing).localCheckpoint(eager=True)
         if phase_timings is not None:
             phase_timings["prune_fixup_sec"] = round(time.perf_counter() - _t0, 3)
         # the eager checkpoint above materialized every plan that read
