@@ -784,6 +784,44 @@ def test_mixture_sample_fractions_and_stability(documents, spark):
     assert kept.count() == totals["src0"]
 
 
+def test_dsir_weights_tilt_toward_planted_target(spark):
+    # target docs share a distinctive vocabulary; raw docs don't. DSIR
+    # weights must rank every target-vocab doc above every off-vocab doc.
+    rows = (
+        [(i, "quantum flux capacitor resonance " * 3, True) for i in range(6)]
+        + [(i + 10, "mundane filler words everywhere " * 3, False) for i in range(6)]
+        + [(100, "quantum flux capacitor resonance " * 3, False)]  # off-target twin
+        + [(101, "", False)]  # empty doc: weight 0, n_feats 0
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_en boolean")
+    w = sampling.dsir_log_weights(df, F.col("is_en"), num_buckets=512).collect()
+    by_id = {r.doc_id: r for r in w}
+    assert by_id[101].n_feats == 0 and by_id[101].log_weight == 0.0
+    tgt_vocab = [by_id[i].log_weight for i in range(6)] + [by_id[100].log_weight]
+    off_vocab = [by_id[i + 10].log_weight for i in range(6)]
+    assert min(tgt_vocab) > max(off_vocab)
+    # the off-target twin scores identically to the target docs: the
+    # weight is a function of CONTENT, not the membership flag
+    assert abs(by_id[100].log_weight - by_id[0].log_weight) < 1e-9
+
+
+def test_dsir_sample_deterministic_and_tilted(documents):
+    s1 = sampling.dsir_sample(documents, F.col("lang") == "en", n=40, seed=7)
+    ids1 = sorted(r.doc_id for r in s1.select("doc_id").collect())
+    s2 = sampling.dsir_sample(
+        documents.repartition(7), F.col("lang") == "en", n=40, seed=7
+    )
+    ids2 = sorted(r.doc_id for r in s2.select("doc_id").collect())
+    assert ids1 == ids2 and len(ids1) == 40
+    # the resample should over-represent the target class vs its base rate
+    n = documents.count()
+    n_en = documents.where(F.col("lang") == "en").count()
+    en_in_sample = s1.where(F.col("is_target")).count()
+    assert en_in_sample / 40 > n_en / n
+    with pytest.raises(ValueError):
+        sampling.dsir_sample(documents, F.col("lang") == "en", n=5, temperature=0)
+
+
 def test_dedup_lines_first_occurrence_wins(spark):
     docs = [
         (1, "alpha unique one\nSHARED BOILERPLATE\n"),

@@ -155,3 +155,164 @@ def mixture_sample(
     for g, frac in sorted(fractions.items()):
         expr = F.when(F.col(group_col) == g, F.lit(thr(float(frac)))).otherwise(expr)
     return df.where(prefix < expr)
+
+
+def _hashed_ngram_features(
+    df: DataFrame, text_col: str, id_col: str, num_buckets: int
+) -> DataFrame:
+    """(id, bucket) — one row per unigram/bigram OCCURRENCE, bucketed by
+    an engine-portable hash (md5 hex prefix, the sampling module's
+    convention — DuckDB computes the identical bucket, so anything
+    built on these features is oracle-able).
+
+    Map-only: tokenize, build bigrams JVM-side (``zip_with`` against the
+    1-shifted token array), explode. No Python, no shuffle."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    bigrams = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        lambda x: x.contains(" "),  # zip_with pads the tail with null -> concat_ws drops it
+    )
+    ng = F.explode(F.concat(toks, bigrams)).alias("_ng")
+    return df.select(F.col(id_col).alias("_fid"), ng).select(
+        "_fid",
+        F.pmod(
+            F.conv(F.substring(F.md5("_ng"), 1, 8), 16, 10).cast("long"),
+            F.lit(int(num_buckets)),
+        ).alias("_bucket"),
+    )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 4096,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR-style importance log-weights (Data Selection via Importance
+    Resampling, Xie et al., NeurIPS 2023): score every document by how
+    much more likely its hashed-ngram bag is under the TARGET
+    distribution than under the RAW corpus distribution —
+    ``log_weight = Σ_occurrences [log p_target(bucket) − log p_raw(bucket)]``
+    with add-λ smoothed multinomials over ``num_buckets`` hashed
+    unigram+bigram features. Selecting the top-weighted (optionally
+    Gumbel-noised) documents tilts a huge raw corpus toward a small
+    high-quality target domain — the published recipe this mirrors.
+
+    ``target`` is a boolean Column over ``df``'s rows defining the
+    target subset (e.g. ``F.col("lang") == "en"``).
+
+    Returns one row per input document:
+      (id, is_target, n_feats, log_weight) — log_weight 0.0 and
+      n_feats 0 for empty/whitespace-only documents.
+
+    100 TB shape: two map-only featurization passes feed (a) the model —
+    two groupBy-bucket counts whose cardinality is capped at
+    ``num_buckets`` (map-side partials, then a tiny shuffle), joined
+    into a ≤num_buckets-row log-ratio table that BROADCASTS — and
+    (b) the per-document score, a broadcast-join + one map-side-
+    combinable groupBy(id) sum. No shuffle ever carries the token
+    stream keyed by anything wider than (bucket) or (id); the corpus
+    text itself is read twice and moved zero times.
+
+    Determinism: bucket hash, counts, and log-ratio arithmetic are all
+    engine-portable (md5 buckets; double log arithmetic) — a DuckDB
+    oracle reproduces log_weight to float-rounding exactness.
+    """
+    lam = float(smoothing)
+    B = int(num_buckets)
+    if B <= 0:
+        raise ValueError(f"num_buckets must be positive, got {num_buckets}")
+    if lam <= 0:
+        raise ValueError(f"smoothing must be positive (add-λ), got {smoothing}")
+
+    base = df.select(F.col(id_col).alias("_fid"), target.alias("_is_tgt"), text_col)
+    feats = _hashed_ngram_features(base, text_col, "_fid", B)
+    flags = base.select("_fid", "_is_tgt")
+    ff = feats.join(F.broadcast(flags), "_fid")
+
+    raw = ff.groupBy("_bucket").agg(F.count("*").alias("_rc"))
+    tgt = ff.where(F.col("_is_tgt")).groupBy("_bucket").agg(
+        F.count("*").alias("_tc")
+    )
+    # every doc feature exists in the raw counts by construction, so the
+    # raw side is the spine; smoothing handles target-absent buckets
+    model = (
+        raw.join(tgt, "_bucket", "left")
+        .na.fill({"_tc": 0})
+        .crossJoin(
+            F.broadcast(
+                ff.agg(
+                    F.count("*").alias("_rt"),
+                    F.sum(F.when(F.col("_is_tgt"), 1).otherwise(0)).alias("_tt"),
+                )
+            )
+        )
+        .select(
+            "_bucket",
+            (
+                F.log((F.col("_tc") + lam) / (F.col("_tt") + lam * B))
+                - F.log((F.col("_rc") + lam) / (F.col("_rt") + lam * B))
+            ).alias("_lr"),
+        )
+    )
+    scored = (
+        feats.join(F.broadcast(model), "_bucket")
+        .groupBy("_fid")
+        .agg(F.count("*").alias("n_feats"), F.sum("_lr").alias("log_weight"))
+    )
+    return (
+        base.select("_fid", "_is_tgt")
+        .join(scored, "_fid", "left")
+        .select(
+            F.col("_fid").alias(id_col),
+            F.col("_is_tgt").alias("is_target"),
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
+        )
+    )
+
+
+def dsir_sample(
+    df: DataFrame,
+    target: Column,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 4096,
+    smoothing: float = 1.0,
+    seed: int = 42,
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Gumbel-top-n importance resampling over :func:`dsir_log_weights`
+    (the DSIR paper's sampling-without-replacement step): keep the n
+    documents with the largest ``log_weight/temperature + Gumbel(seed, id)``.
+    The Gumbel draw is the engine-portable md5 uniform
+    (``u = (hex13 + 1) / (16^13 + 1)``, ``g = -log(-log(u))``), so the
+    selected set is reproducible across runs, partitionings, and
+    engines. ``temperature=0`` is disallowed — use top-n by weight
+    directly (orderBy log_weight) when no noise is wanted.
+
+    Physical plan: the weights job, then TakeOrderedAndProject (k rows
+    per partition to the driver merge — never a global sort)."""
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0 (use a plain orderBy for argmax)")
+    w = dsir_log_weights(df, target, text_col, id_col, num_buckets, smoothing)
+    u = (
+        F.conv(F.substring(_hash_order(id_col, seed), 1, 13), 16, 10).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(16**13 + 1))
+    key = F.col("log_weight") / F.lit(float(temperature)) - F.log(-F.log(u))
+    return (
+        w.withColumn("_gk", key)
+        .orderBy(F.col("_gk").desc(), F.col(id_col))
+        .limit(int(n))
+        .drop("_gk")
+    )

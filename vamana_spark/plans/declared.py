@@ -2671,6 +2671,125 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+@declare(
+    "q_dsir_weights",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang = 'en' AS is_tgt,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), u AS (
+      SELECT doc_id, unnest(toks) AS ng FROM t
+      UNION ALL
+      SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS ng
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i FROM t) s
+    ), f AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(ng), 1, 8)) AS BIGINT) % 4096 AS b
+      FROM u
+    ), fj AS (
+      SELECT f.doc_id, f.b, t2.is_tgt
+      FROM f JOIN (SELECT doc_id, is_tgt FROM t) t2 USING (doc_id)
+    ), rc AS (SELECT b, count(*) AS rcnt FROM fj GROUP BY b),
+    tc AS (SELECT b, count(*) AS tcnt FROM fj WHERE is_tgt GROUP BY b),
+    tot AS (
+      SELECT count(*) AS rt,
+             sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS tt
+      FROM fj
+    ), lp AS (
+      SELECT rc.b,
+             ln((coalesce(tc.tcnt, 0) + 1.0) / (CAST(tot.tt AS DOUBLE) + 4096.0))
+             - ln((rc.rcnt + 1.0) / (CAST(tot.rt AS DOUBLE) + 4096.0)) AS lr
+      FROM rc LEFT JOIN tc USING (b), tot
+    ), w AS (
+      SELECT f.doc_id, count(*) AS nf, sum(lp.lr) AS lw
+      FROM f JOIN lp ON f.b = lp.b GROUP BY f.doc_id
+    )
+    SELECT d.doc_id, d.lang = 'en' AS is_target,
+           CAST(coalesce(w.nf, 0) AS BIGINT) AS n_feats,
+           round({z}, 4) AS log_weight
+    FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+    """.format(z=_z_sql("coalesce(w.lw, 0.0)")),
+)
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance log-weights (Xie et al. 2023) over documents with
+    target = lang 'en': add-1-smoothed hashed unigram+bigram multinomial
+    likelihood ratio, 4096 portable md5 buckets — the oracle reproduces
+    the bucket hash, both multinomials, and the per-doc log-ratio sum."""
+    from vamana_spark.functions.vector import canonical_zero
+    from vamana_spark.operators import sampling
+
+    out = sampling.dsir_log_weights(
+        _docs(spark, sf_dir), F.col("lang") == "en", num_buckets=4096
+    )
+    return out.select(
+        "doc_id",
+        "is_target",
+        "n_feats",
+        canonical_zero(F.round("log_weight", 4)).alias("log_weight"),
+    )
+
+
+@declare(
+    "q_dsir_sample",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang = 'en' AS is_tgt,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), u AS (
+      SELECT doc_id, unnest(toks) AS ng FROM t
+      UNION ALL
+      SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS ng
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i FROM t) s
+    ), f AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(ng), 1, 8)) AS BIGINT) % 4096 AS b
+      FROM u
+    ), fj AS (
+      SELECT f.doc_id, f.b, t2.is_tgt
+      FROM f JOIN (SELECT doc_id, is_tgt FROM t) t2 USING (doc_id)
+    ), rc AS (SELECT b, count(*) AS rcnt FROM fj GROUP BY b),
+    tc AS (SELECT b, count(*) AS tcnt FROM fj WHERE is_tgt GROUP BY b),
+    tot AS (
+      SELECT count(*) AS rt,
+             sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS tt
+      FROM fj
+    ), lp AS (
+      SELECT rc.b,
+             ln((coalesce(tc.tcnt, 0) + 1.0) / (CAST(tot.tt AS DOUBLE) + 4096.0))
+             - ln((rc.rcnt + 1.0) / (CAST(tot.rt AS DOUBLE) + 4096.0)) AS lr
+      FROM rc LEFT JOIN tc USING (b), tot
+    ), w AS (
+      SELECT f.doc_id, count(*) AS nf, sum(lp.lr) AS lw
+      FROM f JOIN lp ON f.b = lp.b GROUP BY f.doc_id
+    ), scored AS (
+      SELECT d.doc_id, coalesce(w.lw, 0.0) AS lw
+      FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+    ), keyed AS (
+      SELECT doc_id,
+             lw - ln(-ln(
+               (CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 13))
+                     AS BIGINT) + 1.0) / 4503599627370497.0
+             )) AS gk
+      FROM scored
+    )
+    SELECT doc_id FROM keyed ORDER BY gk DESC, doc_id LIMIT 50
+    """,
+)
+def q_dsir_sample(spark, sf_dir):
+    """Gumbel-top-50 DSIR resample (seed 7, temperature 1): the selected
+    id set is a pure function of (seed, weights), so the oracle replays
+    the identical portable-md5 Gumbel draw and selection."""
+    from vamana_spark.operators import sampling
+
+    return sampling.dsir_sample(
+        _docs(spark, sf_dir), F.col("lang") == "en", n=50, seed=7
+    ).select("doc_id")
+
+
 # ======================================================================
 # ROTATION — driver-verification window management
 # ======================================================================
@@ -2690,11 +2809,12 @@ def q_semantic_dedup(spark, sf_dir):
 # dedup, surrogate-label nearest-centroid, ADC-kernel PQ path, the
 # verified-projection lsh_join oracle, the exact+invariant approx-
 # distinct oracle) — their r05 rows describe the old code; (3) the 3
-# always-on canaries; (4) the 19 queries whose latest row is r03
-# (3 rounds stale); (5) 16 of the 47 r04-row queries, leading with the
-# five whose search path sits on the r6-modified brute_topk_batch
-# margin re-rank. The 31 remaining r04-row queries rotate in r7; every
-# declared query still runs against the bit-strict local parity suite
+# always-on canaries, plus the two r6-NEW DSIR queries (never driver-
+# run); (4) the 19 queries whose latest row is r03 (3 rounds stale);
+# (5) 14 of the 47 r04-row queries, leading with the five whose search
+# path sits on the r6-modified brute_topk_batch margin re-rank. The 33
+# remaining r04-row queries rotate in r7; every declared query still
+# runs against the bit-strict local parity suite
 # (tests/test_oracle_parity.py) every round.
 _ROTATION_FRONT = [
     # (1) never driver-run
@@ -2704,6 +2824,8 @@ _ROTATION_FRONT = [
     "q_dup_groups", "q_minhash_pairs", "q_simhash_near_dups",
     "q_semantic_dedup", "q_nearest_centroid", "q_partitioned_pq",
     "q_lsh_join", "q_approx_distinct",
+    # new in r6 (DSIR importance resampling)
+    "q_dsir_weights", "q_dsir_sample",
     # (3) canaries (core surface, cheap, always verified)
     "q_scan_embeddings", "q_knn_exact", "q_dedup_exact",
     # (4) latest row r03
@@ -2719,7 +2841,6 @@ _ROTATION_FRONT = [
     "q_sessionize", "q_session_stats", "q_tpch_pricing",
     "q_tpch_join_agg", "q_top_customers", "q_order_priority",
     "q_part_supplier_volume", "q_regional_revenue", "q_media_meta",
-    "q_media_decode", "q_media_frames",
 ]
 
 
