@@ -318,3 +318,46 @@ def test_group_centroids_partial_agg(spark, sf_dir):
     # map-side partials: two HashAggregates around one exchange
     assert p.count("HashAggregate") >= 2 and "Exchange" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_dsir_weights_model_broadcasts_no_cross_product(spark, sf_dir):
+    """DSIR: the ≤num_buckets-row model table must broadcast into the
+    per-doc scoring join; the token stream never hits a cartesian and
+    the per-doc sum has map-side partials."""
+    from vamana_spark.operators.sampling import dsir_log_weights
+
+    df = dsir_log_weights(D._docs(spark, sf_dir), F.col("lang") == "en")
+    p = plan(df)
+    assert "CartesianProduct" not in p, p
+    # the only nested-loop allowed is the 1-row totals broadcast riding
+    # into the model projection (crossJoin of a single agg row) — count
+    # tree nodes, not the formatted-detail echoes
+    tree = p.split("\n\n")[0]
+    assert tree.count("BroadcastNestedLoopJoin") <= 1, p
+    assert "BroadcastHashJoin" in p, p
+    assert "partial_count" in p or p.count("HashAggregate") >= 2, p
+
+
+def test_search_pq_rerank_keeps_corpus_at_rest(spark, sf_dir):
+    """The PQ exact re-rank must never shuffle the base table: the only
+    exchanges after the cogroup carry candidate/query rows (keyed by
+    query_id or query_id+vec_id), not embeddings keyed by vec_id from a
+    corpus-wide dropDuplicates."""
+    from vamana_spark import VamanaParams
+    from vamana_spark.index.partitioned import PartitionedVamanaIndex
+
+    emb = D._emb(spark, sf_dir)
+    params = VamanaParams(dim=64, alpha=1.2, R=16, L=32, ef_search=50, seed=1)
+    pidx = PartitionedVamanaIndex.build(spark, emb, params, num_shards=4)
+    q = D._fixed_queries(emb, 50)
+    df = pidx.search_pq(
+        q.select(F.col("query_id"), F.col("query_vec")), k=5
+    )
+    p = plan(df)
+    assert "CartesianProduct" not in p, p
+    # the overlap dedupe of the OLD plan was a corpus-wide
+    # dropDuplicates([vec_id]) — an aggregate over the full shard table
+    # BEFORE any candidate filter. Its signature was a HashAggregate on
+    # keys [vec_id] alone; post-fix every dedupe aggregate keys on
+    # (query_id, vec_id).
+    assert not re.search(r"HashAggregate.*[Kk]eys=\[vec_id[#\d]*\]\s*$", p, re.M), p
