@@ -412,6 +412,19 @@ def _query_mix(timings: dict, extra: dict) -> None:
 
         timed("quality_pipeline", quality_pipeline)
 
+        # --- DSIR importance resampling (target = lang 'en')
+        def dsir():
+            from pyspark.sql import functions as SF
+
+            from vamana_spark.operators.sampling import dsir_sample
+            from vamana_spark.plans.declared import _docs
+
+            return dsir_sample(
+                _docs(spark, SF_DIR), SF.col("lang") == "en", n=500, seed=7
+            ).count()
+
+        timed("dsir_sample", dsir, warm=True)
+
         if cold:
             extra["cold_sec"] = cold
     finally:
