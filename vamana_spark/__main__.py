@@ -229,6 +229,42 @@ def cmd_sample(args) -> int:
     return 0
 
 
+def cmd_select(args) -> int:
+    """DSIR importance resampling toward a target subset: keep the n
+    documents whose hashed-ngram bag most resembles the target
+    distribution (Gumbel-top-n over the likelihood-ratio weights)."""
+    from pyspark.sql import functions as F
+
+    from vamana_spark.operators import sampling
+
+    spark = _spark("vamana-select")
+    docs = spark.read.parquet(args.input)
+    target = F.expr(args.target)
+    picked = sampling.dsir_sample(
+        docs,
+        target,
+        n=args.n,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        num_buckets=args.num_buckets,
+        seed=args.seed,
+        temperature=args.temperature,
+    ).select(args.id_col, "is_target", "log_weight")
+    out = docs.join(picked.select(args.id_col), args.id_col)
+    out.write.mode("overwrite").parquet(args.output)
+    n_tgt = picked.where("is_target").count()
+    print(
+        json.dumps(
+            {
+                "input_rows": docs.count(),
+                "selected_rows": out.count(),
+                "selected_target_rows": n_tgt,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_ivfpq(args) -> int:
     from vamana_spark.operators import quantization as qz
 
@@ -463,6 +499,22 @@ def main(argv=None) -> int:
     sm.add_argument("--id-col", dest="id_col", default="doc_id")
     sm.add_argument("--seed", type=int, default=42)
     sm.set_defaults(fn=cmd_sample)
+
+    sl = sub.add_parser("select")
+    sl.add_argument("--input", required=True)
+    sl.add_argument("--output", required=True)
+    sl.add_argument("--n", type=int, required=True)
+    sl.add_argument(
+        "--target", required=True,
+        help="boolean SQL expression over the input defining the target "
+             "subset, e.g. \"lang = 'en'\"",
+    )
+    sl.add_argument("--text-col", dest="text_col", default="text")
+    sl.add_argument("--id-col", dest="id_col", default="doc_id")
+    sl.add_argument("--num-buckets", dest="num_buckets", type=int, default=4096)
+    sl.add_argument("--seed", type=int, default=42)
+    sl.add_argument("--temperature", type=float, default=1.0)
+    sl.set_defaults(fn=cmd_select)
 
     iq = sub.add_parser("ivfpq")
     iq.add_argument("--input", required=True)
