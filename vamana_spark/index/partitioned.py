@@ -502,10 +502,12 @@ class PartitionedVamanaIndex:
 
         Per-shard kernel auto-switch: beam search costs ~ef·R distance
         comps per query; an exhaustive scan costs n_shard vectorized
-        comps and is exact. At ``n_shard ≤ brute_threshold`` (default
-        ef·R, the comp-count equivalence point) the shard task takes
-        the BLAS scan (``kernels.brute_topk_batch`` — IVF-flat
-        behavior, measured ~3× faster end-to-end at 250-pt shards);
+        comps and is exact. The default threshold is **4·ef·R**, not
+        the ef·R comp-count equivalence point: a BLAS comp is ~4-5×
+        cheaper than a gather-driven graph comp (measured at dim=64,
+        256-query batches: brute wins to n≈8k at ef·R=2048, graph wins
+        from n≈16k). Below the cap the shard task takes the BLAS scan
+        (``kernels.brute_topk_batch`` — IVF-flat behavior, and exact);
         past it, the lockstep batched beam kernel
         (``kernels.search_topk_batch``, the broadcast tier's kernel)
         walks the shard subgraph. Pass ``brute_threshold=0`` to force
@@ -517,7 +519,7 @@ class PartitionedVamanaIndex:
         metric_k = int(k)
         metric, mips_m = self.params.metric, self.params.mips_m
         brute_cap = (
-            int(ef * self.params.R)
+            4 * int(ef * self.params.R)
             if brute_threshold is None
             else int(brute_threshold)
         )
@@ -678,9 +680,12 @@ class PartitionedVamanaIndex:
         recipe the reference's paper cites (readme.md:3).
 
         Small shards take the exhaustive ADC scan instead of the graph
-        walk (``kernels.brute_topk_batch_adc``; same n ≤ ef·R
-        equivalence switch as ``search`` — see there), which returns
-        the best-possible shortlist for the shard. ``brute_threshold=0``
+        walk (``kernels.brute_topk_batch_adc``), which returns the
+        best-possible shortlist for the shard. The default switch is
+        **16·max(ef,k′)·R** — higher than the flat path's 4× because an
+        ADC "comp" is m uint8 LUT lookups, ~16-22× cheaper than a
+        gather-driven graph comp (measured: ADC brute wins to n≈32k at
+        ef·R=2048, graph wins from n≈64k). ``brute_threshold=0``
         forces the graph path.
 
         Memory shape: a shard task holds codes (n*m bytes) + codebooks
@@ -710,7 +715,7 @@ class PartitionedVamanaIndex:
         # recall is gated (>=0.8 ok-col + tests), not inferred.
         pk = max(k, min(kprime, 2 * -(-kprime // max(nprobe, 1))))
         brute_cap = (
-            int(max(ef, kprime) * self.params.R)
+            16 * int(max(ef, kprime) * self.params.R)
             if brute_threshold is None
             else int(brute_threshold)
         )
