@@ -1754,6 +1754,43 @@ def q_partitioned_cosine(spark, sf_dir):
     )
 
 
+@declare("q_partitioned_exact", _KNN_ORACLE)
+def q_partitioned_exact(spark, sf_dir):
+    """Exhaustive mode of the 100x serving tier is bit-exact: all-shard
+    probe with the brute (BLAS) per-shard kernel forced == the true
+    global top-10 (R10 over a partitioned corpus, vamana.h:492-546;
+    R14 oracle semantics). One hash-checked row verifies routing
+    coverage, shard cover of the corpus, overlap dedupe, and the
+    top-k merge together. dist is re-derived declaratively in double
+    from the returned (query, point) pairs so float32 kernel noise
+    can't break parity with the shared exact-kNN oracle."""
+    pidx = _built_partitioned(spark, sf_dir)
+    e = _emb(spark, sf_dir)
+    q = _fixed_queries(e, 25)
+    hits = pidx.search(q, k=10, brute_threshold=1 << 30).select(
+        "query_id", "vec_id"
+    )
+    qe = q.select(F.col("query_id").alias("qid"), F.col("query_vec").alias("_q"))
+    pe = e.select(F.col("vec_id").alias("pid"), F.col("embedding").alias("_p"))
+    d = (
+        hits.join(qe, hits.query_id == qe.qid)
+        .join(pe, hits.vec_id == pe.pid)
+        .select("query_id", "vec_id", squared_l2("_q", "_p").alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("dist", 4).alias("dist"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 @declare("q_broadcast_append")
 def q_broadcast_append(spark, sf_dir):
     """Broadcast-tier incremental insert (FreshDiskANN insert; the safe
