@@ -158,12 +158,18 @@ def mixture_sample(
 
 
 def _hashed_ngram_features(
-    df: DataFrame, text_col: str, id_col: str, num_buckets: int
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_buckets: int,
+    carry: list = (),
 ) -> DataFrame:
-    """(id, bucket) — one row per unigram/bigram OCCURRENCE, bucketed by
-    an engine-portable hash (md5 hex prefix, the sampling module's
-    convention — DuckDB computes the identical bucket, so anything
-    built on these features is oracle-able).
+    """(id, bucket[, *carry]) — one row per unigram/bigram OCCURRENCE,
+    bucketed by an engine-portable hash (md5 hex prefix, the sampling
+    module's convention — DuckDB computes the identical bucket, so
+    anything built on these features is oracle-able). ``carry`` names
+    narrow per-document columns to keep on each feature row — cheaper
+    than joining them back onto the (much wider) feature stream later.
 
     Map-only: tokenize, build bigrams JVM-side (``zip_with`` against the
     1-shifted token array), explode. No Python, no shuffle."""
@@ -179,12 +185,13 @@ def _hashed_ngram_features(
         lambda x: x.contains(" "),  # zip_with pads the tail with null -> concat_ws drops it
     )
     ng = F.explode(F.concat(toks, bigrams)).alias("_ng")
-    return df.select(F.col(id_col).alias("_fid"), ng).select(
+    return df.select(F.col(id_col).alias("_fid"), ng, *carry).select(
         "_fid",
         F.pmod(
             F.conv(F.substring(F.md5("_ng"), 1, 8), 16, 10).cast("long"),
             F.lit(int(num_buckets)),
         ).alias("_bucket"),
+        *carry,
     )
 
 
@@ -234,9 +241,11 @@ def dsir_log_weights(
         raise ValueError(f"smoothing must be positive (add-λ), got {smoothing}")
 
     base = df.select(F.col(id_col).alias("_fid"), target.alias("_is_tgt"), text_col)
-    feats = _hashed_ngram_features(base, text_col, "_fid", B)
-    flags = base.select("_fid", "_is_tgt")
-    ff = feats.join(F.broadcast(flags), "_fid")
+    # the target flag rides on each feature row (one boolean wide), so
+    # the model pass needs no doc-id join at all — a broadcast of
+    # per-doc flags would cap the corpus at driver memory
+    ff = _hashed_ngram_features(base, text_col, "_fid", B, carry=["_is_tgt"])
+    feats = ff.select("_fid", "_bucket")
 
     raw = ff.groupBy("_bucket").agg(F.count("*").alias("_rc"))
     tgt = ff.where(F.col("_is_tgt")).groupBy("_bucket").agg(
