@@ -103,10 +103,11 @@ def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
 def part_supplier_volume(
     lineitem: DataFrame, part: DataFrame, supplier: DataFrame
 ) -> DataFrame:
-    """Volume by part brand x supplier — two broadcast dim joins."""
+    """Volume by part brand x supplier — two dim joins (part/supplier
+    scale with SF, so the broadcast decision is left to AQE)."""
     return (
-        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("p_brand", "s_name")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("total_qty"),

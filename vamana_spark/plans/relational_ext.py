@@ -435,12 +435,13 @@ def q_asof_join(spark, sf_dir):
 )
 def q_shipping_priority(spark, sf_dir):
     """TPC-H Q3: top unshipped-revenue orders for one market segment.
-    Customer filter broadcast into the orders x lineitem join."""
+    Customer filter joins into the orders x lineitem join
+    (broadcast by AQE while it fits; no forced hint — customer scales)."""
     t = relational.load_tables(spark, sf_dir, "customer", "orders", "lineitem")
     c, o, li = t["customer"], t["orders"], t["lineitem"]
-    cb = F.broadcast(
-        c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    )
+    # customer scales with SF: no forced broadcast (AQE broadcasts it
+    # while it fits; the plan survives when it does not)
+    cb = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
         F.lit(1) - F.col("l_discount").cast("decimal(18,6)")
     )
@@ -523,7 +524,7 @@ def q_promo_revenue(spark, sf_dir):
             (F.col("l_shipdate") >= "1997-01-01")
             & (F.col("l_shipdate") < "1997-02-01")
         )
-        .join(F.broadcast(p.select("p_partkey", "p_type")),
+        .join(p.select("p_partkey", "p_type"),
               F.col("l_partkey") == F.col("p_partkey"))
     )
     agg = j.agg(
@@ -669,9 +670,9 @@ def q_nation_trade_volume(spark, sf_dir):
             o.where(F.year("o_orderdate") == 1998),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
-        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+        .join(c.select("c_custkey", "c_nationkey"),
               F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+        .join(s.select("s_suppkey", "s_nationkey"),
               F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n1), F.col("s_nk") == F.col("s_nationkey"))
         .join(F.broadcast(n2), F.col("c_nk") == F.col("c_nationkey"))
@@ -761,9 +762,7 @@ def q_returned_items(spark, sf_dir):
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(
-                c.select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
-            ),
+            c.select("c_custkey", "c_name", "c_nationkey", "c_acctbal"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(
@@ -823,7 +822,7 @@ def q_top_supplier(spark, sf_dir):
     return (
         per_supp.join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
         .join(
-            F.broadcast(s.select("s_suppkey", "s_name")),
+            s.select("s_suppkey", "s_name"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .select("s_suppkey", "s_name", "total_revenue")
@@ -860,9 +859,7 @@ def q_small_qty_revenue(spark, sf_dir):
     )
     return (
         li.join(
-            F.broadcast(
-                p.where(F.col("p_type") == "MEDIUM").select("p_partkey")
-            ),
+            p.where(F.col("p_type") == "MEDIUM").select("p_partkey"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(pa, F.col("pk") == F.col("l_partkey"))
@@ -923,7 +920,7 @@ def q_discounted_revenue(spark, sf_dir):
         & q.between(20, 35)
     )
     return (
-        li.join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(pf, F.col("l_partkey") == F.col("p_partkey"))
         .where(cond)
         .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
     )
@@ -963,7 +960,7 @@ def q_min_cost_supplier(spark, sf_dir):
     """TPC-H Q2 shape (correlated minimum): per part, the supplier with
     the lowest observed unit price, ties broken by supplier key. The
     correlated subquery becomes a per-part window rank; part and
-    supplier dims broadcast onto the winner rows."""
+    supplier dims joined onto the winner rows (size-scaling: no hint)."""
     t = relational.load_tables(spark, sf_dir, "lineitem", "part", "supplier")
     li, p, s = t["lineitem"], t["part"], t["supplier"]
     up = (
@@ -980,10 +977,10 @@ def q_min_cost_supplier(spark, sf_dir):
     best = up.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
     return (
         best.join(
-            F.broadcast(p.where(F.col("p_size") < 15)),
+            p.where(F.col("p_size") < 15),
             best["l_partkey"] == F.col("p_partkey"),
         )
-        .join(F.broadcast(s), best["l_suppkey"] == F.col("s_suppkey"))
+        .join(s, best["l_suppkey"] == F.col("s_suppkey"))
         .select(
             "p_partkey",
             "s_name",
@@ -1065,15 +1062,15 @@ def q_supplier_part_variety(spark, sf_dir):
     """TPC-H Q16 shape (distinct aggregate + NOT IN): how many distinct
     suppliers ship each (brand, type, size), excluding flagged suppliers
     (negative balance stands in for the complaints predicate). NOT IN
-    becomes a broadcast left-anti join."""
+    becomes a left-anti join (broadcast by AQE at small SF)."""
     t = relational.load_tables(spark, sf_dir, "lineitem", "part", "supplier")
     li, p, s = t["lineitem"], t["part"], t["supplier"]
     flagged = s.where(F.col("s_acctbal") < 0).select(
         F.col("s_suppkey").alias("l_suppkey")
     )
     return (
-        li.join(F.broadcast(flagged), "l_suppkey", "left_anti")
-        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(flagged, "l_suppkey", "left_anti")
+        .join(p, li["l_partkey"] == p["p_partkey"])
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
         .orderBy(
@@ -1118,7 +1115,7 @@ def q_sole_supplier_orders(spark, sf_dir):
             o.where(F.col("o_orderstatus") == "F").select("o_orderkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
         .groupBy("s_name")
         .agg(F.count_distinct("l_orderkey").cast("long").alias("n_orders"))
         .orderBy(F.col("n_orders").desc(), "s_name")
