@@ -784,6 +784,47 @@ def test_mixture_sample_fractions_and_stability(documents, spark):
     assert kept.count() == totals["src0"]
 
 
+def test_temperature_mixture_rebalances_toward_uniform(documents, spark):
+    totals = {
+        r["source"]: r["n"]
+        for r in documents.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    smallest = min(totals, key=totals.get)
+    out = sampling.temperature_mixture(documents, temperature=0.5)
+    by_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # the most-upweighted (smallest) group keeps every row
+    assert by_src.get(smallest) == totals[smallest]
+    # every other group is downsampled toward n_i^tau: expected kept
+    # count is n_i * (n_small/n_i)^(1-tau) = sqrt(n_small * n_i)
+    import math
+
+    for src, n in totals.items():
+        if src == smallest:
+            continue
+        expect = math.sqrt(totals[smallest] * n)
+        assert 0 < by_src.get(src, 0) <= n
+        assert abs(by_src[src] - expect) <= max(6, 0.35 * expect)
+    # tau=1 is the identity
+    assert (
+        sampling.temperature_mixture(documents, temperature=1.0).count()
+        == documents.count()
+    )
+    # membership is layout-independent
+    ids_a = {r.doc_id for r in out.select("doc_id").collect()}
+    ids_b = {
+        r.doc_id
+        for r in sampling.temperature_mixture(
+            documents.repartition(7), temperature=0.5
+        ).select("doc_id").collect()
+    }
+    assert ids_a == ids_b
+    with pytest.raises(ValueError):
+        sampling.temperature_mixture(documents, temperature=0.0)
+
+
 def test_dsir_weights_tilt_toward_planted_target(spark):
     # target docs share a distinctive vocabulary; raw docs don't. DSIR
     # weights must rank every target-vocab doc above every off-vocab doc.

@@ -75,3 +75,31 @@ def test_cli_clean_ppl_band_keeps_short_docs(spark, tmp_path, capsys):
     assert out["output_rows"] == 3  # the 1-token doc survived
     kept = {r.doc_id for r in spark.read.parquet(dst).collect()}
     assert 1 in kept
+
+
+def test_cli_sample_temperature(spark, tmp_path, capsys):
+    """sample --temperature derives per-source keep-rates from observed
+    counts (n_i^(tau-1) scaled so the smallest source keeps all)."""
+    import json
+
+    from vamana_spark.__main__ import main
+
+    src = str(tmp_path / "tm_in")
+    dst = str(tmp_path / "tm_out")
+    rows = [(i, "big" if i < 90 else "small", f"doc {i}") for i in range(100)]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.parquet(src)
+    rc = main(["sample", "--input", src, "--output", dst,
+               "--temperature", "0.5"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    kept = spark.read.parquet(dst)
+    by = {r["source"]: r["n"]
+          for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by.get("small") == 10          # smallest source keeps every row
+    assert 0 < by.get("big", 0) < 90      # big source is downsampled
+    assert out["sample_rows"] == kept.count()
+    # --n still required for the other modes
+    with pytest.raises(SystemExit):
+        main(["sample", "--input", src, "--output", dst])

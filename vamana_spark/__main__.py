@@ -10,8 +10,9 @@ search → recall, main.cpp:33-168) plus the pipeline operators:
   dedup   --input docs.parquet --output out.parquet [--mode exact|minhash|spans|semantic]
   decontaminate --train tr.parquet --test te.parquet --output out.parquet
                 [--n 8 --max-shingle-docs N]
-  sample  --input docs.parquet --output out.parquet --n N
-          [--weight-col col | --strata-col col | (uniform top-n)]
+  sample  --input docs.parquet --output out.parquet
+          [--n N [--weight-col col | --strata-col col | (uniform top-n)]
+           | --temperature T [--group-col col]]
   ivfpq   --input emb.parquet --queries q.parquet --output out.parquet
           [--k --num-lists --nprobe --m --ksub]
   range   --input emb.parquet --queries q.parquet --output out.parquet
@@ -212,7 +213,17 @@ def cmd_sample(args) -> int:
 
     spark = _spark("vamana-sample")
     docs = spark.read.parquet(args.input)
-    if args.weight_col:
+    if args.temperature is not None:
+        out = sampling.temperature_mixture(
+            docs,
+            args.temperature,
+            group_col=args.group_col,
+            id_col=args.id_col,
+            seed=args.seed,
+        )
+    elif args.n is None:
+        raise SystemExit("sample: --n is required unless --temperature is given")
+    elif args.weight_col:
         out = sampling.weighted_sample(
             docs, args.n, args.weight_col, id_col=args.id_col, seed=args.seed
         )
@@ -493,9 +504,11 @@ def main(argv=None) -> int:
     sm = sub.add_parser("sample")
     sm.add_argument("--input", required=True)
     sm.add_argument("--output", required=True)
-    sm.add_argument("--n", type=int, required=True)
+    sm.add_argument("--n", type=int, default=None)
     sm.add_argument("--weight-col", dest="weight_col", default=None)
     sm.add_argument("--strata-col", dest="strata_col", default=None)
+    sm.add_argument("--temperature", type=float, default=None)
+    sm.add_argument("--group-col", dest="group_col", default="source")
     sm.add_argument("--id-col", dest="id_col", default="doc_id")
     sm.add_argument("--seed", type=int, default=42)
     sm.set_defaults(fn=cmd_sample)

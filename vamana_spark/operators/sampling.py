@@ -157,6 +157,61 @@ def mixture_sample(
     return df.where(prefix < expr)
 
 
+def temperature_mixture(
+    df: DataFrame,
+    temperature: float,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-scaled source rebalancing — the multilingual-corpus
+    recipe (sample group i with probability ∝ n_i^τ, mBERT/XLM-R/mT5
+    style): per-group keep-rate ``f_i = n_i^(τ-1) / max_j n_j^(τ-1)``,
+    so the most-upweighted (smallest) group keeps every row, ``τ=1``
+    is the identity, and ``τ→0`` flattens the mix toward uniform over
+    groups. Unlike :func:`mixture_sample` the fractions are derived
+    from the observed group sizes, not supplied.
+
+    Membership is the module's engine-portable md5 draw (hex-prefix
+    threshold), so the selected set is stable under repartitioning /
+    appends and reproducible by a SQL oracle. Thresholds are computed
+    declaratively — no driver collect.
+
+    100 TB shape: one count aggregation whose output cardinality is
+    the number of sources (map-side partials, tiny shuffle) feeds a
+    #groups-row threshold table that broadcasts onto a scan-filter;
+    the corpus itself never shuffles. Group cardinality is assumed
+    small (named sources) — the same assumption
+    :func:`mixture_sample`'s CASE expression makes.
+    """
+    tau = float(temperature)
+    if tau <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    rates = counts.select(
+        group_col, F.pow(F.col("_n").cast("double"), F.lit(tau - 1.0)).alias("_r")
+    )
+    mx = rates.agg(F.max("_r").alias("_rmax"))
+    scaled = F.floor(F.col("_r") / F.col("_rmax") * F.lit(float(16**8))).cast(
+        "long"
+    )
+    thrs = (
+        rates.crossJoin(F.broadcast(mx))
+        .select(
+            group_col,
+            F.when(scaled >= 16**8, F.lit("g"))
+            .otherwise(F.lpad(F.lower(F.hex(scaled)), 8, "0"))
+            .alias("_thr"),
+        )
+    )
+    prefix = F.substring(_hash_order(id_col, seed), 1, 8)
+    return (
+        df.join(F.broadcast(thrs), group_col)
+        .where(prefix < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
 def _hashed_ngram_features(
     df: DataFrame,
     text_col: str,

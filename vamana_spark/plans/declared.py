@@ -1512,8 +1512,8 @@ def q_part_supplier_volume(spark, sf_dir):
     t = relational.load_tables(spark, sf_dir, "lineitem", "part", "supplier")
     return (
         t["lineitem"]
-        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("p_brand", "s_name")
         .agg(
             F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double"), 2).alias("total_qty"),
@@ -2402,6 +2402,38 @@ def q_mixture_sample(spark, sf_dir):
 
 
 @declare(
+    "q_temperature_mixture",
+    r"""
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY source
+    ), rates AS (
+      SELECT source, pow(n, -0.5) AS r FROM counts
+    ), thr AS (
+      SELECT source,
+             CASE WHEN CAST(floor(r / (SELECT max(r) FROM rates) * 4294967296.0) AS BIGINT) >= 4294967296
+                  THEN 'g'
+                  ELSE lpad(lower(to_hex(CAST(floor(r / (SELECT max(r) FROM rates) * 4294967296.0) AS BIGINT))), 8, '0')
+             END AS t
+      FROM rates
+    )
+    SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source)
+    WHERE substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) < t
+    """,
+)
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled source rebalancing at τ=0.5 (sample group i
+    ∝ n_i^τ — the multilingual-corpus recipe): keep-rates derived from
+    observed group sizes, applied through the engine-portable md5
+    draw. Fully declarative — #sources-row threshold table broadcast
+    onto a scan-filter; the corpus never shuffles."""
+    from vamana_spark.operators import sampling
+
+    return sampling.temperature_mixture(
+        _docs(spark, sf_dir), temperature=0.5
+    ).select("doc_id", "source")
+
+
+@declare(
     "q_dup_spans",
     r"""
     WITH t AS (
@@ -2846,11 +2878,12 @@ def q_dsir_sample(spark, sf_dir):
 # dedup, surrogate-label nearest-centroid, ADC-kernel PQ path, the
 # verified-projection lsh_join oracle, the exact+invariant approx-
 # distinct oracle) — their r05 rows describe the old code; (3) the 3
-# always-on canaries, plus the two r6-NEW DSIR queries (never driver-
-# run); (4) the 19 queries whose latest row is r03 (3 rounds stale);
-# (5) 14 of the 47 r04-row queries, leading with the five whose search
-# path sits on the r6-modified brute_topk_batch margin re-rank. The 33
-# remaining r04-row queries rotate in r7; every declared query still
+# always-on canaries, plus the four r6-NEW queries (DSIR weights +
+# sample, exact-mode partitioned serving, temperature mixture — never
+# driver-run); (4) the 19 queries whose latest row is r03 (3 rounds
+# stale); (5) 12 of the 47 r04-row queries, leading with the five whose
+# search path sits on the r6-modified brute_topk_batch margin re-rank.
+# The 35 remaining r04-row queries rotate in r7; every declared query still
 # runs against the bit-strict local parity suite
 # (tests/test_oracle_parity.py) every round.
 _ROTATION_FRONT = [
@@ -2861,8 +2894,10 @@ _ROTATION_FRONT = [
     "q_dup_groups", "q_minhash_pairs", "q_simhash_near_dups",
     "q_semantic_dedup", "q_nearest_centroid", "q_partitioned_pq",
     "q_lsh_join", "q_approx_distinct",
-    # new in r6 (DSIR importance resampling)
+    # new in r6 (DSIR importance resampling; exact-mode partitioned
+    # serving; temperature-scaled source rebalancing)
     "q_dsir_weights", "q_dsir_sample",
+    "q_partitioned_exact", "q_temperature_mixture",
     # (3) canaries (core surface, cheap, always verified)
     "q_scan_embeddings", "q_knn_exact", "q_dedup_exact",
     # (4) latest row r03
@@ -2877,7 +2912,7 @@ _ROTATION_FRONT = [
     "q_index_delete", "q_knn_ip",
     "q_sessionize", "q_session_stats", "q_tpch_pricing",
     "q_tpch_join_agg", "q_top_customers", "q_order_priority",
-    "q_part_supplier_volume", "q_regional_revenue", "q_media_meta",
+    "q_part_supplier_volume",
 ]
 
 
