@@ -178,6 +178,24 @@ def test_build_is_deterministic(spark, embeddings):
     assert a.params.medoid == b.params.medoid
 
 
+def test_build_tier_overflow_reroutes_to_sharded(spark, embeddings, monkeypatch):
+    """When Catalyst's free plan-size estimate undershoots, the
+    broadcast-tier guard's post-pull check (_TierOverflow) must still
+    route the build to the sharded tier instead of building past the
+    ceiling."""
+    from vamana_spark.index import vamana as V
+
+    monkeypatch.setattr(
+        V.VamanaIndex, "_plan_size_bytes", staticmethod(lambda df: 1)
+    )
+    # ceiling below the actual point-set pull -> overflow fires
+    monkeypatch.setattr(V.VamanaIndex, "BROADCAST_TIER_MAX_BYTES", 64 * 4 * 100)
+    params = VamanaParams(dim=64, alpha=1.2, R=16, L=32, ef_search=32, seed=42)
+    idx = VamanaIndex.build(spark, embeddings, params)
+    assert idx.params.num_shards >= 2  # really took the sharded tier
+    assert idx.graph_df.count() == embeddings.count()
+
+
 def test_ip_metric_index_recall(spark, embeddings, queries):
     """Inner-product graph search via the exact MIPS->L2 reduction
     (augmented data component sqrt(M^2-||x||^2), query component 0):

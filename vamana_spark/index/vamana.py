@@ -55,6 +55,16 @@ SEARCH_SCHEMA = (
 DENSE_BUILD_MAX = 20_000
 
 
+class _TierOverflow(Exception):
+    """Raised by _build_single when the ACTUAL pulled point set exceeds
+    the broadcast-tier ceiling (the free plan-size estimate undershot);
+    build() catches it and routes to the sharded tier."""
+
+    def __init__(self, n: int):
+        super().__init__(f"{n} points exceed the broadcast-tier ceiling")
+        self.n = n
+
+
 def _build_graph_kernel(P, params: VamanaParams):
     if P.shape[0] <= DENSE_BUILD_MAX:
         return kernels.build_vamana_dense(P, params.R, params.alpha, params.seed)
@@ -143,11 +153,23 @@ class VamanaIndex:
             # the driver; past the broadcast-tier ceiling that's a driver
             # OOM, so route to the sharded tier instead of attempting it.
             # Mirrors the search-side guard in _load_local.
-            n_est = pts.count()
-            if n_est * params.dim * 4 > VamanaIndex.BROADCAST_TIER_MAX_BYTES:
-                params.num_shards = max(2, -(-n_est // DENSE_BUILD_MAX))
-            else:
-                return VamanaIndex._build_single(spark, pts, params)
+            #
+            # Fast path: Catalyst's plan-size estimate is free (no job).
+            # Float embedding columns barely compress, so the estimate
+            # tracks in-memory size closely; trust it only with a 4x
+            # margin, and _build_single re-checks the ACTUAL pulled size
+            # (_TierOverflow) so a pathological estimate still routes to
+            # the sharded tier instead of building past the ceiling.
+            est = VamanaIndex._plan_size_bytes(pts)
+            if est is None or est * 4 > VamanaIndex.BROADCAST_TIER_MAX_BYTES:
+                n_est = pts.count()  # slow path: exact guard
+                if n_est * params.dim * 4 > VamanaIndex.BROADCAST_TIER_MAX_BYTES:
+                    params.num_shards = max(2, -(-n_est // DENSE_BUILD_MAX))
+            if params.num_shards <= 1:
+                try:
+                    return VamanaIndex._build_single(spark, pts, params)
+                except _TierOverflow as ov:
+                    params.num_shards = max(2, -(-ov.n // DENSE_BUILD_MAX))
         # sharded tier: ordinals assigned distributedly (partition-offset
         # scheme — no single-task global window)
         pts = assign_ordinals(pts, "vec_id", "ordinal")
@@ -168,6 +190,11 @@ class VamanaIndex:
                 "VamanaIndex.build: no input rows (after dimension filter "
                 f"size(embedding) == {params.dim})"
             )
+        if len(pdf) * params.dim * 4 > VamanaIndex.BROADCAST_TIER_MAX_BYTES:
+            # the plan-size estimate undershot (pathologically
+            # compressible embeddings): hand back to build() for the
+            # sharded tier rather than building past the ceiling
+            raise _TierOverflow(len(pdf))
         pdf = pdf.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
         pdf["ordinal"] = np.arange(len(pdf), dtype=np.int64)
         P = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
@@ -429,6 +456,17 @@ class VamanaIndex:
     # soft ceiling for the broadcast tier: past this, loading the matrix on
     # the driver / broadcasting per-executor stops being the right design
     BROADCAST_TIER_MAX_BYTES = 2 * 1024**3
+
+    @staticmethod
+    def _plan_size_bytes(df: DataFrame):
+        """Catalyst's size estimate for the plan — free (no Spark job).
+        None when the JVM call fails (exotic plan nodes)."""
+        try:
+            return int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            return None
 
     def _load_local(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         """(P, ids, indptr, nbrs) — the broadcastable in-memory form."""
