@@ -361,3 +361,22 @@ def test_search_pq_rerank_keeps_corpus_at_rest(spark, sf_dir):
     # keys [vec_id] alone; post-fix every dedupe aggregate keys on
     # (query_id, vec_id).
     assert not re.search(r"HashAggregate.*[Kk]eys=\[vec_id[#\d]*\]\s*$", p, re.M), p
+
+
+def test_temperature_mixture_corpus_never_shuffles(spark, sf_dir):
+    """temperature_mixture: the corpus side must be a scan + broadcast
+    threshold filter — the only aggregation is the #sources-row count
+    (map-side partials), and the corpus never enters an exchange wider
+    than that."""
+    from vamana_spark.operators.sampling import temperature_mixture
+
+    df = temperature_mixture(D._docs(spark, sf_dir), temperature=0.5)
+    p = plan(df)
+    assert "CartesianProduct" not in p, p
+    # thresholds broadcast onto the scan
+    assert "BroadcastHashJoin" in p, p
+    # no sort-merge / shuffle-hash join of the corpus anywhere
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+    # the 1-row max(rate) rides in as the single nested-loop broadcast
+    tree = p.split("\n\n")[0]
+    assert tree.count("BroadcastNestedLoopJoin") <= 1, p
