@@ -418,6 +418,22 @@ def q_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(e, _fixed_queries(e, 50), k=10, num_lists=8, nprobe=4)
 
 
+@declare("q_ivf_exact", _KNN_ORACLE)
+def q_ivf_exact(spark, sf_dir):
+    """IVF exhaustive-probe mode is bit-exact: ``nprobe == num_lists``
+    scans every list, so the probe routing + list equi-join + partial
+    top-k merge must reproduce the exact-kNN DuckDB oracle — the
+    correctness anchor under X3's approximate (nprobe < num_lists)
+    path, same pattern as q_partitioned_exact."""
+    e = _emb(spark, sf_dir)
+    out = similarity.ivf_topk(
+        e, _fixed_queries(e, 25), k=10, num_lists=8, nprobe=8
+    )
+    return out.select(
+        "query_id", "vec_id", "dist", F.col("rank").cast("int").alias("rank")
+    )
+
+
 _COS_AB_SQL = (
     "1.0 - list_sum(list_transform(list_zip(a.embedding, b.embedding),"
     " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
@@ -2881,7 +2897,7 @@ def q_dsir_sample(spark, sf_dir):
 # always-on canaries, plus the four r6-NEW queries (DSIR weights +
 # sample, exact-mode partitioned serving, temperature mixture — never
 # driver-run); (4) the 19 queries whose latest row is r03 (3 rounds
-# stale); (5) 12 of the 47 r04-row queries, leading with the five whose
+# stale); (5) 11 of the 47 r04-row queries, leading with the five whose
 # search path sits on the r6-modified brute_topk_batch margin re-rank.
 # The 35 remaining r04-row queries rotate in r7; every declared query still
 # runs against the bit-strict local parity suite
@@ -2897,7 +2913,7 @@ _ROTATION_FRONT = [
     # new in r6 (DSIR importance resampling; exact-mode partitioned
     # serving; temperature-scaled source rebalancing)
     "q_dsir_weights", "q_dsir_sample",
-    "q_partitioned_exact", "q_temperature_mixture",
+    "q_partitioned_exact", "q_temperature_mixture", "q_ivf_exact",
     # (3) canaries (core surface, cheap, always verified)
     "q_scan_embeddings", "q_knn_exact", "q_dedup_exact",
     # (4) latest row r03
@@ -2912,7 +2928,6 @@ _ROTATION_FRONT = [
     "q_index_delete", "q_knn_ip",
     "q_sessionize", "q_session_stats", "q_tpch_pricing",
     "q_tpch_join_agg", "q_top_customers", "q_order_priority",
-    "q_part_supplier_volume",
 ]
 
 
