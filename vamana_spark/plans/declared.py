@@ -1833,15 +1833,10 @@ def q_broadcast_append(spark, sf_dir):
     ).withColumn("ok", F.col("ok") & F.lit(n_appended_hits > 0))
 
 
-@declare("q_index_append")
-def q_index_append(spark, sf_dir):
-    """Incremental maintenance (reference AddPoint-after-build,
-    vamana.h:98-135 made safe): build the partitioned index on 80% of
-    the vectors, add_points() the held-out 20%, then report per-query
-    recall@10 over the FULL set — appended points must be findable
-    (rows-only; avg recall additionally asserted ≥ 0.8 in
-    tests/test_partitioned.py)."""
-    from vamana_spark import quality
+def _appended_pidx(spark, sf_dir):
+    """Cached: partitioned index built on 80% of the vectors with the
+    held-out 20% add_points()-ed in — shared by the recall gate
+    (q_index_append) and the membership oracle (q_append_membership)."""
     from vamana_spark.index.partitioned import PartitionedVamanaIndex, add_points
 
     key = (spark.sparkContext.applicationId, sf_dir, "append")
@@ -1853,7 +1848,37 @@ def q_index_append(spark, sf_dir):
         )
         _PIDX_CACHE[key] = add_points(base, e.where(F.col("vec_id") % 5 == 0))
         _PIDX_CACHE[key].shards_df = _PIDX_CACHE[key].shards_df.cache()
-    pidx = _PIDX_CACHE[key]
+    return _PIDX_CACHE[key]
+
+
+def _deleted_idx(spark, sf_dir):
+    """Cached: broadcast-tier index built on the full set with 10% of
+    the ids delete_points()-ed — shared by the recall gate
+    (q_index_delete) and the membership oracle (q_delete_membership)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "delete")
+    if key not in _INDEX_CACHE:
+        from vamana_spark.index import VamanaIndex
+
+        e = _emb(spark, sf_dir)
+        params = VamanaParams(dim=64, alpha=1.2, R=32, L=64, ef_search=100, seed=42)
+        idx = VamanaIndex.build(spark, e, params)
+        _INDEX_CACHE[key] = idx.delete_points(
+            e.where(F.col("vec_id") % 10 == 3).select("vec_id")
+        )
+    return _INDEX_CACHE[key]
+
+
+@declare("q_index_append")
+def q_index_append(spark, sf_dir):
+    """Incremental maintenance (reference AddPoint-after-build,
+    vamana.h:98-135 made safe): build the partitioned index on 80% of
+    the vectors, add_points() the held-out 20%, then report per-query
+    recall@10 over the FULL set — appended points must be findable
+    (rows-only; avg recall additionally asserted ≥ 0.8 in
+    tests/test_partitioned.py)."""
+    from vamana_spark import quality
+
+    pidx = _appended_pidx(spark, sf_dir)
     e = _emb(spark, sf_dir)
     q = _fixed_queries(e, 25)
     res = pidx.search(q, k=10)
@@ -1874,17 +1899,7 @@ def q_index_delete(spark, sf_dir):
     bound additionally asserted in tests/test_index.py)."""
     from vamana_spark import quality
 
-    key = (spark.sparkContext.applicationId, sf_dir, "delete")
-    if key not in _INDEX_CACHE:
-        from vamana_spark.index import VamanaIndex
-
-        e = _emb(spark, sf_dir)
-        params = VamanaParams(dim=64, alpha=1.2, R=32, L=64, ef_search=100, seed=42)
-        idx = VamanaIndex.build(spark, e, params)
-        _INDEX_CACHE[key] = idx.delete_points(
-            e.where(F.col("vec_id") % 10 == 3).select("vec_id")
-        )
-    idx2 = _INDEX_CACHE[key]
+    idx2 = _deleted_idx(spark, sf_dir)
     e = _emb(spark, sf_dir)
     q = _fixed_queries(e, 25)
     remaining = e.where(~(F.col("vec_id") % 10 == 3))
@@ -1894,6 +1909,47 @@ def q_index_delete(spark, sf_dir):
     return quality.recall_with_ok(
         res, exact.exact_knn(remaining, q, k=10), k=10
     ).withColumn("ok", F.col("ok") & F.lit(n_deleted_hits == 0))
+
+
+@declare(
+    "q_append_membership",
+    """
+    SELECT vec_id, round(CAST(embedding[1] AS DOUBLE), 6) AS e0
+    FROM embeddings
+    """,
+)
+def q_append_membership(spark, sf_dir):
+    """The append DATA path is lossless: after build-on-80% +
+    add_points() of the held-out 20%, the distinct stored
+    (vec_id, first component) pairs equal the source table bit-for-bit
+    (float32→double cast is exact on both engines; overlap copies
+    collapse under distinct). Graph navigability after the append is
+    separately gated by q_index_append — this row pins storage
+    integrity with a hash oracle."""
+    pidx = _appended_pidx(spark, sf_dir)
+    return pidx.shards_df.select(
+        "vec_id",
+        F.round(F.col("embedding").getItem(0).cast("double"), 6).alias("e0"),
+    ).distinct()
+
+
+@declare(
+    "q_delete_membership",
+    """
+    SELECT vec_id, round(CAST(embedding[1] AS DOUBLE), 6) AS e0
+    FROM embeddings WHERE vec_id % 10 <> 3
+    """,
+)
+def q_delete_membership(spark, sf_dir):
+    """Delete really removes rows from storage — and ONLY those rows:
+    the surviving (vec_id, first component) set equals the source
+    minus the deleted ids, hash-matched. Graph repair quality is
+    separately gated by q_index_delete."""
+    idx2 = _deleted_idx(spark, sf_dir)
+    return idx2.points_df.select(
+        "vec_id",
+        F.round(F.col("embedding").getItem(0).cast("double"), 6).alias("e0"),
+    )
 
 
 @declare(
@@ -2897,7 +2953,7 @@ def q_dsir_sample(spark, sf_dir):
 # always-on canaries, plus the four r6-NEW queries (DSIR weights +
 # sample, exact-mode partitioned serving, temperature mixture — never
 # driver-run); (4) the 19 queries whose latest row is r03 (3 rounds
-# stale); (5) 11 of the 47 r04-row queries, leading with the five whose
+# stale); (5) 9 of the 47 r04-row queries, leading with the five whose
 # search path sits on the r6-modified brute_topk_batch margin re-rank.
 # The 35 remaining r04-row queries rotate in r7; every declared query still
 # runs against the bit-strict local parity suite
@@ -2914,6 +2970,7 @@ _ROTATION_FRONT = [
     # serving; temperature-scaled source rebalancing)
     "q_dsir_weights", "q_dsir_sample",
     "q_partitioned_exact", "q_temperature_mixture", "q_ivf_exact",
+    "q_append_membership", "q_delete_membership",
     # (3) canaries (core surface, cheap, always verified)
     "q_scan_embeddings", "q_knn_exact", "q_dedup_exact",
     # (4) latest row r03
@@ -2927,7 +2984,7 @@ _ROTATION_FRONT = [
     "q_partitioned_ann", "q_partitioned_recall", "q_index_append",
     "q_index_delete", "q_knn_ip",
     "q_sessionize", "q_session_stats", "q_tpch_pricing",
-    "q_tpch_join_agg", "q_top_customers", "q_order_priority",
+    "q_tpch_join_agg",
 ]
 
 
