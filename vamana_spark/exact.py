@@ -78,10 +78,16 @@ def exact_knn(
     the fixed dimension is known/enforced) switches the distance to its
     unrolled form — bit-identical, ~2x cheaper per row.
     """
+    from vamana_spark.functions.util import ensure_parallelism
+
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_qv")
     )
-    p = points.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_pv"))
+    # the |P|x|Q| distance projection is the CPU-bound stage: floor the
+    # points-side parallelism (no-op on healthy multi-split layouts)
+    p = ensure_parallelism(
+        points.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_pv"))
+    )
     # queries side is the small one by construction — broadcast it so the
     # points scan never shuffles.
     joined = p.crossJoin(F.broadcast(q))
@@ -116,7 +122,10 @@ def exact_knn_batch(
     Stage 1 (map-side, zero shuffle): each points-partition computes its
     local top-k per query with one BLAS call; emits |Q|*k rows/partition.
     Stage 2: window-merge the partials per query. The full |Q|x|P| cross
-    product never exists as a distributed dataset.
+    product never exists as a distributed dataset. No parallelism
+    floor here (unlike exact_knn): the per-partition GEMM amortizes
+    best over LARGE point blocks — measured 2x slower when a
+    single-split local input was round-robined into 32 slivers.
     """
     spark = points.sparkSession
     qrows = (

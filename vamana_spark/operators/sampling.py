@@ -276,13 +276,14 @@ def dsir_log_weights(
       n_feats 0 for empty/whitespace-only documents.
 
     100 TB shape: two map-only featurization passes feed (a) the model —
-    two groupBy-bucket counts whose cardinality is capped at
-    ``num_buckets`` (map-side partials, then a tiny shuffle), joined
-    into a ≤num_buckets-row log-ratio table that BROADCASTS — and
-    (b) the per-document score, a broadcast-join + one map-side-
-    combinable groupBy(id) sum. No shuffle ever carries the token
-    stream keyed by anything wider than (bucket) or (id); the corpus
-    text itself is read twice and moved zero times.
+    ONE fused groupBy-bucket aggregate (raw count + conditional target
+    sum in the same map-side partials; post-shuffle cardinality capped
+    at ``num_buckets``) whose checkpointed result also yields the grand
+    totals, becoming a ≤num_buckets-row log-ratio table that
+    BROADCASTS — and (b) the per-document score, a broadcast-join + one
+    map-side-combinable groupBy(id) sum. No shuffle ever carries the
+    token stream keyed by anything wider than (bucket) or (id); the
+    corpus text itself is read twice and moved zero times.
 
     Determinism: bucket hash, counts, and log-ratio arithmetic are all
     engine-portable (md5 buckets; double log arithmetic) — a DuckDB
@@ -295,27 +296,39 @@ def dsir_log_weights(
     if lam <= 0:
         raise ValueError(f"smoothing must be positive (add-λ), got {smoothing}")
 
-    base = df.select(F.col(id_col).alias("_fid"), target.alias("_is_tgt"), text_col)
+    from vamana_spark.functions.util import ensure_parallelism
+
+    # tokenize+md5 featurization is the CPU-bound stage (run twice):
+    # floor the input parallelism (no-op on healthy multi-split layouts)
+    base = ensure_parallelism(
+        df.select(F.col(id_col).alias("_fid"), target.alias("_is_tgt"), text_col)
+    )
     # the target flag rides on each feature row (one boolean wide), so
     # the model pass needs no doc-id join at all — a broadcast of
     # per-doc flags would cap the corpus at driver memory
     ff = _hashed_ngram_features(base, text_col, "_fid", B, carry=["_is_tgt"])
     feats = ff.select("_fid", "_bucket")
 
-    raw = ff.groupBy("_bucket").agg(F.count("*").alias("_rc"))
-    tgt = ff.where(F.col("_is_tgt")).groupBy("_bucket").agg(
-        F.count("*").alias("_tc")
+    # ONE corpus pass fits the whole model: per-bucket raw and target
+    # counts land in the same map-side-combinable aggregate (target =
+    # conditional sum), and the ≤num_buckets-row result is checkpointed
+    # eagerly so the grand totals derive from the in-hand table instead
+    # of replaying the featurization scan — the corpus is featurized
+    # exactly twice total (model + scoring), down from four evaluations
+    # (raw, target, totals, scoring)
+    bucket_counts = (
+        ff.groupBy("_bucket")
+        .agg(
+            F.count("*").alias("_rc"),
+            F.sum(F.when(F.col("_is_tgt"), 1).otherwise(0)).alias("_tc"),
+        )
+        .localCheckpoint(eager=True)
     )
-    # every doc feature exists in the raw counts by construction, so the
-    # raw side is the spine; smoothing handles target-absent buckets
     model = (
-        raw.join(tgt, "_bucket", "left")
-        .na.fill({"_tc": 0})
-        .crossJoin(
+        bucket_counts.crossJoin(
             F.broadcast(
-                ff.agg(
-                    F.count("*").alias("_rt"),
-                    F.sum(F.when(F.col("_is_tgt"), 1).otherwise(0)).alias("_tt"),
+                bucket_counts.agg(
+                    F.sum("_rc").alias("_rt"), F.sum("_tc").alias("_tt")
                 )
             )
         )
