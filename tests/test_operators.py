@@ -583,6 +583,19 @@ def test_interval_join(spark):
         points, intervals, ["user_id"], "ts", "start_ts", "end_ts"
     ).collect()
     assert [(r.event_id, r.name) for r in out] == [(100, "w1")]
+    # non-hour widths must stay aligned across the two sides (the old
+    # date_trunc('hour') form dropped matches for any other bucket)
+    for bucket in ("30 minutes", "2 hours", "45 minutes"):
+        got = interval_join(
+            points, intervals, ["user_id"], "ts", "start_ts", "end_ts",
+            bucket=bucket,
+        ).collect()
+        assert [(r.event_id, r.name) for r in got] == [(100, "w1")], bucket
+    with pytest.raises(ValueError):
+        interval_join(
+            points, intervals, ["user_id"], "ts", "start_ts", "end_ts",
+            bucket="0 seconds",
+        )
 
 
 def test_lsh_bucket_cap_no_quadratic_blowup(spark):

@@ -109,26 +109,34 @@ def interval_join(
     """Point-in-interval join, bucketized so it's an EQUI-join.
 
     Naive form is a non-equi join (cross product per key). Instead both
-    sides explode onto time buckets of width >= the max interval length:
-    an interval [s, e] lands in every bucket it overlaps; a point lands
-    in one. The join key becomes (key, bucket) and the residual
-    ``s <= ts <= e`` filter runs post-join — the standard scalable range
-    join (Spark's own storage-partitioned range joins use the same idea).
+    sides map onto integer bucket ids of width ``bucket`` (any pandas-
+    parseable offset: "1 hour", "30 minutes", "2 days"): an interval
+    [s, e] explodes onto every bucket it overlaps; a point lands in
+    one. The join key becomes (key, bucket_id) and the residual
+    ``s <= ts <= e`` filter runs post-join — the standard scalable
+    range join (Spark's own storage-partitioned range joins use the
+    same idea). Bucket ids are ``floor(unix_ts / width)`` on BOTH
+    sides, so any width stays aligned (the earlier date_trunc('hour')
+    form silently dropped matches for non-hour widths).
+
+    Cost: interval rows replicate ceil(len/width)+1 times — pick the
+    bucket near the typical interval length; correctness never depends
+    on the choice.
     """
+    import pandas as pd
+
     key_cols = list(key_cols)
-    b = F.expr(f"INTERVAL {bucket}")
-    pts = points.select(
-        "*", F.date_trunc("hour", F.col(point_ts)).alias("_bucket")
-    )
+    secs = int(pd.Timedelta(bucket).total_seconds())
+    if secs <= 0:
+        raise ValueError(f"bucket must be a positive duration, got {bucket!r}")
+
+    def _bid(c: str):
+        return F.floor(F.unix_timestamp(F.col(c)) / F.lit(secs)).cast("long")
+
+    pts = points.select("*", _bid(point_ts).alias("_bucket"))
     ivs = intervals.select(
         "*",
-        F.explode(
-            F.sequence(
-                F.date_trunc("hour", F.col(start_ts)),
-                F.date_trunc("hour", F.col(end_ts)),
-                b,
-            )
-        ).alias("_bucket"),
+        F.explode(F.sequence(_bid(start_ts), _bid(end_ts))).alias("_bucket"),
     )
     joined = pts.join(ivs, key_cols + ["_bucket"])
     return joined.where(

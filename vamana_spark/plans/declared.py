@@ -2953,7 +2953,7 @@ def q_dsir_sample(spark, sf_dir):
 # always-on canaries, plus the four r6-NEW queries (DSIR weights +
 # sample, exact-mode partitioned serving, temperature mixture — never
 # driver-run); (4) the 19 queries whose latest row is r03 (3 rounds
-# stale); (5) 9 of the 47 r04-row queries, leading with the five whose
+# stale); (5) 8 of the 47 r04-row queries, leading with the five whose
 # search path sits on the r6-modified brute_topk_batch margin re-rank.
 # The 35 remaining r04-row queries rotate in r7; every declared query still
 # runs against the bit-strict local parity suite
@@ -2970,7 +2970,7 @@ _ROTATION_FRONT = [
     # serving; temperature-scaled source rebalancing)
     "q_dsir_weights", "q_dsir_sample",
     "q_partitioned_exact", "q_temperature_mixture", "q_ivf_exact",
-    "q_append_membership", "q_delete_membership",
+    "q_append_membership", "q_delete_membership", "q_interval_join",
     # (3) canaries (core surface, cheap, always verified)
     "q_scan_embeddings", "q_knn_exact", "q_dedup_exact",
     # (4) latest row r03
@@ -2984,7 +2984,6 @@ _ROTATION_FRONT = [
     "q_partitioned_ann", "q_partitioned_recall", "q_index_append",
     "q_index_delete", "q_knn_ip",
     "q_sessionize", "q_session_stats", "q_tpch_pricing",
-    "q_tpch_join_agg",
 ]
 
 

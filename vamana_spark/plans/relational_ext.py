@@ -410,6 +410,41 @@ def q_asof_join(spark, sf_dir):
     return out.select("event_id", "user_id", "asof_signup_event")
 
 
+@declare(
+    "q_interval_join",
+    """
+    SELECT c.event_id, c.user_id, s.event_id AS signup_event
+    FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+    JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup') s
+      ON c.user_id = s.user_id
+     AND c.ts >= s.ts AND c.ts <= s.ts + INTERVAL 2 HOUR
+    """,
+)
+def q_interval_join(spark, sf_dir):
+    """Point-in-interval (range) join — clicks within 2 hours after a
+    signup, per user. The engine's bucketized equi-join form
+    (operators/temporal.py: (key, floor(ts/width)) join + residual
+    filter — never a per-key cross product) vs DuckDB's native
+    inequality join as the oracle."""
+    from vamana_spark.operators.temporal import interval_join
+
+    e = _events(spark, sf_dir)
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    signups = e.where(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+        F.col("event_id").alias("signup_event"),
+    )
+    out = interval_join(
+        clicks, signups, ["user_id"], "ts", "start_ts", "end_ts",
+        bucket="2 hours",
+    )
+    return out.select("event_id", "user_id", "signup_event")
+
+
 # ------------------------------------------------------- TPC-H classics
 # (adapted to the driver schema: no partsupp/shipmode/phone columns)
 
