@@ -820,11 +820,22 @@ def test_temperature_mixture_rebalances_toward_uniform(documents, spark):
         expect = math.sqrt(totals[smallest] * n)
         assert 0 < by_src.get(src, 0) <= n
         assert abs(by_src[src] - expect) <= max(6, 0.35 * expect)
-    # tau=1 is the identity
+    # tau=1 is the identity — including rows whose group is NULL (a
+    # plain equi-join on the group would silently drop them)
+    with_null = documents.withColumn(
+        "source",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(F.col("source")),
+    )
     assert (
-        sampling.temperature_mixture(documents, temperature=1.0).count()
+        sampling.temperature_mixture(with_null, temperature=1.0).count()
         == documents.count()
     )
+    nulls_kept = (
+        sampling.temperature_mixture(with_null, temperature=0.5)
+        .where(F.col("source").isNull())
+        .count()
+    )
+    assert nulls_kept > 0  # the NULL group participates, not dropped
     # membership is layout-independent
     ids_a = {r.doc_id for r in out.select("doc_id").collect()}
     ids_b = {

@@ -103,3 +103,7 @@ def test_cli_sample_temperature(spark, tmp_path, capsys):
     # --n still required for the other modes
     with pytest.raises(SystemExit):
         main(["sample", "--input", src, "--output", dst])
+    # conflicting modes are rejected, not silently overridden
+    with pytest.raises(SystemExit):
+        main(["sample", "--input", src, "--output", dst,
+              "--temperature", "0.5", "--n", "10"])

@@ -214,6 +214,11 @@ def cmd_sample(args) -> int:
     spark = _spark("vamana-sample")
     docs = spark.read.parquet(args.input)
     if args.temperature is not None:
+        if args.n is not None or args.weight_col or args.strata_col:
+            raise SystemExit(
+                "sample: --temperature cannot be combined with --n, "
+                "--weight-col, or --strata-col"
+            )
         out = sampling.temperature_mixture(
             docs,
             args.temperature,

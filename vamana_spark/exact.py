@@ -89,7 +89,9 @@ def exact_knn(
         points.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_pv"))
     )
     # queries side is the small one by construction — broadcast it so the
-    # points scan never shuffles.
+    # join itself never shuffles the points (the floor above may have
+    # round-robined a single-split input once; multi-split inputs move
+    # zero times).
     joined = p.crossJoin(F.broadcast(q))
     if exclude_self:
         joined = joined.where(F.col("vec_id") != F.col("query_id"))

@@ -157,9 +157,10 @@ class VamanaIndex:
             # Fast path: Catalyst's plan-size estimate is free (no job).
             # Float embedding columns barely compress, so the estimate
             # tracks in-memory size closely; trust it only with a 4x
-            # margin, and _build_single re-checks the ACTUAL pulled size
-            # (_TierOverflow) so a pathological estimate still routes to
-            # the sharded tier instead of building past the ceiling.
+            # margin, and _build_single's pull is CAPPED at the
+            # ceiling's row budget (_TierOverflow past it) so a
+            # pathological underestimate can neither OOM the driver nor
+            # build past the ceiling — it routes to the sharded tier.
             est = VamanaIndex._plan_size_bytes(pts)
             if est is None or est * 4 > VamanaIndex.BROADCAST_TIER_MAX_BYTES:
                 n_est = pts.count()  # slow path: exact guard
@@ -168,8 +169,13 @@ class VamanaIndex:
             if params.num_shards <= 1:
                 try:
                     return VamanaIndex._build_single(spark, pts, params)
-                except _TierOverflow as ov:
-                    params.num_shards = max(2, -(-ov.n // DENSE_BUILD_MAX))
+                except _TierOverflow:
+                    # rare path (estimate undershot): the capped pull
+                    # saw only cap+1 rows, so size the shards from the
+                    # real count
+                    params.num_shards = max(
+                        2, -(-pts.count() // DENSE_BUILD_MAX)
+                    )
         # sharded tier: ordinals assigned distributedly (partition-offset
         # scheme — no single-task global window)
         pts = assign_ordinals(pts, "vec_id", "ordinal")
@@ -184,16 +190,20 @@ class VamanaIndex:
         that fits in one process. The (vec_id, ordinal) map rides back
         out as a broadcast-joined mapping, so points_df keeps the exact
         schema and semantics of the sharded tier."""
-        pdf = pts.toPandas()
+        # BOUNDED pull: cap the collect at the ceiling's row budget +1.
+        # When the input fits, limit() returns every row (no selection
+        # happens); when the plan-size estimate undershot
+        # (pathologically compressible embeddings), the pull stops at
+        # cap+1 rows instead of OOMing the driver, and the overflow
+        # hands the build back to the sharded tier.
+        cap_rows = VamanaIndex.BROADCAST_TIER_MAX_BYTES // (params.dim * 4)
+        pdf = pts.limit(cap_rows + 1).toPandas()
         if pdf.empty:
             raise ValueError(
                 "VamanaIndex.build: no input rows (after dimension filter "
                 f"size(embedding) == {params.dim})"
             )
-        if len(pdf) * params.dim * 4 > VamanaIndex.BROADCAST_TIER_MAX_BYTES:
-            # the plan-size estimate undershot (pathologically
-            # compressible embeddings): hand back to build() for the
-            # sharded tier rather than building past the ceiling
+        if len(pdf) > cap_rows:
             raise _TierOverflow(len(pdf))
         pdf = pdf.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
         pdf["ordinal"] = np.arange(len(pdf), dtype=np.int64)

@@ -205,10 +205,17 @@ def temperature_mixture(
         )
     )
     prefix = F.substring(_hash_order(id_col, seed), 1, 8)
+    # null-safe equality: a NULL group is a group like any other (its
+    # count row exists — groupBy keeps NULL keys), so NULL-source rows
+    # must match their threshold rather than be dropped by a plain
+    # equi-join; without this, τ=1 would not be the identity
+    thrs = thrs.withColumnRenamed(group_col, "_tm_g")
     return (
-        df.join(F.broadcast(thrs), group_col)
+        df.join(
+            F.broadcast(thrs), F.col(group_col).eqNullSafe(F.col("_tm_g"))
+        )
         .where(prefix < F.col("_thr"))
-        .drop("_thr")
+        .drop("_thr", "_tm_g")
     )
 
 
@@ -311,26 +318,26 @@ def dsir_log_weights(
 
     # ONE corpus pass fits the whole model: per-bucket raw and target
     # counts land in the same map-side-combinable aggregate (target =
-    # conditional sum), and the ≤num_buckets-row result is checkpointed
-    # eagerly so the grand totals derive from the in-hand table instead
-    # of replaying the featurization scan — the corpus is featurized
-    # exactly twice total (model + scoring), down from four evaluations
-    # (raw, target, totals, scoring)
-    bucket_counts = (
-        ff.groupBy("_bucket")
-        .agg(
-            F.count("*").alias("_rc"),
-            F.sum(F.when(F.col("_is_tgt"), 1).otherwise(0)).alias("_tc"),
-        )
-        .localCheckpoint(eager=True)
+    # conditional sum), and the grand totals come from a whole-table
+    # window over that ≤num_buckets-row result — one extra single-task
+    # pass over ≤num_buckets rows, never a corpus replay. The whole
+    # model stays a LAZY plan (no checkpoint): composing the DataFrame
+    # costs nothing, and executor loss recomputes through normal
+    # lineage. The corpus is featurized exactly twice total
+    # (model + scoring), down from four evaluations (raw, target,
+    # totals, scoring).
+    bucket_counts = ff.groupBy("_bucket").agg(
+        F.count("*").alias("_rc"),
+        F.sum(F.when(F.col("_is_tgt"), 1).otherwise(0)).alias("_tc"),
     )
+    wtot = Window.partitionBy()
     model = (
-        bucket_counts.crossJoin(
-            F.broadcast(
-                bucket_counts.agg(
-                    F.sum("_rc").alias("_rt"), F.sum("_tc").alias("_tt")
-                )
-            )
+        bucket_counts.select(
+            "_bucket",
+            "_rc",
+            "_tc",
+            F.sum("_rc").over(wtot).alias("_rt"),
+            F.sum("_tc").over(wtot).alias("_tt"),
         )
         .select(
             "_bucket",

@@ -2955,7 +2955,7 @@ def q_dsir_sample(spark, sf_dir):
 # driver-run); (4) the 19 queries whose latest row is r03 (3 rounds
 # stale); (5) 8 of the 47 r04-row queries, leading with the five whose
 # search path sits on the r6-modified brute_topk_batch margin re-rank.
-# The 35 remaining r04-row queries rotate in r7; every declared query still
+# The 39 remaining r04-row queries rotate in r7; every declared query still
 # runs against the bit-strict local parity suite
 # (tests/test_oracle_parity.py) every round.
 _ROTATION_FRONT = [
