@@ -2953,9 +2953,9 @@ def q_dsir_sample(spark, sf_dir):
 # always-on canaries, plus the four r6-NEW queries (DSIR weights +
 # sample, exact-mode partitioned serving, temperature mixture — never
 # driver-run); (4) the 19 queries whose latest row is r03 (3 rounds
-# stale); (5) 8 of the 47 r04-row queries, leading with the five whose
+# stale); (5) the five r04-row queries whose
 # search path sits on the r6-modified brute_topk_batch margin re-rank.
-# The 39 remaining r04-row queries rotate in r7; every declared query still
+# The 42 remaining r04-row queries (and r03-stale q_top_users) rotate in r7; every declared query still
 # runs against the bit-strict local parity suite
 # (tests/test_oracle_parity.py) every round.
 _ROTATION_FRONT = [
@@ -2971,6 +2971,8 @@ _ROTATION_FRONT = [
     "q_dsir_weights", "q_dsir_sample",
     "q_partitioned_exact", "q_temperature_mixture", "q_ivf_exact",
     "q_append_membership", "q_delete_membership", "q_interval_join",
+    "q_market_share", "q_profit_by_nation", "q_ship_delay_class",
+    "q_bulk_part_suppliers",
     # (3) canaries (core surface, cheap, always verified)
     "q_scan_embeddings", "q_knn_exact", "q_dedup_exact",
     # (4) latest row r03
@@ -2979,11 +2981,10 @@ _ROTATION_FRONT = [
     "q_dup_clusters", "q_corpus_dedup", "q_stratified_sample",
     "q_train_test_split", "q_contamination", "q_weighted_sample",
     "q_embedding_near_dups", "q_scalar_quantize", "q_sq_knn", "q_pq_knn",
-    "q_ivfpq_knn", "q_events_hourly", "q_top_users",
+    "q_ivfpq_knn", "q_events_hourly",
     # (5) latest row r04 — brute_topk_batch-dependent first
     "q_partitioned_ann", "q_partitioned_recall", "q_index_append",
     "q_index_delete", "q_knn_ip",
-    "q_sessionize", "q_session_stats", "q_tpch_pricing",
 ]
 
 

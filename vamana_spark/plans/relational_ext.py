@@ -1156,3 +1156,203 @@ def q_sole_supplier_orders(spark, sf_dir):
         .orderBy(F.col("n_orders").desc(), "s_name")
         .limit(20)
     )
+
+
+@declare(
+    "q_market_share",
+    """
+    WITH rev AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(l_extendedprice AS DECIMAL(18,6))
+               * (1 - CAST(l_discount AS DECIMAL(18,6))) AS r,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region   ON cn.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE r_name = 'ASIA'
+    )
+    SELECT yr,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN r ELSE 0 END)
+                      AS DOUBLE), 2) AS nation_rev,
+           round(CAST(sum(r) AS DOUBLE), 2) AS total_rev,
+           round(round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN r ELSE 0 END)
+                            AS DOUBLE), 2)
+                 / round(CAST(sum(r) AS DOUBLE), 2), 6) AS mkt_share
+    FROM rev GROUP BY yr
+    """,
+)
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (market share): of the revenue sold to customers
+    in one region, the fraction supplied by one nation, per order year.
+    Two nation roles (customer-side, supplier-side) join as separate
+    aliases; the share divides the two ROUNDED decimal sums (the Q14
+    convention) so both engines divide bit-identical doubles."""
+    t = relational.load_tables(
+        spark, sf_dir,
+        "lineitem", "orders", "customer", "supplier", "nation", "region",
+    )
+    li, o, c, s = t["lineitem"], t["orders"], t["customer"], t["supplier"]
+    cn = t["nation"].select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    sn = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    r = t["region"].where(F.col("r_name") == "ASIA").select("r_regionkey")
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,6)")
+    )
+    j = (
+        li.join(o.select("o_orderkey", "o_custkey", "o_orderdate"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
+        .join(s.select("s_suppkey", "s_nationkey"),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    agg = j.groupBy(F.year("o_orderdate").cast("int").alias("yr")).agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0))
+            ).cast("double"),
+            2,
+        ).alias("nation_rev"),
+        F.round(F.sum(rev).cast("double"), 2).alias("total_rev"),
+    )
+    return agg.select(
+        "yr",
+        "nation_rev",
+        "total_rev",
+        F.round(F.col("nation_rev") / F.col("total_rev"), 6).alias("mkt_share"),
+    )
+
+
+@declare(
+    "q_profit_by_nation",
+    """
+    SELECT sn.n_name AS nation, CAST(year(o_orderdate) AS INT) AS yr,
+           round(CAST(sum(
+             CAST(l_extendedprice AS DECIMAL(18,6))
+               * (1 - CAST(l_discount AS DECIMAL(18,6)))
+             - CAST(l_quantity AS DECIMAL(18,6))
+               * CAST(p_retailprice AS DECIMAL(18,6))
+           ) AS DOUBLE), 2) AS margin
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def q_profit_by_nation(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit by nation and year). The
+    schema ships no partsupp, so cost-of-goods is proxied by the
+    list-price value (p_retailprice x quantity) — margin = revenue
+    minus list value; all money stays in DECIMAL(18,6) products summed
+    exactly on both engines."""
+    t = relational.load_tables(
+        spark, sf_dir, "lineitem", "orders", "part", "supplier", "nation"
+    )
+    li, o, p, s = t["lineitem"], t["orders"], t["part"], t["supplier"]
+    sn = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+    )
+    margin = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,6)")
+    ) - F.col("l_quantity").cast("decimal(18,6)") * F.col(
+        "p_retailprice"
+    ).cast("decimal(18,6)")
+    return (
+        li.join(o.select("o_orderkey", "o_orderdate"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(p.where(F.col("p_name").like("%widget%"))
+               .select("p_partkey", "p_retailprice"),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(s.select("s_suppkey", "s_nationkey"),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(
+            F.col("nation"), F.year("o_orderdate").cast("int").alias("yr")
+        )
+        .agg(F.round(F.sum(margin).cast("double"), 2).alias("margin"))
+    )
+
+
+@declare(
+    "q_ship_delay_class",
+    """
+    SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
+                THEN 'slow' ELSE 'fast' END AS ship_class,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def q_ship_delay_class(spark, sf_dir):
+    """TPC-H Q12 shape (shipmode priority counts): the schema has no
+    l_shipmode, so lineitems class as fast/slow by ship delay
+    (>60 days after the order date); high- vs low-priority line counts
+    per class. Midnight-aligned timestamps make datediff and DuckDB's
+    date_diff('day') agree exactly."""
+    t = relational.load_tables(spark, sf_dir, "lineitem", "orders")
+    li, o = t["lineitem"], t["orders"]
+    cls = F.when(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60, "slow"
+    ).otherwise("fast")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(cls.alias("ship_class"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@declare(
+    "q_bulk_part_suppliers",
+    """
+    SELECT s_name FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%widget%' AND l_shipdate >= DATE '1997-01-01'
+      GROUP BY l_suppkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 800
+    )
+    """,
+)
+def q_bulk_part_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (nested IN over a grouped HAVING): suppliers who
+    moved bulk volume of one part family in a window. The IN-subquery
+    becomes a left-semi join onto the HAVING-filtered aggregate; the
+    quantity sum stays decimal so the threshold cut is exact on both
+    engines."""
+    t = relational.load_tables(spark, sf_dir, "lineitem", "part", "supplier")
+    li, p, s = t["lineitem"], t["part"], t["supplier"]
+    bulk = (
+        li.where(F.col("l_shipdate") >= "1997-01-01")
+        .join(p.where(F.col("p_name").like("%widget%")).select("p_partkey"),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("_q"))
+        .where(F.col("_q") > 800)
+        .select("l_suppkey")
+    )
+    return s.join(
+        bulk, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_name")
