@@ -116,6 +116,37 @@ def _make_shard_packer(
     return pack
 
 
+def _collision_free_group_keys(spark, n_keys: int, n_buckets: int) -> list:
+    """Pick ``n_keys`` ints whose shuffle buckets
+    (``pmod(murmur3(x), n_buckets)`` — exactly what HashPartitioning
+    computes for an int group key) are pairwise distinct, so each
+    applyInPandas group gets its own task. Asking Spark itself for the
+    hashes (one tiny local-range job) guarantees bit-agreement with the
+    partitioner. Falls back to identity when n_buckets < n_keys
+    (collisions are then unavoidable and also harmless — with more
+    groups than buckets every task has work)."""
+    if n_buckets < n_keys:
+        return list(range(n_keys))
+    pool = max(64 * n_keys, 256)
+    rows = (
+        spark.range(pool)
+        .select(
+            F.col("id").cast("int").alias("k"),
+            F.pmod(F.hash(F.col("id").cast("int")), F.lit(n_buckets)).alias("b"),
+        )
+        .collect()
+    )
+    seen: set = set()
+    keys: list = []
+    for r in rows:
+        if r["b"] not in seen:
+            seen.add(r["b"])
+            keys.append(int(r["k"]))
+            if len(keys) == n_keys:
+                return keys
+    return list(range(n_keys))
+
+
 def _ef_for_shard(ef: int, k: int, n: int) -> int:
     """Cap the per-shard beam at what the subgraph can use.
 
@@ -270,7 +301,9 @@ class PartitionedVamanaIndex:
                 _metric_transform as _mt,
             )
 
-            shard = int(key[0])
+            # grouped by the collision-free salt key; the true shard id
+            # rides on the rows
+            shard = int(pdf["shard"].iloc[0])
             pdf = pdf.sort_values("vec_id").reset_index(drop=True)
             P = _mt(
                 np.stack(pdf["embedding"].to_numpy()).astype(np.float32),
@@ -291,9 +324,43 @@ class PartitionedVamanaIndex:
                 }
             )
 
-        shards_df = assigned.groupBy("shard").applyInPandas(
-            build_shard, schema=out_schema
+        # Collision-free task spread: applyInPandas hash-partitions the
+        # group key, and Murmur3 over a handful of small shard ids
+        # routinely lands two shards in one shuffle bucket — which runs
+        # their CPU-heavy kernels SERIALLY in one task. The shard id is
+        # internal, so group on a salt key chosen (per the session's
+        # shuffle-partition count) to give every shard its own bucket.
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        salt = _collision_free_group_keys(spark, num_shards, n_buckets)
+        salt_expr = F.element_at(
+            F.array(*[F.lit(int(s)) for s in salt]), F.col("shard") + 1
         )
+        shards_df = (
+            assigned.withColumn("_gkey", salt_expr)
+            .groupBy("_gkey")
+            .applyInPandas(build_shard, schema=out_schema)
+        )
+        # Materialize the shard kernels NOW with AQE partition
+        # coalescing off: each group is CPU-BOUND (a dense Vamana build)
+        # but only ~MBs of shuffle bytes, so AQE's size-based coalescing
+        # fuses several shard kernels into one task and serializes them
+        # (measured 17.4s -> 8.5s at 25k/8 shards). The conf toggle is
+        # scoped to this materialization; the cached result keeps plain
+        # lineage, so recomputation after block loss stays correct
+        # (merely re-planned with coalescing back on).
+        prev = spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true"
+        )
+        try:
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.enabled", "false"
+            )
+            shards_df = shards_df.cache()
+            shards_df.count()
+        finally:
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.enabled", prev
+            )
         params.n = pts.count()
         params.num_shards = num_shards
         params.shard_overlap = overlap
