@@ -849,6 +849,31 @@ def test_temperature_mixture_rebalances_toward_uniform(documents, spark):
         sampling.temperature_mixture(documents, temperature=0.0)
 
 
+def test_shuffle_export_deterministic_order(documents, spark):
+    out = sampling.shuffle_export(documents, num_shards=8)
+    rows = {(r.doc_id): (r.shard, r.pos) for r in out.collect()}
+    assert len(rows) == documents.count()
+    # positions are dense 0..n_s-1 within each shard
+    by_shard = {}
+    for _, (sh, pos) in rows.items():
+        by_shard.setdefault(sh, []).append(pos)
+    for sh, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), sh
+    # shards are roughly balanced (md5 uniformity)
+    sizes = [len(v) for v in by_shard.values()]
+    assert len(by_shard) == 8 and max(sizes) < 2.5 * min(sizes)
+    # identical assignment + order under a different partition layout
+    rows_b = {
+        r.doc_id: (r.shard, r.pos)
+        for r in sampling.shuffle_export(
+            documents.repartition(7), num_shards=8
+        ).collect()
+    }
+    assert rows == rows_b
+    with pytest.raises(ValueError):
+        sampling.shuffle_export(documents, num_shards=0)
+
+
 def test_dsir_weights_tilt_toward_planted_target(spark):
     # target docs share a distinctive vocabulary; raw docs don't. DSIR
     # weights must rank every target-vocab doc above every off-vocab doc.

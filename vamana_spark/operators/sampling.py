@@ -157,6 +157,40 @@ def mixture_sample(
     return df.where(prefix < expr)
 
 
+def shuffle_export(
+    df: DataFrame,
+    num_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic global training-order: assign every row to one of
+    ``num_shards`` shards and an intra-shard position, both pure
+    functions of (seed, id) — the export step that turns a curated
+    corpus into training shards whose order is reproducible across
+    runs, engines, and partition layouts (no ``orderBy(rand())``).
+
+    Returns the input columns + ``shard`` (int) + ``pos`` (0-based
+    long within the shard, ordered by the md5 draw).
+
+    100 TB shape: one shuffle keyed by shard (uniform by construction —
+    md5 buckets), then a per-shard window rank; no global sort ever.
+    Feed the result to ``sinks.write_parquet_sized`` partitioned by
+    ``shard`` to land one file set per shard.
+    """
+    S = int(num_shards)
+    if S <= 0:
+        raise ValueError(f"num_shards must be positive, got {num_shards}")
+    hk = _hash_order(id_col, seed)
+    shard = F.pmod(
+        F.conv(F.substring(hk, 1, 8), 16, 10).cast("long"), F.lit(S)
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy(hk, F.col(id_col))
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("long") - 1)
+    )
+
+
 def temperature_mixture(
     df: DataFrame,
     temperature: float,

@@ -2474,6 +2474,36 @@ def q_mixture_sample(spark, sf_dir):
 
 
 @declare(
+    "q_shuffle_export",
+    r"""
+    WITH h AS (
+      SELECT doc_id,
+             md5('42:' || CAST(doc_id AS VARCHAR)) AS hk
+      FROM documents
+    ), s AS (
+      SELECT doc_id, hk,
+             CAST(CAST(('0x' || substr(hk, 1, 8)) AS BIGINT) % 8 AS INT) AS shard
+      FROM h
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY hk, doc_id) - 1
+                AS BIGINT) AS pos
+    FROM s
+    """,
+)
+def q_shuffle_export(spark, sf_dir):
+    """Deterministic training-order export: shard assignment + intra-
+    shard position, both pure functions of (seed, id) via the portable
+    md5 draw — reproducible across engines and partition layouts. One
+    shard-keyed shuffle + per-shard window; never a global sort."""
+    from vamana_spark.operators import sampling
+
+    return sampling.shuffle_export(_docs(spark, sf_dir), num_shards=8).select(
+        "doc_id", "shard", "pos"
+    )
+
+
+@declare(
     "q_temperature_mixture",
     r"""
     WITH counts AS (
@@ -2972,9 +3002,10 @@ _ROTATION_FRONT = [
     "q_partitioned_exact", "q_temperature_mixture", "q_ivf_exact",
     "q_append_membership", "q_delete_membership", "q_interval_join",
     "q_market_share", "q_profit_by_nation", "q_ship_delay_class",
-    "q_bulk_part_suppliers",
-    # (3) canaries (core surface, cheap, always verified)
-    "q_scan_embeddings", "q_knn_exact", "q_dedup_exact",
+    "q_bulk_part_suppliers", "q_shuffle_export",
+    # (3) canaries (core surface, cheap, always verified; the trivial
+    # scan canary yielded its slot to a never-run query this round)
+    "q_knn_exact", "q_dedup_exact",
     # (4) latest row r03
     "q_token_entropy", "q_token_chunks", "q_random_vectors",
     "q_token_histogram", "q_tfidf_top_terms", "q_ngram_jaccard",
