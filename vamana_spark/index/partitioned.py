@@ -63,7 +63,9 @@ def _make_shard_packer(
 
         from vamana_spark.index.vamana import _metric_transform
 
-        shard = int(key[0])
+        # grouped on the collision-free salt key; the true shard id
+        # rides on the rows
+        shard = int(pdf["shard"].iloc[0])
         pdf = pdf.sort_values("local_ord").reset_index(drop=True)
         P = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
         P = _metric_transform(P, metric, mips_m)
@@ -145,6 +147,21 @@ def _collision_free_group_keys(spark, n_keys: int, n_buckets: int) -> list:
             if len(keys) == n_keys:
                 return keys
     return list(range(n_keys))
+
+
+def _salted_by_shard(spark, df: DataFrame, num_shards: int) -> DataFrame:
+    """``df`` + a ``_gkey`` column mapping each 0..num_shards-1 shard id
+    to a collision-free group key for the session's shuffle-partition
+    count, so ``groupBy("_gkey").applyInPandas`` runs one CPU-heavy
+    shard kernel per task (see ``_collision_free_group_keys``)."""
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    salt = _collision_free_group_keys(spark, num_shards, n_buckets)
+    return df.withColumn(
+        "_gkey",
+        F.element_at(
+            F.array(*[F.lit(int(s)) for s in salt]), F.col("shard") + 1
+        ),
+    )
 
 
 def _ef_for_shard(ef: int, k: int, n: int) -> int:
@@ -330,13 +347,8 @@ class PartitionedVamanaIndex:
         # their CPU-heavy kernels SERIALLY in one task. The shard id is
         # internal, so group on a salt key chosen (per the session's
         # shuffle-partition count) to give every shard its own bucket.
-        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-        salt = _collision_free_group_keys(spark, num_shards, n_buckets)
-        salt_expr = F.element_at(
-            F.array(*[F.lit(int(s)) for s in salt]), F.col("shard") + 1
-        )
         shards_df = (
-            assigned.withColumn("_gkey", salt_expr)
+            _salted_by_shard(spark, assigned, num_shards)
             .groupBy("_gkey")
             .applyInPandas(build_shard, schema=out_schema)
         )
@@ -378,19 +390,40 @@ class PartitionedVamanaIndex:
                 # saved pack on disk: skip the per-shard stack/CSR/PQ-train
                 packed = self.spark.read.parquet(self._packed_paths[key])
             else:
-                packed = self.shards_df.groupBy("shard").applyInPandas(
-                    _make_shard_packer(
-                        mode,
-                        pq_m,
-                        pq_ksub,
-                        int(self.params.seed),
-                        self.params.metric,
-                        self.params.mips_m,
-                    ),
-                    schema=_PACK_SCHEMA,
+                # same one-kernel-per-task treatment as the build: PQ
+                # packing trains per-shard codebooks (CPU-heavy, ~MB
+                # groups), so spread via salt keys and materialize with
+                # AQE coalescing off
+                packed = (
+                    _salted_by_shard(
+                        self.spark, self.shards_df, self.params.num_shards
+                    )
+                    .groupBy("_gkey")
+                    .applyInPandas(
+                        _make_shard_packer(
+                            mode,
+                            pq_m,
+                            pq_ksub,
+                            int(self.params.seed),
+                            self.params.metric,
+                            self.params.mips_m,
+                        ),
+                        schema=_PACK_SCHEMA,
+                    )
                 )
             packed = packed.persist()
-            packed.count()  # materialize so every search reuses the blocks
+            prev = self.spark.conf.get(
+                "spark.sql.adaptive.coalescePartitions.enabled", "true"
+            )
+            try:
+                self.spark.conf.set(
+                    "spark.sql.adaptive.coalescePartitions.enabled", "false"
+                )
+                packed.count()  # materialize so every search reuses the blocks
+            finally:
+                self.spark.conf.set(
+                    "spark.sql.adaptive.coalescePartitions.enabled", prev
+                )
             self._packed[key] = packed
         return self._packed[key]
 
@@ -1043,7 +1076,9 @@ def add_points(
     def build_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
         from vamana_spark.index.vamana import _metric_transform as _mt
 
-        shard = int(key[0])
+        # grouped on the collision-free salt key; the true shard id
+        # rides on the rows (same spread fix as build())
+        shard = int(pdf["shard"].iloc[0])
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         P = _mt(
             np.stack(pdf["embedding"].to_numpy()).astype(np.float32),
@@ -1064,7 +1099,11 @@ def add_points(
             }
         )
 
-    rebuilt = rebuild_input.groupBy("shard").applyInPandas(build_shard, schema=out_schema)
+    rebuilt = (
+        _salted_by_shard(spark, rebuild_input, params.num_shards)
+        .groupBy("_gkey")
+        .applyInPandas(build_shard, schema=out_schema)
+    )
     untouched = index.shards_df.where(~F.col("shard").isin(touched))
     new_shards = untouched.unionByName(rebuilt)
 
@@ -1124,7 +1163,9 @@ def delete_points(
     def build_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
         from vamana_spark.index.vamana import _metric_transform as _mt
 
-        shard = int(key[0])
+        # grouped on the collision-free salt key; the true shard id
+        # rides on the rows (same spread fix as build())
+        shard = int(pdf["shard"].iloc[0])
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         P = _mt(
             np.stack(pdf["embedding"].to_numpy()).astype(np.float32),
@@ -1145,7 +1186,11 @@ def delete_points(
             }
         )
 
-    rebuilt = survivors.groupBy("shard").applyInPandas(build_shard, schema=out_schema)
+    rebuilt = (
+        _salted_by_shard(spark, survivors, params.num_shards)
+        .groupBy("_gkey")
+        .applyInPandas(build_shard, schema=out_schema)
+    )
     untouched = index.shards_df.where(~F.col("shard").isin(touched))
     new_shards = untouched.unionByName(rebuilt)
 
