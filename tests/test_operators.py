@@ -598,6 +598,61 @@ def test_interval_join(spark):
         )
 
 
+def test_interval_join_matches_naive_oracle_random(spark):
+    """Property check: the bucketized equi-join form must equal the
+    naive crossJoin + range filter on random data — random widths,
+    sub-second timestamps, intervals spanning many buckets."""
+    import random
+    from datetime import datetime, timedelta
+
+    from vamana_spark.operators.temporal import interval_join
+
+    rng = random.Random(7)
+    base = datetime(2024, 3, 1)
+    pts = [
+        (rng.randrange(4), base + timedelta(seconds=rng.uniform(0, 86400)), i)
+        for i in range(120)
+    ]
+    ivs = []
+    for j in range(40):
+        s0 = rng.uniform(0, 86400)
+        ivs.append(
+            (
+                rng.randrange(4),
+                base + timedelta(seconds=s0),
+                base + timedelta(seconds=s0 + rng.uniform(0, 4 * 3600)),
+                j,
+            )
+        )
+    points = spark.createDataFrame(
+        pts, "user_id long, ts timestamp, event_id long"
+    )
+    intervals = spark.createDataFrame(
+        ivs, "user_id long, start_ts timestamp, end_ts timestamp, iv_id long"
+    )
+    naive = {
+        (r.event_id, r.iv_id)
+        for r in points.crossJoin(
+            intervals.withColumnRenamed("user_id", "u2")
+        )
+        .where(
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("ts") >= F.col("start_ts"))
+            & (F.col("ts") <= F.col("end_ts"))
+        )
+        .collect()
+    }
+    for bucket in ("1 hour", "25 minutes", "3 hours"):
+        got = {
+            (r.event_id, r.iv_id)
+            for r in interval_join(
+                points, intervals, ["user_id"], "ts", "start_ts", "end_ts",
+                bucket=bucket,
+            ).collect()
+        }
+        assert got == naive, bucket
+
+
 def test_lsh_bucket_cap_no_quadratic_blowup(spark):
     """A planted giant duplicate cluster (1k identical docs) must not
     produce O(size^2) candidate pairs — oversized band buckets degrade to
