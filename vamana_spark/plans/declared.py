@@ -1103,7 +1103,13 @@ def q_weighted_sample(spark, sf_dir):
 @declare(
     "q_embedding_near_dups",
     f"""
-    WITH p AS (SELECT vec_id, embedding FROM embeddings),
+    WITH p AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT 900001, embedding FROM embeddings WHERE vec_id = 0
+      UNION ALL
+      SELECT 900002, embedding FROM embeddings WHERE vec_id = 0
+    ),
     c AS (
       SELECT a.vec_id AS a_id, b.vec_id AS b_id,
              (1.0 - ({_COS_SQL.replace('q.embedding', 'a.embedding').replace('p.embedding', 'b.embedding')})) AS sim
@@ -1114,8 +1120,22 @@ def q_weighted_sample(spark, sf_dir):
     """,
 )
 def q_embedding_near_dups(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (exact all-pairs form)."""
-    return dedup.embedding_near_dups(_emb(spark, sf_dir), threshold=0.9)
+    """Embedding-cosine near-dup pairs (exact all-pairs form). The
+    sf0.01 embeddings contain no pair above the 0.9 threshold, so two
+    exact clones of vec 0 are planted in-query (the q_gopher_filter
+    de-vacuation pattern): the operator must find exactly the three
+    clone pairs, not compare 0 rows to 0 rows."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    clones = (
+        e.where(F.col("vec_id") == 0)
+        .select(
+            F.explode(
+                F.array(F.lit(900001).cast("long"), F.lit(900002).cast("long"))
+            ).alias("vec_id"),
+            "embedding",
+        )
+    )
+    return dedup.embedding_near_dups(e.unionByName(clones), threshold=0.9)
 
 
 # shared CTE: per-dimension bounds + SQ8 codes + dequantized vectors.
@@ -2993,7 +3013,7 @@ _ROTATION_FRONT = [
     "q_min_cost_supplier", "q_revenue_concentration",
     "q_supplier_part_variety", "q_sole_supplier_orders",
     # (2) changed in r6
-    "q_dup_groups", "q_minhash_pairs", "q_simhash_near_dups",
+    "q_dup_groups", "q_minhash_pairs", "q_simhash_near_dups", "q_anti_join",
     "q_semantic_dedup", "q_nearest_centroid", "q_partitioned_pq",
     "q_lsh_join", "q_approx_distinct",
     # new in r6 (DSIR importance resampling; exact-mode partitioned
@@ -3012,7 +3032,7 @@ _ROTATION_FRONT = [
     "q_dup_clusters", "q_corpus_dedup", "q_stratified_sample",
     "q_train_test_split", "q_contamination", "q_weighted_sample",
     "q_embedding_near_dups", "q_scalar_quantize", "q_sq_knn", "q_pq_knn",
-    "q_ivfpq_knn", "q_events_hourly",
+    "q_ivfpq_knn",
     # (5) latest row r04 — brute_topk_batch-dependent first
     "q_partitioned_ann", "q_partitioned_recall", "q_index_append",
     "q_index_delete", "q_knn_ip",

@@ -61,14 +61,26 @@ def q_cube_counts(spark, sf_dir):
 @declare(
     "q_anti_join",
     """
-    SELECT c_custkey FROM customer
+    WITH cust AS (
+      SELECT c_custkey FROM customer
+      UNION ALL
+      SELECT * FROM (VALUES (9000001), (9000002), (9000003)) v(c_custkey)
+    )
+    SELECT c_custkey FROM cust
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     """,
 )
 def q_anti_join(spark, sf_dir):
-    """Customers with no orders — left_anti join (NOT EXISTS)."""
+    """Customers with no orders — left_anti join (NOT EXISTS). Every
+    sf0.01 customer has orders, so three order-less customers are
+    planted in-query (the q_gopher_filter de-vacuation pattern) — the
+    anti-join must emit exactly them, not 0-rows-vs-0-rows."""
     t = relational.load_tables(spark, sf_dir, "customer", "orders")
-    return t["customer"].join(
+    planted = spark.createDataFrame(
+        [(9000001,), (9000002,), (9000003,)], "c_custkey long"
+    )
+    cust = t["customer"].select("c_custkey").unionByName(planted)
+    return cust.join(
         t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti"
     ).select("c_custkey")
 
@@ -1043,13 +1055,15 @@ def q_min_cost_supplier(spark, sf_dir):
     )
     SELECT n_name, CAST(round(rev, 2) AS DOUBLE) AS revenue
     FROM nrev
-    WHERE CAST(rev AS DOUBLE) * 15 > (SELECT CAST(sum(rev) AS DOUBLE) FROM nrev)
+    WHERE CAST(rev AS DOUBLE) * 20 > (SELECT CAST(sum(rev) AS DOUBLE) FROM nrev)
     ORDER BY revenue DESC, n_name
     """,
 )
 def q_revenue_concentration(spark, sf_dir):
     """TPC-H Q11 shape (HAVING against a global scalar subquery):
-    nations holding more than 1/15 of worldwide revenue. Money sums in
+    nations holding more than 1/20 of worldwide revenue (1/15 was
+    vacuous on the near-uniform 25-nation test data — 0 rows prove
+    nothing). Money sums in
     DECIMAL on both engines; the scalar total enters as a broadcast
     cross join, not a driver collect."""
     t = relational.load_tables(
@@ -1069,7 +1083,7 @@ def q_revenue_concentration(spark, sf_dir):
     total = nrev.agg(F.sum("rev").cast("double").alias("_total"))
     return (
         nrev.crossJoin(F.broadcast(total))
-        .where(F.col("rev").cast("double") * 15 > F.col("_total"))
+        .where(F.col("rev").cast("double") * 20 > F.col("_total"))
         .select(
             "n_name",
             # round the exact DECIMAL (HALF_UP on both engines), THEN
