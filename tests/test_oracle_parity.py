@@ -69,3 +69,17 @@ def test_rows_only_runs(name, spark):
     # sort (r1: q_media_features aborted the whole gate). Mimic that.
     pdf = _QUERIES[name](spark, SF_DIR).toPandas()
     assert len(_canon(pdf)) >= 0
+
+
+def test_no_vacuous_oracles(ddb):
+    """Every oracle query must return >0 rows at sf0.01 — a 0-vs-0
+    driver row is vacuously green and proves nothing (the r5 verdict's
+    q_dup_groups finding, generalized; r6 audit caught three more).
+    New queries whose natural sf0.01 result is empty must plant
+    deterministic in-query rows (the q_gopher_filter pattern)."""
+    empty = [
+        name
+        for name in sorted(_ORACLES)
+        if ddb.sql(f"SELECT count(*) FROM ({_ORACLES[name]})").fetchone()[0] == 0
+    ]
+    assert not empty, f"vacuous (0-row) oracles: {empty}"
