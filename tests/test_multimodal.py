@@ -149,3 +149,66 @@ def test_pil_decode_png(spark):
     )
     r = mm.decode_image_meta(df).first()
     assert (r.width, r.height, r.decoder) == (7, 9, "pil")
+
+
+def test_null_media_rows_follow_policy(spark):
+    """r6 review: null payload / media_id must route through the
+    on_undecodable policy, not crash the worker with a TypeError."""
+    rows = [
+        (1, "image", b"not-an-image", {"format": "x", "n_bytes": 12}),
+        (2, "image", None, {"format": "x", "n_bytes": 0}),
+        (None, "image", b"also-bad", {"format": "x", "n_bytes": 8}),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    # fake: decodable-or-fake rows emit; null media_id is skipped
+    out = mm.decode_image_meta(df, on_undecodable="fake").collect()
+    assert {r.media_id for r in out} == {1, 2}
+    assert all(r.decoder == "fake" for r in out)
+    # skip: only rows with BOTH fields non-null even reach decode
+    assert mm.decode_image_meta(df, on_undecodable="skip").count() == 0
+    # error: raises instead of TypeError
+    with pytest.raises(Exception):
+        mm.decode_image_meta(df, on_undecodable="error").collect()
+    # feature extractor / frame sampler drop null rows instead of dying
+    assert mm.extract_image_features(df).count() == 1
+    vid = spark.createDataFrame(
+        [(1, "video", None, {"format": "x", "n_bytes": 0})], mm.MEDIA_SCHEMA
+    )
+    assert mm.sample_video_frames(vid).count() == 0
+
+
+def test_attach_fake_media_negative_ids(spark):
+    """r6 review: Spark's % keeps the dividend sign — negative ids must
+    still cycle kinds instead of erroring on index 0."""
+    df = spark.createDataFrame(
+        [(-1,), (-2,), (-3,), (0,), (1,)], "doc_id long"
+    )
+    kinds = {r.media_id: r.kind for r in mm.attach_fake_media(df).collect()}
+    assert set(kinds.values()) <= {"image", "audio", "video"}
+    assert kinds[-3] == kinds[0]  # pmod cycles consistently
+
+
+def test_extract_features_filters_kind(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "image", b"img", {"format": "x", "n_bytes": 3}),
+            (2, "audio", b"aud", {"format": "x", "n_bytes": 3}),
+            (3, "video", b"vid", {"format": "x", "n_bytes": 3}),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    assert {r.media_id for r in mm.extract_image_features(df).collect()} == {1}
+
+
+def test_decode_bmp_rejects_header_offset_inside_header():
+    """r6 review: data_off pointing inside the header must not 'decode'
+    header bytes as pixels."""
+    import struct
+
+    import numpy as np
+
+    good = mm.encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8))
+    assert mm.decode_bmp(good) is not None
+    bad = bytearray(good)
+    struct.pack_into("<I", bad, 10, 0)  # data_off = 0
+    assert mm.decode_bmp(bytes(bad)) is None

@@ -1543,6 +1543,21 @@ def test_write_parquet_sized_plain_and_hive(spark, documents, tmp_path):
     n_sources = documents.select("source").distinct().count()
     assert len(dirs) == n_sources
     assert spark.read.parquet(p2).count() == stats2["rows"]
+
+    # append: n_files reports THIS write's files, not the cumulative
+    # count under the path (r6 review)
+    p3 = str(tmp_path / "sized_append")
+    s_a = write_parquet_sized(
+        documents, p3, target_file_mb=0.02, compression_ratio=1.0,
+        mode="append",
+    )
+    s_b = write_parquet_sized(
+        documents, p3, target_file_mb=0.02, compression_ratio=1.0,
+        mode="append",
+    )
+    total = len(glob.glob(p3 + "/part-*.parquet"))
+    assert s_a["n_files"] + s_b["n_files"] == total
+    assert s_b["n_files"] < total  # not the cumulative figure
     # n_files reports ACTUAL files written, hive layout included (r5
     # ADVICE: the old plan-formula figure was wrong under partitionBy)
     assert stats2["n_files"] == len(glob.glob(p2 + "/source=*/part-*.parquet"))

@@ -33,7 +33,7 @@ def test_text_curation_pipeline(spark, documents):
 
 def test_media_to_ann_pipeline(spark, documents):
     media = multimodal.attach_fake_media(documents)
-    feats = multimodal.extract_image_features(media, dim=16)
+    feats = multimodal.extract_image_features(media, dim=16, kinds=None)
     n = feats.count()
     assert n == documents.count()
 

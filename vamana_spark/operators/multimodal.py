@@ -73,6 +73,10 @@ def decode_bmp(payload: bytes) -> Optional[np.ndarray]:
     planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
     if hdr_size < 40 or bpp != 24 or compression != 0 or w <= 0 or h == 0:
         return None
+    if data_off < 14 + hdr_size:
+        # a pixel-data offset inside the header is malformed; without
+        # this check, header bytes would "decode" as pixels
+        return None
     flip = h > 0
     h = abs(h)
     row_size = (w * 3 + 3) & ~3
@@ -108,6 +112,12 @@ def resize_array(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     return arr[yi[:, None], xi[None, :]]
 
 
+def _is_na(v) -> bool:
+    """Null check that survives pandas' int->NaN promotion: a null
+    media_id arrives in the Arrow batch as float NaN, not None."""
+    return v is None or (isinstance(v, float) and v != v)
+
+
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, "
     "meta struct<format:string, n_bytes:long>"
@@ -120,9 +130,11 @@ def attach_fake_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     Pure column expressions — reproducible in SQL on any engine.
     """
+    # pmod, not %: Spark's % keeps the dividend sign, so negative ids
+    # would index 0 (error) or count from the array's end
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.col(id_col) % 3 + 1).cast("int"),
+        (F.pmod(F.col(id_col), F.lit(3)) + 1).cast("int"),
     )
     payload = F.encode(F.concat(F.lit("media-"), F.col(id_col).cast("string")), "UTF-8")
     return df.select(
@@ -181,8 +193,19 @@ def decode_image_meta(media: DataFrame, on_undecodable: str = "fake") -> DataFra
                 continue
             ids, ws, hs, ls, decs = [], [], [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                raw = bytes(p)
-                arr, dec = decode_image(raw)
+                if _is_na(mid) or _is_na(p):
+                    # nullable schema fields: route through the same
+                    # undecodable policy instead of a raw TypeError
+                    if on_undecodable == "error":
+                        raise ValueError(
+                            f"media_id={mid!r}: null media_id or payload"
+                        )
+                    if _is_na(mid) or on_undecodable == "skip":
+                        continue
+                    raw, arr, dec = b"", None, "fake"
+                else:
+                    raw = bytes(p)
+                    arr, dec = decode_image(raw)
                 if arr is not None:
                     luma = float(
                         np.einsum(
@@ -195,7 +218,7 @@ def decode_image_meta(media: DataFrame, on_undecodable: str = "fake") -> DataFra
                     w, h, l = arr.shape[1], arr.shape[0], round(luma, 6)
                 elif on_undecodable == "error":
                     raise ValueError(
-                        f"media_id={int(mid)}: payload not decodable by any "
+                        f"media_id={mid!r}: payload not decodable by any "
                         "real codec (PIL "
                         + ("present" if HAS_PIL else "absent")
                         + ", BMP tried)"
@@ -207,6 +230,8 @@ def decode_image_meta(media: DataFrame, on_undecodable: str = "fake") -> DataFra
                     dec = "fake"
                 ids.append(int(mid)); ws.append(int(w)); hs.append(int(h))
                 ls.append(float(l)); decs.append(dec)
+            if not ids:
+                continue  # empty frame would emit untyped columns
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),
@@ -222,29 +247,45 @@ def decode_image_meta(media: DataFrame, on_undecodable: str = "fake") -> DataFra
     )
 
 
-def extract_image_features(media: DataFrame, dim: int = 16) -> DataFrame:
+def extract_image_features(
+    media: DataFrame, dim: int = 16, kinds: tuple = ("image",)
+) -> DataFrame:
     """Fake feature extractor: payload → deterministic unit vector of
     ``dim`` floats (seeded from the payload md5). The real version would
     run an ONNX/torch encoder over Arrow batches — identical plumbing,
-    identical schema ``(media_id, feature: array<float>)``."""
+    identical schema ``(media_id, feature: array<float>)``.
+
+    ``kinds`` filters which media kinds get encoded (default: images
+    only, like the sibling image operators — an image encoder fed audio
+    payloads would silently pollute a similarity index). Pass
+    ``kinds=None`` for a multimodal encoder that embeds every kind."""
     out_schema = "media_id long, feature array<float>"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            feats = []
-            for p in pdf["payload"]:
+            ids, feats = [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if _is_na(mid) or _is_na(p):
+                    continue  # nullable fields: no feature for null media
                 seed = int.from_bytes(hashlib.md5(bytes(p)).digest()[:8], "big")
                 rng = np.random.default_rng(seed)
                 v = rng.standard_normal(dim).astype(np.float32)
                 v /= max(float(np.linalg.norm(v)), 1e-12)
+                ids.append(int(mid))
                 feats.append([float(x) for x in v])
+            if not ids:
+                continue  # empty frame would emit untyped columns
             yield pd.DataFrame(
-                {"media_id": pdf["media_id"].astype("int64"), "feature": feats}
+                {"media_id": pd.Series(ids, dtype="int64"), "feature": feats}
             )
 
-    return media.select("media_id", "payload").mapInPandas(run, schema=out_schema)
+    if kinds is not None:
+        media = media.where(F.col("kind").isin(list(kinds)))
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=out_schema
+    )
 
 
 def resize_images(
@@ -270,12 +311,16 @@ def resize_images(
                 continue
             ids, payloads, metas = [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                arr, _ = decode_image(bytes(p))
+                arr = (
+                    decode_image(bytes(p))[0]
+                    if not (_is_na(mid) or _is_na(p))
+                    else None
+                )
                 if arr is None:
                     if on_undecodable == "skip":
                         continue
                     raise ValueError(
-                        f"media_id={int(mid)}: payload not decodable by any "
+                        f"media_id={mid!r}: payload not decodable by any "
                         "real codec (PIL "
                         + ("present" if HAS_PIL else "absent")
                         + ", BMP tried)"
@@ -291,6 +336,8 @@ def resize_images(
                         "height": height,
                     }
                 )
+            if not ids:
+                continue  # empty frame would emit untyped columns
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),
@@ -317,6 +364,8 @@ def sample_video_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
                 continue
             out_ids, out_idx, out_md5 = [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if _is_na(mid) or _is_na(p):
+                    continue  # nullable fields: no frames for null media
                 raw = bytes(p)
                 n_frames = 30 + int(hashlib.md5(raw).hexdigest()[:4], 16) % 300
                 for fi in range(0, n_frames, every_n):
@@ -326,6 +375,8 @@ def sample_video_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
                     out_md5.append(
                         hashlib.md5(raw + b"-" + str(fi).encode()).hexdigest()
                     )
+            if not out_ids:
+                continue  # empty frame would emit untyped columns
             yield pd.DataFrame(
                 {"media_id": out_ids, "frame_idx": out_idx, "frame_md5": out_md5}
             )

@@ -1682,7 +1682,9 @@ def q_media_features(spark, sf_dir):
     """
     from vamana_spark.operators import multimodal
 
-    feats = multimodal.extract_image_features(_fake_media(spark, sf_dir))
+    # kinds=None: the gate row exercises the multimodal (every-kind)
+    # embedding path; the image-only default is covered by unit tests
+    feats = multimodal.extract_image_features(_fake_media(spark, sf_dir), kinds=None)
     return feats.select(
         "media_id",
         F.size("feature").alias("dim"),

@@ -48,6 +48,8 @@ def _count_part_files(spark, path: str) -> int:
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return 0  # first write to a fresh path (pre-count under append)
     it = fs.listFiles(p, True)
     n = 0
     while it.hasNext():
@@ -90,6 +92,10 @@ def write_parquet_sized(
     layout).
     """
     spark = df.sparkSession
+    # snapshot pre-existing files so n_files reports THIS write's output
+    # even under mode='append' (cumulative counts misled compaction
+    # verification)
+    pre_files = _count_part_files(spark, path) if mode == "append" else 0
     if materialize:
         df = df.localCheckpoint()
     rows = df.count()
@@ -115,6 +121,6 @@ def write_parquet_sized(
     return {
         "rows": rows,
         "est_row_bytes": round(est, 1),
-        "n_files": _count_part_files(spark, path),
+        "n_files": _count_part_files(spark, path) - pre_files,
         "rows_per_file": rows_per_file,
     }

@@ -49,17 +49,11 @@ def streaming_ann_search(index, query_stream: DataFrame, k: int = 10) -> DataFra
 def run_search_to_completion(
     stream_df: DataFrame, query_name: str
 ) -> DataFrame:
-    """Drain a bounded query stream (AvailableNow, append mode — search
-    output is append-only) into an in-memory table; test/utility path."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(query_name)
+    """Drain a bounded query stream (append mode — search output is
+    append-only); delegates to the shared drain utility."""
+    from vamana_spark.streaming.rollup import run_to_completion
+
+    return run_to_completion(stream_df, query_name, output_mode="append")
 
 
 def streaming_partitioned_search(

@@ -56,7 +56,9 @@ def _update_user(
     for pdf in pdfs:
         n += len(pdf)
         s += float(pdf["value"].sum())
-    state.update((n, round(s, 6)))
+    # store the RAW running sum — re-rounding state every micro-batch
+    # accumulates drift over a long-lived stream; round at output only
+    state.update((n, s))
     yield pd.DataFrame(
         {"user_id": [user_id], "n_events": [n], "sum_value": [round(s, 4)]}
     )
