@@ -381,6 +381,10 @@ def _query_mix(timings: dict, extra: dict) -> None:
         timed("minhash_near_dups",
               lambda: D.q_minhash_pairs(spark, SF_DIR).count(), warm=True)
         timed("exact_dedup", lambda: D.q_dedup_exact(spark, SF_DIR).count())
+        # Bloom-broadcast batch-vs-corpus dedup (the incremental ingest
+        # pass; corpus never shuffles — see PLANS.md)
+        timed("incremental_dedup",
+              lambda: D.q_incremental_dedup(spark, SF_DIR).count())
         timed("text_stats", lambda: D.q_text_stats(spark, SF_DIR).count())
         timed("events_hourly", lambda: D.q_events_hourly(spark, SF_DIR).count())
         timed("sessionize", lambda: D.q_session_stats(spark, SF_DIR).count())

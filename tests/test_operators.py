@@ -1767,3 +1767,65 @@ def test_semantic_dedup_rejects_non_integral_ids(spark):
     )
     with pytest.raises(TypeError, match="integral id column"):
         dedup.semantic_dedup(df, id_col="vec_id")
+
+
+# ---------------------------------------------------- incremental dedup
+
+def _inc_dedup_frames(spark):
+    seen = spark.createDataFrame(
+        [(i, f"seen doc number {i} body") for i in range(200)],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(1000 + i, f"new doc number {i} body") for i in range(50)]
+        + [(2000 + i, f"seen doc number {i}  BODY") for i in range(0, 30, 3)]
+        + [(3000, "new doc number 7 body"), (3001, "new doc number 7 body")],
+        ["doc_id", "text"],
+    )
+    return new, seen
+
+
+def test_incremental_dedup_matches_anti_join(spark):
+    """Survivors == (batch-internal first occurrence) anti-joined against
+    the corpus on normalized text — the exact semantics, Bloom-accelerated."""
+    new, seen = _inc_dedup_frames(spark)
+    out = dedup.incremental_dedup(new, seen)
+    assert sorted(r.doc_id for r in out.collect()) == [1000 + i for i in range(50)]
+    assert out.columns == new.columns
+
+
+def test_incremental_dedup_exact_under_saturated_bloom(spark):
+    """An undersized filter (expected_seen=2 for a 200-row corpus) makes
+    nearly every probe a 'maybe' — the verify pass must still return the
+    exact survivor set (false positives re-checked, never dropped blindly)."""
+    new, seen = _inc_dedup_frames(spark)
+    out = dedup.incremental_dedup(new, seen, expected_seen=2, fpp=0.5)
+    assert sorted(r.doc_id for r in out.collect()) == [1000 + i for i in range(50)]
+
+
+def test_incremental_dedup_lossy_mode_never_false_negative(spark):
+    """verify=False may over-drop (~fpp of unique rows) but every true
+    duplicate of the corpus must be gone — Bloom has no false negatives."""
+    new, seen = _inc_dedup_frames(spark)
+    ids = {r.doc_id for r in dedup.incremental_dedup(new, seen, verify=False).collect()}
+    assert not any(2000 <= i < 3000 for i in ids)  # corpus dups gone
+    assert ids <= {1000 + i for i in range(50)}  # only unique rows survive
+
+
+def test_incremental_dedup_corpus_never_shuffles(spark):
+    """Plan shape: both corpus passes are map-side — the verify join
+    broadcasts the candidate/confirmed hashes, so no Exchange is keyed by
+    corpus content and the final join is a BroadcastHashJoin (LeftAnti)."""
+    new, seen = _inc_dedup_frames(spark)
+    plan = dedup.incremental_dedup(new, seen)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_incremental_dedup_empty_corpus(spark):
+    new, _ = _inc_dedup_frames(spark)
+    seen = new.where(F.lit(False))
+    out = dedup.incremental_dedup(new, seen, expected_seen=0)
+    # batch-internal dedup still applies (3001 duplicates 3000 and 1007/3000 collide)
+    got = sorted(r.doc_id for r in out.collect())
+    assert 3001 not in got and len(got) == 60

@@ -107,3 +107,30 @@ def test_cli_sample_temperature(spark, tmp_path, capsys):
     with pytest.raises(SystemExit):
         main(["sample", "--input", src, "--output", dst,
               "--temperature", "0.5", "--n", "10"])
+
+
+def test_cli_dedup_incremental(spark, tmp_path, capsys):
+    """dedup --mode incremental drops batch rows already in --against
+    (exact semantics via Bloom + verify) and keeps the rest."""
+    import json
+
+    from vamana_spark.__main__ import main
+
+    corpus = str(tmp_path / "inc_corpus")
+    batch = str(tmp_path / "inc_batch")
+    dst = str(tmp_path / "inc_out")
+    spark.createDataFrame(
+        [(i, f"corpus doc {i}") for i in range(40)], "doc_id long, text string"
+    ).write.parquet(corpus)
+    spark.createDataFrame(
+        [(100 + i, f"fresh doc {i}") for i in range(10)]
+        + [(200 + i, f"corpus doc {i}") for i in range(5)],
+        "doc_id long, text string",
+    ).write.parquet(batch)
+    rc = main(["dedup", "--input", batch, "--output", dst,
+               "--mode", "incremental", "--against", corpus])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["output_rows"] == 10
+    kept = {r.doc_id for r in spark.read.parquet(dst).collect()}
+    assert kept == {100 + i for i in range(10)}

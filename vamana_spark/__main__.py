@@ -7,7 +7,7 @@ search → recall, main.cpp:33-168) plus the pipeline operators:
   search  --index idx_dir --queries q.parquet --output out.parquet [--k]
   knn     --input emb.parquet --queries q.parquet --output out.parquet [--k]
   recall  --approx a.parquet --truth t.parquet [--k]
-  dedup   --input docs.parquet --output out.parquet [--mode exact|minhash|spans|semantic]
+  dedup   --input docs.parquet --output out.parquet [--mode exact|minhash|spans|semantic|incremental] [--against corpus.parquet]
   decontaminate --train tr.parquet --test te.parquet --output out.parquet
                 [--n 8 --max-shingle-docs N]
   sample  --input docs.parquet --output out.parquet
@@ -103,6 +103,16 @@ def cmd_dedup(args) -> int:
         # k-token spans cut out (Lee et al. 2022 pass)
         out = dedup.cut_duplicate_spans(
             docs, text_col=args.text_col, id_col=args.id_col, k=args.span_k
+        )
+    elif args.mode == "incremental":
+        # dedup the input BATCH against an already-ingested corpus
+        # (Bloom-broadcast; the corpus never shuffles — PLANS.md)
+        if not args.against:
+            raise SystemExit("--mode incremental requires --against <corpus>")
+        seen = spark.read.parquet(args.against)
+        out = dedup.incremental_dedup(
+            docs, seen, text_col=args.text_col, id_col=args.id_col,
+            fpp=args.bloom_fpp, verify=not args.no_verify,
         )
     elif args.mode == "semantic":
         # SemDeDup over an embedding column: survivors only
@@ -485,9 +495,16 @@ def main(argv=None) -> int:
     d.add_argument("--output", required=True)
     d.add_argument(
         "--mode",
-        choices=["exact", "minhash", "spans", "semantic"],
+        choices=["exact", "minhash", "spans", "semantic", "incremental"],
         default="exact",
     )
+    d.add_argument("--against", default=None,
+                   help="mode=incremental: parquet path of the already-"
+                        "ingested corpus to dedup the input batch against")
+    d.add_argument("--bloom-fpp", dest="bloom_fpp", type=float, default=0.01)
+    d.add_argument("--no-verify", dest="no_verify", action="store_true",
+                   help="mode=incremental: skip the exact re-check of Bloom "
+                        "candidates (may over-drop ~fpp of unique rows)")
     d.add_argument("--text-col", dest="text_col", default="text")
     d.add_argument("--id-col", dest="id_col", default="doc_id")
     d.add_argument("--vec-col", dest="vec_col", default="embedding")

@@ -1350,3 +1350,176 @@ def cut_duplicate_spans(
         F.size(kept).cast("long").alias("n_kept_tokens"),
         F.array_join(kept, " ").alias(text_col),
     )
+
+
+# ---------------------------------------------------- incremental dedup
+
+def _bloom_geometry(expected_items: int, fpp: float) -> tuple:
+    """(m_bits, k_hashes) for a Bloom filter at the requested capacity.
+
+    Standard sizing: m = -n·ln(p)/ln(2)^2, k = (m/n)·ln(2). m is rounded
+    up to a multiple of 64 so the bitmap is whole uint64 words.
+    """
+    import math
+
+    n = max(int(expected_items), 1)
+    p = min(max(float(fpp), 1e-9), 0.5)
+    m = int(math.ceil(-n * math.log(p) / (math.log(2) ** 2)))
+    m = max((m + 63) // 64 * 64, 64)
+    k = max(int(round(m / n * math.log(2))), 1)
+    return m, min(k, 32)
+
+
+def _bloom_positions(values, m_bits: int, k: int):
+    """(len(values), k) int64 bit positions via double hashing.
+
+    One blake2b-16 digest per value splits into two independent 64-bit
+    halves; position_i = (h1 + i·h2) mod m (Kirsch–Mitzenmacher — k
+    probes from one digest, no k-fold hashing cost).
+    """
+    import numpy as np
+
+    if len(values) == 0:
+        return np.empty((0, k), dtype=np.int64)
+    dig = np.frombuffer(
+        b"".join(
+            blake2b(
+                v.encode("utf-8", "surrogatepass") if v is not None else b"\x00",
+                digest_size=16,
+            ).digest()
+            for v in values
+        ),
+        dtype=np.uint64,
+    ).reshape(-1, 2)
+    h1, h2 = dig[:, 0], dig[:, 1] | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)).astype(
+        np.int64
+    )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+    expected_seen: Optional[int] = None,
+    fpp: float = 0.01,
+    verify: bool = True,
+    merge_fanin: int = 64,
+) -> DataFrame:
+    """Dedup a NEW batch against an already-ingested corpus (X1
+    incremental form): the crawl-snapshot-over-snapshot pass a training
+    pipeline runs before appending data, where ``seen_df`` is orders of
+    magnitude larger than the batch. Returns the new rows that survive
+    (first occurrence within the batch, and not present in the corpus),
+    schema = ``new_df``.
+
+    100 TB shape — the corpus NEVER shuffles on content:
+    - One narrow pass over ``seen_df`` folds each partition's content
+      hashes into a partition-local Bloom bitmap (mapInPandas, one
+      ~m/8-byte row out per partition); bitmaps OR-merge through a
+      ``merge_fanin``-way applyInPandas tree level so the driver
+      receives ``merge_fanin`` bitmaps, not one per partition.
+      Insertion is idempotent, so no distinct() is needed first.
+    - The merged filter broadcasts; new rows drop map-side unless the
+      Bloom says "maybe seen" (false-positive rate ``fpp``).
+    - ``verify=True`` (default) makes the result EXACT: the candidate
+      hashes (|batch|·fpp + true dups — tiny) broadcast back against a
+      second map-side pass over ``seen_df`` (broadcast semi-join; still
+      no corpus shuffle) and only confirmed hits drop. ``verify=False``
+      skips the second corpus pass and accepts dropping ~fpp of unique
+      new rows — the cheap mode for lossy ingest.
+    - The batch itself pays one window shuffle for its internal
+      first-occurrence dedup — it is the small side by construction.
+
+    ``expected_seen`` sizes the filter (~1.2 bytes/row at fpp=0.01); when
+    None it is taken from one ``seen_df.count()`` (metadata-only on a
+    parquet scan). Bloom membership has NO false negatives, so every
+    true duplicate is always dropped in both modes.
+    """
+    import numpy as np
+
+    from pyspark.sql.types import (
+        BinaryType,
+        BooleanType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    spark = new_df.sparkSession
+    norm = (
+        (lambda c: F.lower(F.regexp_replace(F.col(c), r"\s+", " ")))
+        if normalize
+        else F.col
+    )
+    if expected_seen is None:
+        expected_seen = seen_df.count()
+    m_bits, k = _bloom_geometry(expected_seen, fpp)
+    n_words = m_bits // 64
+    fanin = max(int(merge_fanin), 1)
+
+    seen_norm = seen_df.select(norm(text_col).alias("_n"))
+
+    def _partition_bloom(batches):
+        bits = np.zeros(n_words, dtype=np.uint64)
+        for pdf in batches:
+            pos = _bloom_positions(pdf["_n"].tolist(), m_bits, k).ravel()
+            np.bitwise_or.at(bits, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64))
+        gid = int.from_bytes(
+            blake2b(bits.tobytes(), digest_size=4).digest(), "big"
+        ) % fanin
+        yield pd.DataFrame({"gid": [gid], "bits": [bits.tobytes()]})
+
+    def _or_group(pdf):
+        acc = np.zeros(n_words, dtype=np.uint64)
+        for b in pdf["bits"]:
+            acc |= np.frombuffer(b, dtype=np.uint64)
+        return pd.DataFrame({"gid": [int(pdf["gid"].iloc[0])], "bits": [acc.tobytes()]})
+
+    bloom_schema = StructType(
+        [StructField("gid", IntegerType()), StructField("bits", BinaryType())]
+    )
+    partials = seen_norm.mapInPandas(_partition_bloom, schema=bloom_schema)
+    merged = partials.groupBy("gid").applyInPandas(_or_group, schema=bloom_schema)
+    bits = np.zeros(n_words, dtype=np.uint64)
+    for row in merged.collect():
+        bits |= np.frombuffer(row["bits"], dtype=np.uint64)
+    b_bloom = spark.sparkContext.broadcast(bits.tobytes())
+
+    # batch-internal first-occurrence dedup + content key for the verify
+    # join (same normalization the Bloom hashed)
+    w = Window.partitionBy("_n").orderBy(F.col(id_col).asc())
+    batch = (
+        new_df.withColumn("_n", norm(text_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    def _maybe_seen(batches):
+        local = np.frombuffer(b_bloom.value, dtype=np.uint64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pos = _bloom_positions(pdf["_n"].tolist(), m_bits, k)
+            hit = (
+                (local[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1)
+            ).astype(bool).all(axis=1)
+            yield pdf.assign(_maybe=hit)
+
+    out_schema = StructType(batch.schema.fields + [StructField("_maybe", BooleanType())])
+    flagged = batch.mapInPandas(_maybe_seen, schema=out_schema)
+    if not verify:
+        return flagged.where(~F.col("_maybe")).drop("_n", "_maybe")
+
+    cand = flagged.where(F.col("_maybe")).select("_n").distinct()
+    confirmed = (
+        seen_norm.join(F.broadcast(cand), "_n", "left_semi").distinct()
+    )
+    return (
+        flagged.join(F.broadcast(confirmed), "_n", "left_anti")
+        .drop("_n", "_maybe")
+    )

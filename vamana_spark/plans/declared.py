@@ -540,6 +540,56 @@ def q_dedup_exact(spark, sf_dir):
 
 
 @declare(
+    "q_incremental_dedup",
+    r"""
+    WITH seen AS (
+      SELECT lower(regexp_replace(text, '\s+', ' ', 'g')) AS n
+      FROM documents WHERE doc_id % 3 <> 0
+    ), batch AS (
+      SELECT doc_id + 1000000 AS doc_id,
+             lower(regexp_replace(text, '\s+', ' ', 'g')) AS n
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id,
+             lower(regexp_replace(text, '\s+', ' ', 'g')) AS n
+      FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 7 = 0
+    ), firsts AS (
+      SELECT doc_id, n,
+             row_number() OVER (PARTITION BY n ORDER BY doc_id) AS rn
+      FROM batch
+    )
+    SELECT doc_id FROM firsts f
+    WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM seen s WHERE s.n = f.n)
+    ORDER BY doc_id
+    """,
+)
+def q_incremental_dedup(spark, sf_dir):
+    """X1 incremental form: dedup a NEW batch against the corpus at rest
+    (snapshot-over-snapshot ingest). seen = docs with id % 3 != 0; the
+    batch = the id % 3 == 0 docs (re-keyed +1M) plus planted copies of
+    seen docs (re-keyed +2M, id % 7 == 0) so the driver row exercises
+    both drop paths. The engine path is Bloom-broadcast: the corpus
+    folds into a partition-local-OR'd Bloom filter (never shuffles on
+    content), candidates re-verify via broadcast semi-join — output is
+    exact, hash-matched against the plain anti-join oracle."""
+    docs = _docs(spark, sf_dir)
+    seen = docs.where(F.col("doc_id") % 3 != 0)
+    batch = (
+        docs.where(F.col("doc_id") % 3 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        .unionByName(
+            docs.where((F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 7 == 0))
+            .select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+        )
+    )
+    return (
+        dedup.incremental_dedup(batch, seen)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@declare(
     "q_dup_groups",
     """
     WITH aug AS (
