@@ -3057,7 +3057,9 @@ def q_dsir_sample(spark, sf_dir):
 # driver-run); (4) the 19 queries whose latest row is r03 (3 rounds
 # stale); (5) the five r04-row queries whose
 # search path sits on the r6-modified brute_topk_batch margin re-rank.
-# The 42 remaining r04-row queries (and r03-stale q_top_users) rotate in r7; every declared query still
+# The 42 remaining r04-row queries (plus r03-stale q_top_users and
+# q_token_histogram, which yielded its slot to the never-run
+# q_incremental_dedup) rotate in r7; every declared query still
 # runs against the bit-strict local parity suite
 # (tests/test_oracle_parity.py) every round.
 _ROTATION_FRONT = [
@@ -3074,13 +3076,13 @@ _ROTATION_FRONT = [
     "q_partitioned_exact", "q_temperature_mixture", "q_ivf_exact",
     "q_append_membership", "q_delete_membership", "q_interval_join",
     "q_market_share", "q_profit_by_nation", "q_ship_delay_class",
-    "q_bulk_part_suppliers", "q_shuffle_export",
+    "q_bulk_part_suppliers", "q_shuffle_export", "q_incremental_dedup",
     # (3) canaries (core surface, cheap, always verified; the trivial
     # scan canary yielded its slot to a never-run query this round)
     "q_knn_exact", "q_dedup_exact",
     # (4) latest row r03
     "q_token_entropy", "q_token_chunks", "q_random_vectors",
-    "q_token_histogram", "q_tfidf_top_terms", "q_ngram_jaccard",
+    "q_tfidf_top_terms", "q_ngram_jaccard",
     "q_dup_clusters", "q_corpus_dedup", "q_stratified_sample",
     "q_train_test_split", "q_contamination", "q_weighted_sample",
     "q_embedding_near_dups", "q_scalar_quantize", "q_sq_knn", "q_pq_knn",
