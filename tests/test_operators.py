@@ -1829,3 +1829,60 @@ def test_incremental_dedup_empty_corpus(spark):
     # batch-internal dedup still applies (3001 duplicates 3000 and 1007/3000 collide)
     got = sorted(r.doc_id for r in out.collect())
     assert 3001 not in got and len(got) == 60
+
+
+def test_incremental_near_dups_finds_cross_snapshot_copies(spark):
+    seen = spark.createDataFrame(
+        [(i, f"the quick brown fox jumps over the lazy dog number {i} end of story")
+         for i in range(50)],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog number 7 end of story"),
+         (101, "the quick brown fox jumps over the lazy dog number 7 end of tale"),
+         (102, "completely unrelated content about spark plans and bloom filters")],
+        ["doc_id", "text"],
+    )
+    rows = {(r.batch_id, r.seen_id): r.jaccard
+            for r in dedup.incremental_near_dups(batch, seen, threshold=0.5).collect()}
+    assert rows[(100, 7)] == 1.0          # exact copy found with J=1
+    assert rows[(101, 7)] > 0.8           # near copy verified by exact Jaccard
+    assert not any(b == 102 for b, _ in rows)  # unrelated doc matches nothing
+
+
+def test_incremental_near_dups_signature_store_path(spark):
+    """Passing a persisted corpus signature table (the re-ingest path)
+    must produce identical pairs to recomputing signatures from text."""
+    seen = spark.createDataFrame(
+        [(i, f"document body alpha beta gamma delta {i} epsilon zeta") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(500, "document body alpha beta gamma delta 3 epsilon zeta")],
+        ["doc_id", "text"],
+    )
+    sigs = dedup.minhash_signatures(seen).localCheckpoint()
+    a = sorted((r.batch_id, r.seen_id, r.jaccard)
+               for r in dedup.incremental_near_dups(batch, seen, threshold=0.5).collect())
+    b = sorted((r.batch_id, r.seen_id, r.jaccard)
+               for r in dedup.incremental_near_dups(
+                   batch, seen, threshold=0.5, seen_signatures=sigs).collect())
+    assert a == b and (500, 3, 1.0) in a
+
+
+def test_incremental_near_dups_overfull_bucket_witness(spark):
+    """A giant corpus duplicate cluster floods its band buckets; above
+    max_bucket_witnesses the bucket degrades to its min-id witness and a
+    batch copy still matches (through the witness), with exact Jaccard."""
+    seen = spark.createDataFrame(
+        [(i, "identical corpus boilerplate text repeated everywhere") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(900, "identical corpus boilerplate text repeated everywhere")],
+        ["doc_id", "text"],
+    )
+    rows = sorted((r.batch_id, r.seen_id, r.jaccard)
+                  for r in dedup.incremental_near_dups(
+                      batch, seen, threshold=0.9, max_bucket_witnesses=5).collect())
+    assert rows == [(900, 0, 1.0)]  # only the min-id witness answers

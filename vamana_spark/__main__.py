@@ -114,6 +114,16 @@ def cmd_dedup(args) -> int:
             docs, seen, text_col=args.text_col, id_col=args.id_col,
             fpp=args.bloom_fpp, verify=not args.no_verify,
         )
+    elif args.mode == "incremental-near":
+        # cross-snapshot near-dup PAIRS (batch_id, seen_id, jaccard) —
+        # anti-join your batch on batch_id to drop matched rows
+        if not args.against:
+            raise SystemExit("--mode incremental-near requires --against <corpus>")
+        seen = spark.read.parquet(args.against)
+        out = dedup.incremental_near_dups(
+            docs, seen, text_col=args.text_col, id_col=args.id_col,
+            threshold=args.threshold,
+        )
     elif args.mode == "semantic":
         # SemDeDup over an embedding column: survivors only
         from pyspark.sql import functions as F
@@ -495,7 +505,8 @@ def main(argv=None) -> int:
     d.add_argument("--output", required=True)
     d.add_argument(
         "--mode",
-        choices=["exact", "minhash", "spans", "semantic", "incremental"],
+        choices=["exact", "minhash", "spans", "semantic", "incremental",
+                 "incremental-near"],
         default="exact",
     )
     d.add_argument("--against", default=None,

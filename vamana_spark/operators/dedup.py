@@ -1523,3 +1523,107 @@ def incremental_dedup(
         flagged.join(F.broadcast(confirmed), "_n", "left_anti")
         .drop("_n", "_maybe")
     )
+
+
+def incremental_near_dups(
+    batch: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    arrow: bool = True,
+    max_bucket_witnesses: int = 512,
+    seen_signatures: Optional[DataFrame] = None,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Cross-snapshot NEAR-duplicate scan (X2 incremental form): which
+    documents of a new ingest ``batch`` are near-dups (exact word-shingle
+    Jaccard >= ``threshold``) of something already in the corpus.
+    Returns verified pairs (batch_id, seen_id, jaccard) — the companion
+    to ``incremental_dedup`` (exact identity) for the
+    snapshot-over-snapshot ingest pass. Anti-join the batch on
+    ``batch_id`` to drop matched rows.
+
+    100 TB shape — the corpus never shuffles on content:
+    - The corpus contributes only its MinHash BAND TABLE (bands longs
+      per doc — computable once and persisted via
+      ``minhash_signatures``; pass it back as ``seen_signatures`` so
+      re-ingests skip the signature pass entirely).
+    - The batch's band table (the small side by construction)
+      broadcasts into the candidate equi-join on (band_id, band_hash),
+      so candidate generation is map-side over the corpus scan; set
+      ``broadcast_batch=False`` above ~10M-doc batches to let AQE pick
+      the join side instead.
+    - A band bucket holding > ``max_bucket_witnesses`` corpus docs (a
+      giant duplicate cluster flooding one bucket in every band)
+      degrades to its min-id witness — any batch doc landing there
+      still verifies against that witness; bucket-mates at that size
+      are near-identical, so the witness answers for the cluster. The
+      overfull-bucket scan is a map-side-combined aggregation, not a
+      window (SCALE.md §LSH).
+    - Exact-Jaccard verification re-shingles ONLY the candidate corpus
+      docs (broadcast semi-join of the candidate id set against the
+      corpus scan — map-side), then joins shingle sets onto the pairs.
+    """
+    sh_b = shingle_sets(batch, text_col, id_col, shingle_n, arrow=arrow).localCheckpoint()
+    sig_b = minhash_signatures(
+        batch, text_col, id_col, num_hashes, shingle_n, shingles=sh_b, arrow=arrow
+    )
+    banded_b = sig_b.select(
+        F.col(id_col).alias("batch_id"),
+        F.posexplode(band_hash_array("minhash", num_hashes, bands)).alias(
+            "band_id", "band_hash"
+        ),
+    )
+    if broadcast_batch:
+        banded_b = F.broadcast(banded_b)
+    sig_s = (
+        seen_signatures
+        if seen_signatures is not None
+        else minhash_signatures(
+            seen, text_col, id_col, num_hashes, shingle_n, arrow=arrow
+        )
+    )
+    banded_s = sig_s.select(
+        F.col(id_col).alias("seen_id"),
+        F.posexplode(band_hash_array("minhash", num_hashes, bands)).alias(
+            "band_id", "band_hash"
+        ),
+    )
+    keys = ["band_id", "band_hash"]
+    overfull = F.broadcast(
+        banded_s.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bsz"), F.min("seen_id").alias("_rep"))
+        .where(F.col("_bsz") > max_bucket_witnesses)
+    )
+    witnesses = (
+        banded_s.join(overfull, keys, "left")
+        .where(F.col("_bsz").isNull() | (F.col("seen_id") == F.col("_rep")))
+        .select("seen_id", *keys)
+    )
+    cands = (
+        witnesses.join(banded_b, keys)
+        .select("batch_id", "seen_id")
+        .distinct()
+    )
+    # verification: shingle ONLY the candidate corpus docs
+    cand_seen = cands.select(F.col("seen_id").alias(id_col)).distinct()
+    seen_sub = seen.join(F.broadcast(cand_seen), id_col, "left_semi")
+    sh_s = shingle_sets(seen_sub, text_col, id_col, shingle_n, arrow=arrow)
+    av = sh_b.select(F.col(id_col).alias("batch_id"), F.col("_sh").alias("a_sh"))
+    bv = sh_s.select(F.col(id_col).alias("seen_id"), F.col("_sh").alias("b_sh"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
+    union = F.size(F.array_union("a_sh", "b_sh")).cast("double")
+    return (
+        cands.join(av, "batch_id")
+        .join(bv, "seen_id")
+        .select(
+            "batch_id",
+            "seen_id",
+            F.round(inter / F.greatest(union, F.lit(1.0)), 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

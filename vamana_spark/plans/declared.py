@@ -495,6 +495,73 @@ _JACCARD_PAIRS_SQL = """
 """
 
 
+@declare(
+    "q_incremental_near_dups",
+    """
+    WITH seen AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+    ), batch AS (
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text FROM documents
+      WHERE doc_id % 3 <> 0 AND doc_id % 11 = 1
+    ), ss AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+               ELSE [array_to_string(toks, ' ')] END) AS sh
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+        FROM seen
+      )
+    ), sb AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+               ELSE [array_to_string(toks, ' ')] END) AS sh
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+        FROM batch
+      )
+    )
+    SELECT b.doc_id AS batch_id, s.doc_id AS seen_id,
+           round(len(list_intersect(b.sh, s.sh))
+                 / CAST(greatest(len(list_distinct(b.sh || s.sh)), 1) AS DOUBLE), 4) AS jaccard
+    FROM sb b JOIN ss s
+      ON len(list_intersect(b.sh, s.sh))
+         / CAST(greatest(len(list_distinct(b.sh || s.sh)), 1) AS DOUBLE) >= 0.5
+    ORDER BY batch_id, seen_id
+    """,
+)
+def q_incremental_near_dups(spark, sf_dir):
+    """X2 incremental form: cross-snapshot near-dup scan — which docs of
+    a new ingest batch are near-dups (exact shingle Jaccard >= 0.5) of
+    the corpus at rest. seen = docs id % 3 != 0; batch = the id % 3 == 0
+    docs (+1M) plus verbatim copies of seen docs (id % 11 == 1, +2M) so
+    J=1.0 hits are guaranteed present. Engine path: corpus contributes
+    its MinHash band table only, batch band table broadcasts, overfull
+    buckets degrade to a min-id witness, candidates re-verified by exact
+    Jaccard — emitted as the verified projection, hash-matched against
+    the full cross-pairs DuckDB oracle (same guarantee as
+    q_minhash_pairs: the banding catches every J >= 0.5 pair in this
+    corpus; the signatures stay engine-internal)."""
+    docs = _docs(spark, sf_dir)
+    seen = docs.where(F.col("doc_id") % 3 != 0)
+    batch = (
+        docs.where(F.col("doc_id") % 3 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        .unionByName(
+            docs.where((F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 11 == 1))
+            .select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+        )
+    )
+    return dedup.incremental_near_dups(
+        batch, seen, threshold=0.5
+    ).orderBy("batch_id", "seen_id")
+
+
 @declare("q_minhash_pairs", _JACCARD_PAIRS_SQL)
 def q_minhash_pairs(spark, sf_dir):
     """X2 MinHash-LSH near-dup pairs, emitted as the exact-verified
@@ -3057,9 +3124,10 @@ def q_dsir_sample(spark, sf_dir):
 # driver-run); (4) the 19 queries whose latest row is r03 (3 rounds
 # stale); (5) the five r04-row queries whose
 # search path sits on the r6-modified brute_topk_batch margin re-rank.
-# The 42 remaining r04-row queries (plus r03-stale q_top_users and
-# q_token_histogram, which yielded its slot to the never-run
-# q_incremental_dedup) rotate in r7; every declared query still
+# The 42 remaining r04-row queries (plus r03-stale q_top_users,
+# q_token_histogram and q_random_vectors, which yielded their slots to
+# the never-run q_incremental_dedup / q_incremental_near_dups) rotate
+# in r7; every declared query still
 # runs against the bit-strict local parity suite
 # (tests/test_oracle_parity.py) every round.
 _ROTATION_FRONT = [
@@ -3077,11 +3145,12 @@ _ROTATION_FRONT = [
     "q_append_membership", "q_delete_membership", "q_interval_join",
     "q_market_share", "q_profit_by_nation", "q_ship_delay_class",
     "q_bulk_part_suppliers", "q_shuffle_export", "q_incremental_dedup",
+    "q_incremental_near_dups",
     # (3) canaries (core surface, cheap, always verified; the trivial
     # scan canary yielded its slot to a never-run query this round)
     "q_knn_exact", "q_dedup_exact",
     # (4) latest row r03
-    "q_token_entropy", "q_token_chunks", "q_random_vectors",
+    "q_token_entropy", "q_token_chunks",
     "q_tfidf_top_terms", "q_ngram_jaccard",
     "q_dup_clusters", "q_corpus_dedup", "q_stratified_sample",
     "q_train_test_split", "q_contamination", "q_weighted_sample",
