@@ -342,3 +342,52 @@ def test_streaming_quality_filters_match_batch(spark, documents, tmp_path):
         r.doc_id: (r.n_kept, r.doc_pass) for r in c4_clean(documents).collect()
     }
     assert got_c4 == want_c4
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, documents, tmp_path):
+    """Stream-vs-corpus ingest dedup parity on a closed input: the
+    streaming mirror (Bloom probe per micro-batch + stream-static anti
+    verify + within-watermark first-occurrence) == the batch
+    incremental_dedup survivor set. Sorted single-partition input makes
+    first-processed == min doc_id, so the two keep the same survivors."""
+    from vamana_spark.operators.dedup import incremental_dedup
+    from vamana_spark.streaming.dedup import streaming_incremental_dedup
+
+    seen = documents.select("doc_id", "text").where(F.col("doc_id") % 2 == 0)
+    batch = (
+        documents.select("doc_id", "text").where(F.col("doc_id") % 2 == 1)
+        .unionByName(
+            # planted copies of corpus docs — must all be dropped
+            documents.select((F.col("doc_id") + 50_000).alias("doc_id"), "text")
+            .where((F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 10 == 0))
+        )
+    )
+    stream_in = batch.withColumn(
+        "ts",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+        + F.make_interval(secs=(F.col("doc_id") % 1000).cast("double")),
+    )
+    d = str(tmp_path / "inc_stream")
+    stream_in.coalesce(1).sortWithinPartitions("doc_id").write.mode(
+        "overwrite"
+    ).parquet(d)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .format("parquet")
+        .load(d)
+    )
+    q = (
+        streaming_incremental_dedup(stream, seen, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("t_stream_inc")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_inc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.doc_id for r in spark.sql("SELECT doc_id FROM t_stream_inc").collect()}
+    want = {r.doc_id for r in incremental_dedup(batch, seen).collect()}
+    assert got == want and len(want) > 0
+    assert not any(i >= 50_000 for i in got)  # planted corpus copies gone

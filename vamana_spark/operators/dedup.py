@@ -1398,6 +1398,89 @@ def _bloom_positions(values, m_bits: int, k: int):
     )
 
 
+def _content_norm(c: str) -> Column:
+    """The content-identity normalization every exact-dedup path shares
+    (whitespace runs collapsed, lowercased) — Bloom insertion, Bloom
+    probe, and the verify join must hash the SAME string."""
+    return F.lower(F.regexp_replace(F.col(c), r"\s+", " "))
+
+
+def build_bloom(
+    df_norm: DataFrame, m_bits: int, k: int, merge_fanin: int = 64
+):
+    """Fold a one-string-column DataFrame (column ``_n``) into a Bloom
+    filter; returns the broadcast bitmap (``.value`` = m_bits/8 bytes).
+
+    One mapInPandas pass emits ONE partition-local bitmap row per
+    partition (no content-keyed shuffle); bitmaps OR-merge through a
+    ``merge_fanin``-way applyInPandas tree level so the driver receives
+    ``merge_fanin`` bitmaps regardless of partition count. Insertion is
+    idempotent — no distinct() pre-pass.
+    """
+    import numpy as np
+
+    from pyspark.sql.types import BinaryType, IntegerType, StructField, StructType
+
+    n_words = m_bits // 64
+    fanin = max(int(merge_fanin), 1)
+
+    def _partition_bloom(batches):
+        bits = np.zeros(n_words, dtype=np.uint64)
+        for pdf in batches:
+            pos = _bloom_positions(pdf["_n"].tolist(), m_bits, k).ravel()
+            np.bitwise_or.at(
+                bits, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64)
+            )
+        gid = int.from_bytes(
+            blake2b(bits.tobytes(), digest_size=4).digest(), "big"
+        ) % fanin
+        yield pd.DataFrame({"gid": [gid], "bits": [bits.tobytes()]})
+
+    def _or_group(pdf):
+        acc = np.zeros(n_words, dtype=np.uint64)
+        for b in pdf["bits"]:
+            acc |= np.frombuffer(b, dtype=np.uint64)
+        return pd.DataFrame(
+            {"gid": [int(pdf["gid"].iloc[0])], "bits": [acc.tobytes()]}
+        )
+
+    bloom_schema = StructType(
+        [StructField("gid", IntegerType()), StructField("bits", BinaryType())]
+    )
+    partials = df_norm.mapInPandas(_partition_bloom, schema=bloom_schema)
+    merged = partials.groupBy("gid").applyInPandas(_or_group, schema=bloom_schema)
+    bits = np.zeros(n_words, dtype=np.uint64)
+    for row in merged.collect():
+        bits |= np.frombuffer(row["bits"], dtype=np.uint64)
+    return df_norm.sparkSession.sparkContext.broadcast(bits.tobytes())
+
+
+def flag_bloom_membership(
+    df: DataFrame, b_bloom, m_bits: int, k: int, flag_col: str = "_maybe"
+) -> DataFrame:
+    """Append ``flag_col``: whether the row's ``_n`` column is maybe-in
+    the broadcast Bloom filter. Stateless mapInPandas — works on batch
+    AND streaming DataFrames (the streaming mirror probes per
+    micro-batch with the same filter)."""
+    import numpy as np
+
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    def _maybe_seen(batches):
+        local = np.frombuffer(b_bloom.value, dtype=np.uint64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pos = _bloom_positions(pdf["_n"].tolist(), m_bits, k)
+            hit = (
+                (local[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1)
+            ).astype(bool).all(axis=1)
+            yield pdf.assign(**{flag_col: hit})
+
+    out_schema = StructType(df.schema.fields + [StructField(flag_col, BooleanType())])
+    return df.mapInPandas(_maybe_seen, schema=out_schema)
+
+
 def incremental_dedup(
     new_df: DataFrame,
     seen_df: DataFrame,
@@ -1439,55 +1522,13 @@ def incremental_dedup(
     parquet scan). Bloom membership has NO false negatives, so every
     true duplicate is always dropped in both modes.
     """
-    import numpy as np
-
-    from pyspark.sql.types import (
-        BinaryType,
-        BooleanType,
-        IntegerType,
-        StructField,
-        StructType,
-    )
-
-    spark = new_df.sparkSession
-    norm = (
-        (lambda c: F.lower(F.regexp_replace(F.col(c), r"\s+", " ")))
-        if normalize
-        else F.col
-    )
+    norm = _content_norm if normalize else F.col
     if expected_seen is None:
         expected_seen = seen_df.count()
     m_bits, k = _bloom_geometry(expected_seen, fpp)
-    n_words = m_bits // 64
-    fanin = max(int(merge_fanin), 1)
 
     seen_norm = seen_df.select(norm(text_col).alias("_n"))
-
-    def _partition_bloom(batches):
-        bits = np.zeros(n_words, dtype=np.uint64)
-        for pdf in batches:
-            pos = _bloom_positions(pdf["_n"].tolist(), m_bits, k).ravel()
-            np.bitwise_or.at(bits, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64))
-        gid = int.from_bytes(
-            blake2b(bits.tobytes(), digest_size=4).digest(), "big"
-        ) % fanin
-        yield pd.DataFrame({"gid": [gid], "bits": [bits.tobytes()]})
-
-    def _or_group(pdf):
-        acc = np.zeros(n_words, dtype=np.uint64)
-        for b in pdf["bits"]:
-            acc |= np.frombuffer(b, dtype=np.uint64)
-        return pd.DataFrame({"gid": [int(pdf["gid"].iloc[0])], "bits": [acc.tobytes()]})
-
-    bloom_schema = StructType(
-        [StructField("gid", IntegerType()), StructField("bits", BinaryType())]
-    )
-    partials = seen_norm.mapInPandas(_partition_bloom, schema=bloom_schema)
-    merged = partials.groupBy("gid").applyInPandas(_or_group, schema=bloom_schema)
-    bits = np.zeros(n_words, dtype=np.uint64)
-    for row in merged.collect():
-        bits |= np.frombuffer(row["bits"], dtype=np.uint64)
-    b_bloom = spark.sparkContext.broadcast(bits.tobytes())
+    b_bloom = build_bloom(seen_norm, m_bits, k, merge_fanin)
 
     # batch-internal first-occurrence dedup + content key for the verify
     # join (same normalization the Bloom hashed)
@@ -1499,19 +1540,7 @@ def incremental_dedup(
         .drop("_rn")
     )
 
-    def _maybe_seen(batches):
-        local = np.frombuffer(b_bloom.value, dtype=np.uint64)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            pos = _bloom_positions(pdf["_n"].tolist(), m_bits, k)
-            hit = (
-                (local[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1)
-            ).astype(bool).all(axis=1)
-            yield pdf.assign(_maybe=hit)
-
-    out_schema = StructType(batch.schema.fields + [StructField("_maybe", BooleanType())])
-    flagged = batch.mapInPandas(_maybe_seen, schema=out_schema)
+    flagged = flag_bloom_membership(batch, b_bloom, m_bits, k)
     if not verify:
         return flagged.where(~F.col("_maybe")).drop("_n", "_maybe")
 

@@ -113,3 +113,62 @@ def streaming_minhash_dedup(
             "bands_won",
         )
     )
+
+
+def streaming_incremental_dedup(
+    docs: DataFrame,
+    seen_df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    expected_seen=None,
+    fpp: float = 0.01,
+    verify: bool = True,
+    merge_fanin: int = 64,
+) -> DataFrame:
+    """Incremental-INGEST dedup on a stream — the streaming mirror of
+    ``operators.dedup.incremental_dedup``: drop rows whose content
+    already exists in a static, already-ingested corpus, and keep only
+    the first occurrence of each content key within the stream's
+    watermark horizon.
+
+    The corpus Bloom filter builds ONCE at stream definition (a batch
+    job over ``seen_df`` — the corpus never shuffles on content, see
+    ``operators.dedup.build_bloom``) and broadcasts; every micro-batch
+    probes it with a stateless mapInPandas. ``verify=True`` re-checks
+    the 'maybe seen' rows with a stream-static LEFT ANTI join against
+    the corpus content keys — only candidate rows (~fpp of the stream +
+    true dups) enter that join each micro-batch, but the static side is
+    re-scanned per batch: pass a persisted/stored hash table as
+    ``seen_df`` for long-running streams. ``verify=False`` drops maybes
+    outright (lossy by ~fpp, zero per-batch corpus cost). Bloom
+    membership has no false negatives — true duplicates always drop.
+    """
+    from vamana_spark.operators.dedup import (
+        _bloom_geometry,
+        _content_norm,
+        build_bloom,
+        flag_bloom_membership,
+    )
+
+    if expected_seen is None:
+        expected_seen = seen_df.count()
+    m_bits, k = _bloom_geometry(expected_seen, fpp)
+    seen_norm = seen_df.select(_content_norm(text_col).alias("_n"))
+    b_bloom = build_bloom(seen_norm, m_bits, k, merge_fanin)
+
+    keyed = docs.withColumn("_n", _content_norm(text_col))
+    flagged = flag_bloom_membership(keyed, b_bloom, m_bits, k)
+    clean = flagged.where(~F.col("_maybe"))
+    if verify:
+        survivors_c = flagged.where(F.col("_maybe")).join(
+            seen_norm, "_n", "left_anti"
+        )
+        out = clean.unionByName(survivors_c)
+    else:
+        out = clean
+    return (
+        out.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_n"])
+        .drop("_n", "_maybe")
+    )
