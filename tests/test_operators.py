@@ -1872,8 +1872,9 @@ def test_incremental_near_dups_signature_store_path(spark):
 
 def test_incremental_near_dups_overfull_bucket_witness(spark):
     """A giant corpus duplicate cluster floods its band buckets; above
-    max_bucket_witnesses the bucket degrades to its min-id witness and a
-    batch copy still matches (through the witness), with exact Jaccard."""
+    max_bucket_witnesses the bucket keeps its N lowest-id members as
+    witnesses and a batch copy still matches them with exact Jaccard
+    (the capped members don't appear — survivors use is unaffected)."""
     seen = spark.createDataFrame(
         [(i, "identical corpus boilerplate text repeated everywhere") for i in range(40)],
         ["doc_id", "text"],
@@ -1885,4 +1886,4 @@ def test_incremental_near_dups_overfull_bucket_witness(spark):
     rows = sorted((r.batch_id, r.seen_id, r.jaccard)
                   for r in dedup.incremental_near_dups(
                       batch, seen, threshold=0.9, max_bucket_witnesses=5).collect())
-    assert rows == [(900, 0, 1.0)]  # only the min-id witness answers
+    assert rows == [(900, i, 1.0) for i in range(5)]  # N min-id witnesses answer

@@ -7,7 +7,7 @@ search → recall, main.cpp:33-168) plus the pipeline operators:
   search  --index idx_dir --queries q.parquet --output out.parquet [--k]
   knn     --input emb.parquet --queries q.parquet --output out.parquet [--k]
   recall  --approx a.parquet --truth t.parquet [--k]
-  dedup   --input docs.parquet --output out.parquet [--mode exact|minhash|spans|semantic|incremental] [--against corpus.parquet]
+  dedup   --input docs.parquet --output out.parquet [--mode exact|minhash|spans|semantic|incremental|incremental-near] [--against corpus.parquet]
   decontaminate --train tr.parquet --test te.parquet --output out.parquet
                 [--n 8 --max-shingle-docs N]
   sample  --input docs.parquet --output out.parquet
@@ -510,8 +510,9 @@ def main(argv=None) -> int:
         default="exact",
     )
     d.add_argument("--against", default=None,
-                   help="mode=incremental: parquet path of the already-"
-                        "ingested corpus to dedup the input batch against")
+                   help="mode=incremental|incremental-near: parquet path of "
+                        "the already-ingested corpus to dedup the input "
+                        "batch against")
     d.add_argument("--bloom-fpp", dest="bloom_fpp", type=float, default=0.01)
     d.add_argument("--no-verify", dest="no_verify", action="store_true",
                    help="mode=incremental: skip the exact re-check of Bloom "

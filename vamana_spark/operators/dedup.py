@@ -43,7 +43,7 @@ def exact_dedup(
 
     sha2-256 content key → window rank. One shuffle; uniform keys.
     """
-    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")) if normalize else F.col(text_col)
+    norm = _content_norm(text_col) if normalize else F.col(text_col)
     keyed = df.withColumn("_ck", F.sha2(norm, 256))
     w = Window.partitionBy("_ck").orderBy(F.col(id_col).asc())
     return (
@@ -1406,23 +1406,36 @@ def _content_norm(c: str) -> Column:
 
 
 def build_bloom(
-    df_norm: DataFrame, m_bits: int, k: int, merge_fanin: int = 64
+    df_norm: DataFrame,
+    m_bits: int,
+    k: int,
+    max_build_tasks: int = 256,
+    chunk_words: int = 1 << 21,
 ):
     """Fold a one-string-column DataFrame (column ``_n``) into a Bloom
     filter; returns the broadcast bitmap (``.value`` = m_bits/8 bytes).
 
-    One mapInPandas pass emits ONE partition-local bitmap row per
-    partition (no content-keyed shuffle); bitmaps OR-merge through a
-    ``merge_fanin``-way applyInPandas tree level so the driver receives
-    ``merge_fanin`` bitmaps regardless of partition count. Insertion is
-    idempotent — no distinct() pre-pass.
+    One mapInPandas pass emits each task's partition-local bitmap SPLIT
+    into fixed ``chunk_words``-word chunks (16 MiB at the default),
+    skipping all-zero chunks; chunks OR-merge per chunk id in one
+    applyInPandas level and stream to the driver via ``toLocalIterator``
+    (the driver holds the final bitmap + one chunk, never a bitmap per
+    task). No content-keyed shuffle anywhere — the only movement is the
+    partial chunks, whose total volume is ≤ #build-tasks × m/8, which is
+    why the input is coalesced (narrow, no shuffle) to
+    ``max_build_tasks`` when it has more partitions: partials cost
+    bitmap-size each regardless of how few rows a task holds. Raise
+    ``max_build_tasks`` for more build parallelism (linear partial
+    traffic), raise ``fpp`` upstream to shrink m for very large key
+    counts. Insertion is idempotent — no distinct() pre-pass.
     """
     import numpy as np
 
-    from pyspark.sql.types import BinaryType, IntegerType, StructField, StructType
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
 
     n_words = m_bits // 64
-    fanin = max(int(merge_fanin), 1)
+    if df_norm.rdd.getNumPartitions() > max_build_tasks:
+        df_norm = df_norm.coalesce(max_build_tasks)
 
     def _partition_bloom(batches):
         bits = np.zeros(n_words, dtype=np.uint64)
@@ -1431,27 +1444,27 @@ def build_bloom(
             np.bitwise_or.at(
                 bits, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64)
             )
-        gid = int.from_bytes(
-            blake2b(bits.tobytes(), digest_size=4).digest(), "big"
-        ) % fanin
-        yield pd.DataFrame({"gid": [gid], "bits": [bits.tobytes()]})
+        for w0 in range(0, n_words, chunk_words):
+            chunk = bits[w0 : w0 + chunk_words]
+            if chunk.any():
+                yield pd.DataFrame({"w0": [w0], "bits": [chunk.tobytes()]})
 
-    def _or_group(pdf):
-        acc = np.zeros(n_words, dtype=np.uint64)
-        for b in pdf["bits"]:
+    def _or_chunk(pdf):
+        acc = np.frombuffer(pdf["bits"].iloc[0], dtype=np.uint64).copy()
+        for b in pdf["bits"].iloc[1:]:
             acc |= np.frombuffer(b, dtype=np.uint64)
-        return pd.DataFrame(
-            {"gid": [int(pdf["gid"].iloc[0])], "bits": [acc.tobytes()]}
-        )
+        return pd.DataFrame({"w0": [int(pdf["w0"].iloc[0])], "bits": [acc.tobytes()]})
 
     bloom_schema = StructType(
-        [StructField("gid", IntegerType()), StructField("bits", BinaryType())]
+        [StructField("w0", LongType()), StructField("bits", BinaryType())]
     )
     partials = df_norm.mapInPandas(_partition_bloom, schema=bloom_schema)
-    merged = partials.groupBy("gid").applyInPandas(_or_group, schema=bloom_schema)
+    merged = partials.groupBy("w0").applyInPandas(_or_chunk, schema=bloom_schema)
     bits = np.zeros(n_words, dtype=np.uint64)
-    for row in merged.collect():
-        bits |= np.frombuffer(row["bits"], dtype=np.uint64)
+    for row in merged.toLocalIterator():
+        w0 = int(row["w0"])
+        arr = np.frombuffer(row["bits"], dtype=np.uint64)
+        bits[w0 : w0 + len(arr)] |= arr
     return df_norm.sparkSession.sparkContext.broadcast(bits.tobytes())
 
 
@@ -1490,7 +1503,7 @@ def incremental_dedup(
     expected_seen: Optional[int] = None,
     fpp: float = 0.01,
     verify: bool = True,
-    merge_fanin: int = 64,
+    max_build_tasks: int = 256,
 ) -> DataFrame:
     """Dedup a NEW batch against an already-ingested corpus (X1
     incremental form): the crawl-snapshot-over-snapshot pass a training
@@ -1500,12 +1513,12 @@ def incremental_dedup(
     schema = ``new_df``.
 
     100 TB shape — the corpus NEVER shuffles on content:
-    - One narrow pass over ``seen_df`` folds each partition's content
-      hashes into a partition-local Bloom bitmap (mapInPandas, one
-      ~m/8-byte row out per partition); bitmaps OR-merge through a
-      ``merge_fanin``-way applyInPandas tree level so the driver
-      receives ``merge_fanin`` bitmaps, not one per partition.
-      Insertion is idempotent, so no distinct() is needed first.
+    - One narrow pass over ``seen_df`` (coalesced to ``max_build_tasks``
+      so partial traffic is bounded at tasks × m/8 bytes) folds each
+      task's content hashes into a Bloom bitmap emitted as 16 MiB
+      chunks; chunks OR-merge per chunk id and stream to the driver —
+      see ``build_bloom``. Insertion is idempotent, so no distinct() is
+      needed first.
     - The merged filter broadcasts; new rows drop map-side unless the
       Bloom says "maybe seen" (false-positive rate ``fpp``).
     - ``verify=True`` (default) makes the result EXACT: the candidate
@@ -1528,7 +1541,7 @@ def incremental_dedup(
     m_bits, k = _bloom_geometry(expected_seen, fpp)
 
     seen_norm = seen_df.select(norm(text_col).alias("_n"))
-    b_bloom = build_bloom(seen_norm, m_bits, k, merge_fanin)
+    b_bloom = build_bloom(seen_norm, m_bits, k, max_build_tasks)
 
     # batch-internal first-occurrence dedup + content key for the verify
     # join (same normalization the Bloom hashed)
@@ -1587,12 +1600,16 @@ def incremental_near_dups(
       ``broadcast_batch=False`` above ~10M-doc batches to let AQE pick
       the join side instead.
     - A band bucket holding > ``max_bucket_witnesses`` corpus docs (a
-      giant duplicate cluster flooding one bucket in every band)
-      degrades to its min-id witness — any batch doc landing there
-      still verifies against that witness; bucket-mates at that size
-      are near-identical, so the witness answers for the cluster. The
-      overfull-bucket scan is a map-side-combined aggregation, not a
-      window (SCALE.md §LSH).
+      giant duplicate cluster flooding one bucket in every band) keeps
+      only its ``max_bucket_witnesses`` lowest-id members as witnesses
+      — any batch doc landing there still verifies against those;
+      bucket-mates at that size are near-identical, so the witnesses
+      answer for the cluster. NOTE the emitted pair list is then not
+      exhaustive per cluster (capped members don't appear as
+      ``seen_id``) — the survivors/anti-join use is unaffected, but
+      exhaustive-pair consumers must raise the cap. Overfull keys come
+      from a map-side-combined aggregation + broadcast; the capping
+      rank window shuffles only the overfull buckets' rows.
     - Exact-Jaccard verification re-shingles ONLY the candidate corpus
       docs (broadcast semi-join of the candidate id set against the
       corpus scan — map-side), then joins shingle sets onto the pairs.
@@ -1622,21 +1639,36 @@ def incremental_near_dups(
             "band_id", "band_hash"
         ),
     )
+    # banded_s feeds the overfull agg AND the candidate join; without
+    # materialization each branch replays the corpus signature pass
+    # (same replay hazard minhash_lsh_candidates documents). 2 longs +
+    # id per row — bands×16B/doc, GC-owned via localCheckpoint.
+    banded_s = banded_s.localCheckpoint()
     keys = ["band_id", "band_hash"]
     overfull = F.broadcast(
         banded_s.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("_bsz"), F.min("seen_id").alias("_rep"))
+        .agg(F.count(F.lit(1)).alias("_bsz"))
         .where(F.col("_bsz") > max_bucket_witnesses)
     )
-    witnesses = (
-        banded_s.join(overfull, keys, "left")
-        .where(F.col("_bsz").isNull() | (F.col("seen_id") == F.col("_rep")))
+    ann = banded_s.join(overfull, keys, "left")
+    small = ann.where(F.col("_bsz").isNull()).select("seen_id", *keys)
+    # rows in overfull buckets (rare: a giant duplicate cluster flooding
+    # one bucket per band) keep their max_bucket_witnesses min-id
+    # members — the rank window shuffles ONLY these rows
+    wover = Window.partitionBy(*keys).orderBy(F.col("seen_id").asc())
+    capped = (
+        ann.where(F.col("_bsz").isNotNull())
+        .withColumn("_wrn", F.row_number().over(wover))
+        .where(F.col("_wrn") <= max_bucket_witnesses)
         .select("seen_id", *keys)
     )
+    witnesses = small.unionByName(capped)
     cands = (
         witnesses.join(banded_b, keys)
         .select("batch_id", "seen_id")
         .distinct()
+        # cands feeds the candidate-id semi-join AND the final pair join
+        .localCheckpoint()
     )
     # verification: shingle ONLY the candidate corpus docs
     cand_seen = cands.select(F.col("seen_id").alias(id_col)).distinct()

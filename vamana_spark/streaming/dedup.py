@@ -33,9 +33,9 @@ def streaming_content_dedup(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Content-hash dedup on a document stream (normalized sha256 key)."""
-    keyed = docs.withColumn(
-        "_ck", F.sha2(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")), 256)
-    )
+    from vamana_spark.operators.dedup import _content_norm
+
+    keyed = docs.withColumn("_ck", F.sha2(_content_norm(text_col), 256))
     return (
         keyed.withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["_ck"])
@@ -124,7 +124,7 @@ def streaming_incremental_dedup(
     expected_seen=None,
     fpp: float = 0.01,
     verify: bool = True,
-    merge_fanin: int = 64,
+    max_build_tasks: int = 256,
 ) -> DataFrame:
     """Incremental-INGEST dedup on a stream — the streaming mirror of
     ``operators.dedup.incremental_dedup``: drop rows whose content
@@ -155,7 +155,7 @@ def streaming_incremental_dedup(
         expected_seen = seen_df.count()
     m_bits, k = _bloom_geometry(expected_seen, fpp)
     seen_norm = seen_df.select(_content_norm(text_col).alias("_n"))
-    b_bloom = build_bloom(seen_norm, m_bits, k, merge_fanin)
+    b_bloom = build_bloom(seen_norm, m_bits, k, max_build_tasks)
 
     keyed = docs.withColumn("_n", _content_norm(text_col))
     flagged = flag_bloom_membership(keyed, b_bloom, m_bits, k)
