@@ -1887,3 +1887,23 @@ def test_incremental_near_dups_overfull_bucket_witness(spark):
                   for r in dedup.incremental_near_dups(
                       batch, seen, threshold=0.9, max_bucket_witnesses=5).collect())
     assert rows == [(900, i, 1.0) for i in range(5)]  # N min-id witnesses answer
+
+
+def test_incremental_dedup_hot_duplicate_key_and_plan(spark):
+    """A batch that is mostly copies of ONE document (hot content key)
+    dedups via the map-side-combined min-struct agg — survivors stay
+    exact and the plan contains a partial aggregate, not a window rank
+    funneling every copy through one task."""
+    seen = spark.createDataFrame(
+        [(i, f"seen doc {i}") for i in range(20)], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(i, "the one hot duplicated document body") for i in range(1000)]
+        + [(5000, "a unique fresh document")],
+        ["doc_id", "text"],
+    )
+    out = dedup.incremental_dedup(new, seen)
+    assert sorted(r.doc_id for r in out.collect()) == [0, 5000]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in plan or "HashAggregate" in plan
+    assert "Window" not in plan

@@ -1527,8 +1527,10 @@ def incremental_dedup(
       no corpus shuffle) and only confirmed hits drop. ``verify=False``
       skips the second corpus pass and accepts dropping ~fpp of unique
       new rows — the cheap mode for lossy ingest.
-    - The batch itself pays one window shuffle for its internal
-      first-occurrence dedup — it is the small side by construction.
+    - The batch itself pays one content-keyed shuffle for its internal
+      first-occurrence dedup (an associative min-struct agg with
+      map-side partials — hot duplicate keys combine before the
+      exchange) — it is the small side by construction.
 
     ``expected_seen`` sizes the filter (~1.2 bytes/row at fpp=0.01); when
     None it is taken from one ``seen_df.count()`` (metadata-only on a
@@ -1544,14 +1546,32 @@ def incremental_dedup(
     b_bloom = build_bloom(seen_norm, m_bits, k, max_build_tasks)
 
     # batch-internal first-occurrence dedup + content key for the verify
-    # join (same normalization the Bloom hashed)
-    w = Window.partitionBy("_n").orderBy(F.col(id_col).asc())
-    batch = (
-        new_df.withColumn("_n", norm(text_col))
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    # join (same normalization the Bloom hashed). min(struct(id, rest))
+    # per content key, not a window rank: the associative min gets
+    # MAP-SIDE partials, so a batch that is mostly copies of one
+    # document (the skew case for a content-keyed window — dedup_lines
+    # documents the same hazard for hot lines) reaches the reducer as
+    # one partial row per map task. Falls back to the window when a
+    # column type is not orderable inside a struct (maps).
+    from pyspark.sql.types import MapType
+
+    others = [c for c in new_df.columns if c != id_col]
+    keyed = new_df.withColumn("_n", norm(text_col))
+    if any(isinstance(f.dataType, MapType) for f in new_df.schema.fields):
+        w = Window.partitionBy("_n").orderBy(F.col(id_col).asc())
+        batch = (
+            keyed.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    else:
+        batch = (
+            keyed.groupBy("_n")
+            .agg(F.min(F.struct(id_col, *others)).alias("_w"))
+            .select(
+                *[F.col(f"_w.{c}").alias(c) for c in new_df.columns], "_n"
+            )
+        )
 
     flagged = flag_bloom_membership(batch, b_bloom, m_bits, k)
     if not verify:
