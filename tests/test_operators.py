@@ -1907,3 +1907,30 @@ def test_incremental_dedup_hot_duplicate_key_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "partial_min" in plan or "HashAggregate" in plan
     assert "Window" not in plan
+
+
+def test_incremental_dedup_sharded_matches_broadcast_tier(spark):
+    """The distributed-filter tier returns the same exact survivor set
+    as the broadcast tier, including under a saturated per-shard
+    geometry (verify re-checks candidates) and with empty shards."""
+    new, seen = _inc_dedup_frames(spark)
+    want = [1000 + i for i in range(50)]
+    got = sorted(r.doc_id for r in dedup.incremental_dedup_sharded(
+        new, seen, num_filters=8).collect())
+    assert got == want
+    got_sat = sorted(r.doc_id for r in dedup.incremental_dedup_sharded(
+        new, seen, num_filters=8, expected_seen=2, fpp=0.5).collect())
+    assert got_sat == want
+    # many more shards than distinct contents -> most shards empty;
+    # batch rows routed to corpus-empty shards must flow through
+    got_sparse = sorted(r.doc_id for r in dedup.incremental_dedup_sharded(
+        new, seen, num_filters=512).collect())
+    assert got_sparse == want
+
+
+def test_incremental_dedup_sharded_lossy_no_false_negatives(spark):
+    new, seen = _inc_dedup_frames(spark)
+    ids = {r.doc_id for r in dedup.incremental_dedup_sharded(
+        new, seen, num_filters=8, verify=False).collect()}
+    assert not any(2000 <= i < 3000 for i in ids)
+    assert ids <= {1000 + i for i in range(50)}

@@ -110,10 +110,17 @@ def cmd_dedup(args) -> int:
         if not args.against:
             raise SystemExit("--mode incremental requires --against <corpus>")
         seen = spark.read.parquet(args.against)
-        out = dedup.incremental_dedup(
-            docs, seen, text_col=args.text_col, id_col=args.id_col,
-            fpp=args.bloom_fpp, verify=not args.no_verify,
-        )
+        if args.filters > 1:
+            out = dedup.incremental_dedup_sharded(
+                docs, seen, text_col=args.text_col, id_col=args.id_col,
+                fpp=args.bloom_fpp, num_filters=args.filters,
+                verify=not args.no_verify,
+            )
+        else:
+            out = dedup.incremental_dedup(
+                docs, seen, text_col=args.text_col, id_col=args.id_col,
+                fpp=args.bloom_fpp, verify=not args.no_verify,
+            )
     elif args.mode == "incremental-near":
         # cross-snapshot near-dup PAIRS (batch_id, seen_id, jaccard) —
         # anti-join your batch on batch_id to drop matched rows
@@ -514,6 +521,10 @@ def main(argv=None) -> int:
                         "the already-ingested corpus to dedup the input "
                         "batch against")
     d.add_argument("--bloom-fpp", dest="bloom_fpp", type=float, default=0.01)
+    d.add_argument("--filters", type=int, default=1,
+                   help="mode=incremental: >1 shards the Bloom filter by "
+                        "content hash and keeps it distributed (no driver "
+                        "bitmap/broadcast — the beyond-broadcast tier)")
     d.add_argument("--no-verify", dest="no_verify", action="store_true",
                    help="mode=incremental: skip the exact re-check of Bloom "
                         "candidates (may over-drop ~fpp of unique rows)")

@@ -1370,17 +1370,14 @@ def _bloom_geometry(expected_items: int, fpp: float) -> tuple:
     return m, min(k, 32)
 
 
-def _bloom_positions(values, m_bits: int, k: int):
-    """(len(values), k) int64 bit positions via double hashing.
-
-    One blake2b-16 digest per value splits into two independent 64-bit
-    halves; position_i = (h1 + i·h2) mod m (Kirsch–Mitzenmacher — k
-    probes from one digest, no k-fold hashing cost).
-    """
+def _bloom_digests(values):
+    """(h1, h2) uint64 arrays — one blake2b-16 digest per value split
+    into two independent 64-bit halves (h2 forced odd)."""
     import numpy as np
 
     if len(values) == 0:
-        return np.empty((0, k), dtype=np.int64)
+        e = np.empty(0, dtype=np.uint64)
+        return e, e
     dig = np.frombuffer(
         b"".join(
             blake2b(
@@ -1391,11 +1388,28 @@ def _bloom_positions(values, m_bits: int, k: int):
         ),
         dtype=np.uint64,
     ).reshape(-1, 2)
-    h1, h2 = dig[:, 0], dig[:, 1] | np.uint64(1)
+    return dig[:, 0], dig[:, 1] | np.uint64(1)
+
+
+def _positions_from_h(h1, h2, m_bits: int, k: int):
+    """(n, k) int64 bit positions: position_i = (h1 + i·h2) mod m
+    (Kirsch–Mitzenmacher — k probes from one digest)."""
+    import numpy as np
+
     i = np.arange(k, dtype=np.uint64)
     return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)).astype(
         np.int64
     )
+
+
+def _bloom_positions(values, m_bits: int, k: int):
+    """(len(values), k) int64 bit positions via double hashing."""
+    import numpy as np
+
+    if len(values) == 0:
+        return np.empty((0, k), dtype=np.int64)
+    h1, h2 = _bloom_digests(values)
+    return _positions_from_h(h1, h2, m_bits, k)
 
 
 def _content_norm(c: str) -> Column:
@@ -1584,6 +1598,162 @@ def incremental_dedup(
     return (
         flagged.join(F.broadcast(confirmed), "_n", "left_anti")
         .drop("_n", "_maybe")
+    )
+
+
+def _shard_of(h1, num_filters: int):
+    """Shard id from the digest's high bits (positions use the low-mod
+    range, so shard routing and probe bits draw on different entropy)."""
+    import numpy as np
+
+    return ((h1 >> np.uint64(33)) % np.uint64(num_filters)).astype(np.int32)
+
+
+def incremental_dedup_sharded(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+    expected_seen: Optional[int] = None,
+    fpp: float = 0.01,
+    num_filters: int = 64,
+    verify: bool = True,
+) -> DataFrame:
+    """``incremental_dedup``'s beyond-broadcast tier: the same exact
+    batch-vs-corpus dedup, but the Bloom filter is SHARDED by content
+    hash and stays DISTRIBUTED — no single bitmap ever sits on the
+    driver or broadcasts. Use when the corpus key count pushes the
+    monolithic filter past comfortable broadcast size (~10^9 keys at
+    fpp=0.01 is ~1.2 GB); the two tiers mirror the ANN index's
+    broadcast vs partitioned split.
+
+    Shape: one narrow corpus pass emits (shard, h1, h2) digest triples
+    (16 B/row — the text itself never moves); one shuffle keyed by
+    shard groups each filter's digests into its build task
+    (per-task memory = m/num_filters — the knob that bounds it); the
+    per-shard filters live as rows of a DataFrame. The batch routes by
+    the same digest shard and probes via a shard-keyed COGROUP — so the
+    probe is a small-side shuffle plus a filter-row join, never a
+    broadcast. Maybe-seen candidates then verify exactly against the
+    corpus scan (same broadcast semi/anti tail as the monolithic tier);
+    Bloom false negatives don't exist, so true dups always drop.
+
+    Trade vs the broadcast tier: the corpus pays one digest-width
+    shuffle here (the monolithic build moves only bitmap chunks), in
+    exchange for O(m/num_filters) peak memory anywhere in the plan.
+    """
+    import numpy as np
+
+    from pyspark.sql.types import (
+        BinaryType,
+        BooleanType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    norm = _content_norm if normalize else F.col
+    if expected_seen is None:
+        expected_seen = seen_df.count()
+    per_shard = max(int(expected_seen // max(num_filters, 1)) + 1, 1)
+    m_bits, k = _bloom_geometry(per_shard, fpp)
+    n_words = m_bits // 64
+
+    seen_norm = seen_df.select(norm(text_col).alias("_n"))
+
+    def _digests(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            h1, h2 = _bloom_digests(pdf["_n"].tolist())
+            yield pd.DataFrame(
+                {
+                    "_shard": _shard_of(h1, num_filters),
+                    "_h1": h1.view(np.int64),
+                    "_h2": h2.view(np.int64),
+                }
+            )
+
+    dig_schema = StructType(
+        [
+            StructField("_shard", IntegerType()),
+            StructField("_h1", LongType()),
+            StructField("_h2", LongType()),
+        ]
+    )
+
+    def _build_shard(key, pdf):
+        bits = np.zeros(n_words, dtype=np.uint64)
+        pos = _positions_from_h(
+            pdf["_h1"].to_numpy().view(np.uint64),
+            pdf["_h2"].to_numpy().view(np.uint64),
+            m_bits,
+            k,
+        ).ravel()
+        np.bitwise_or.at(bits, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64))
+        return pd.DataFrame({"_shard": [int(key[0])], "bits": [bits.tobytes()]})
+
+    filt_schema = StructType(
+        [StructField("_shard", IntegerType()), StructField("bits", BinaryType())]
+    )
+    filters = (
+        seen_norm.mapInPandas(_digests, schema=dig_schema)
+        .groupBy("_shard")
+        .applyInPandas(_build_shard, schema=filt_schema)
+        .localCheckpoint()  # feeds every probe; rebuild would rescan the corpus
+    )
+
+    # batch-internal first-occurrence dedup (same agg as the broadcast
+    # tier) + shard routing column
+    others = [c for c in new_df.columns if c != id_col]
+    keyed = new_df.withColumn("_n", norm(text_col))
+    batch = (
+        keyed.groupBy("_n")
+        .agg(F.min(F.struct(id_col, *others)).alias("_w"))
+        .select(*[F.col(f"_w.{c}").alias(c) for c in new_df.columns], "_n")
+    )
+
+    def _route(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            h1, _ = _bloom_digests(pdf["_n"].tolist())
+            yield pdf.assign(_shard=_shard_of(h1, num_filters))
+
+    routed_schema = StructType(
+        batch.schema.fields + [StructField("_shard", IntegerType())]
+    )
+    routed = batch.mapInPandas(_route, schema=routed_schema)
+
+    def _probe(key, bpdf, fpdf):
+        if len(bpdf) == 0:
+            return pd.DataFrame(columns=list(bpdf.columns) + ["_maybe"])
+        if len(fpdf) == 0:  # no corpus rows hashed into this shard
+            return bpdf.assign(_maybe=False)
+        local = np.frombuffer(fpdf["bits"].iloc[0], dtype=np.uint64)
+        h1, h2 = _bloom_digests(bpdf["_n"].tolist())
+        pos = _positions_from_h(h1, h2, m_bits, k)
+        hit = (
+            (local[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1)
+        ).astype(bool).all(axis=1)
+        return bpdf.assign(_maybe=hit)
+
+    flag_schema = StructType(routed.schema.fields + [StructField("_maybe", BooleanType())])
+    flagged = (
+        routed.groupBy("_shard")
+        .cogroup(filters.groupBy("_shard"))
+        .applyInPandas(_probe, schema=flag_schema)
+    )
+    if not verify:
+        return flagged.where(~F.col("_maybe")).drop("_n", "_maybe", "_shard")
+
+    cand = flagged.where(F.col("_maybe")).select("_n").distinct()
+    confirmed = seen_norm.join(F.broadcast(cand), "_n", "left_semi").distinct()
+    return (
+        flagged.join(F.broadcast(confirmed), "_n", "left_anti")
+        .drop("_n", "_maybe", "_shard")
     )
 
 

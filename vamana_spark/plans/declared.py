@@ -496,6 +496,53 @@ _JACCARD_PAIRS_SQL = """
 
 
 @declare(
+    "q_incremental_dedup_sharded",
+    r"""
+    WITH seen AS (
+      SELECT lower(regexp_replace(text, '\s+', ' ', 'g')) AS n
+      FROM documents WHERE doc_id % 3 <> 0
+    ), batch AS (
+      SELECT doc_id + 1000000 AS doc_id,
+             lower(regexp_replace(text, '\s+', ' ', 'g')) AS n
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id,
+             lower(regexp_replace(text, '\s+', ' ', 'g')) AS n
+      FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 7 = 0
+    ), firsts AS (
+      SELECT doc_id, n,
+             row_number() OVER (PARTITION BY n ORDER BY doc_id) AS rn
+      FROM batch
+    )
+    SELECT doc_id FROM firsts f
+    WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM seen s WHERE s.n = f.n)
+    ORDER BY doc_id
+    """,
+)
+def q_incremental_dedup_sharded(spark, sf_dir):
+    """The beyond-broadcast tier of incremental ingest dedup: Bloom
+    filter SHARDED by content hash and kept distributed (shard-keyed
+    cogroup probe — no driver bitmap, no broadcast), exact verify tail.
+    Same planted batch and the SAME anti-join oracle as
+    q_incremental_dedup — the two tiers must agree bit-for-bit."""
+    docs = _docs(spark, sf_dir)
+    seen = docs.where(F.col("doc_id") % 3 != 0)
+    batch = (
+        docs.where(F.col("doc_id") % 3 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        .unionByName(
+            docs.where((F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 7 == 0))
+            .select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+        )
+    )
+    return (
+        dedup.incremental_dedup_sharded(batch, seen, num_filters=8)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@declare(
     "q_incremental_near_dups",
     """
     WITH seen AS (
@@ -3125,8 +3172,9 @@ def q_dsir_sample(spark, sf_dir):
 # stale); (5) the five r04-row queries whose
 # search path sits on the r6-modified brute_topk_batch margin re-rank.
 # The 42 remaining r04-row queries (plus r03-stale q_top_users,
-# q_token_histogram and q_random_vectors, which yielded their slots to
-# the never-run q_incremental_dedup / q_incremental_near_dups) rotate
+# q_token_histogram, q_random_vectors and q_token_chunks, which
+# yielded their slots to the never-run q_incremental_dedup /
+# q_incremental_near_dups / q_incremental_dedup_sharded) rotate
 # in r7; every declared query still
 # runs against the bit-strict local parity suite
 # (tests/test_oracle_parity.py) every round.
@@ -3145,12 +3193,12 @@ _ROTATION_FRONT = [
     "q_append_membership", "q_delete_membership", "q_interval_join",
     "q_market_share", "q_profit_by_nation", "q_ship_delay_class",
     "q_bulk_part_suppliers", "q_shuffle_export", "q_incremental_dedup",
-    "q_incremental_near_dups",
+    "q_incremental_near_dups", "q_incremental_dedup_sharded",
     # (3) canaries (core surface, cheap, always verified; the trivial
     # scan canary yielded its slot to a never-run query this round)
     "q_knn_exact", "q_dedup_exact",
     # (4) latest row r03
-    "q_token_entropy", "q_token_chunks",
+    "q_token_entropy",
     "q_tfidf_top_terms", "q_ngram_jaccard",
     "q_dup_clusters", "q_corpus_dedup", "q_stratified_sample",
     "q_train_test_split", "q_contamination", "q_weighted_sample",
