@@ -1559,34 +1559,7 @@ def incremental_dedup(
     seen_norm = seen_df.select(norm(text_col).alias("_n"))
     b_bloom = build_bloom(seen_norm, m_bits, k, max_build_tasks)
 
-    # batch-internal first-occurrence dedup + content key for the verify
-    # join (same normalization the Bloom hashed). min(struct(id, rest))
-    # per content key, not a window rank: the associative min gets
-    # MAP-SIDE partials, so a batch that is mostly copies of one
-    # document (the skew case for a content-keyed window — dedup_lines
-    # documents the same hazard for hot lines) reaches the reducer as
-    # one partial row per map task. Falls back to the window when a
-    # column type is not orderable inside a struct (maps).
-    from pyspark.sql.types import MapType
-
-    others = [c for c in new_df.columns if c != id_col]
-    keyed = new_df.withColumn("_n", norm(text_col))
-    if any(isinstance(f.dataType, MapType) for f in new_df.schema.fields):
-        w = Window.partitionBy("_n").orderBy(F.col(id_col).asc())
-        batch = (
-            keyed.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-    else:
-        batch = (
-            keyed.groupBy("_n")
-            .agg(F.min(F.struct(id_col, *others)).alias("_w"))
-            .select(
-                *[F.col(f"_w.{c}").alias(c) for c in new_df.columns], "_n"
-            )
-        )
-
+    batch = _first_occurrence(new_df, text_col, id_col, norm)
     flagged = flag_bloom_membership(batch, b_bloom, m_bits, k)
     if not verify:
         return flagged.where(~F.col("_maybe")).drop("_n", "_maybe")
@@ -1598,6 +1571,45 @@ def incremental_dedup(
     return (
         flagged.join(F.broadcast(confirmed), "_n", "left_anti")
         .drop("_n", "_maybe")
+    )
+
+
+def _struct_orderable(dt) -> bool:
+    """Whether a type can participate in a struct min — maps are not
+    orderable, including nested inside structs or array elements."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, StructType):
+        return all(_struct_orderable(f.dataType) for f in dt.fields)
+    if isinstance(dt, ArrayType):
+        return _struct_orderable(dt.elementType)
+    return True
+
+
+def _first_occurrence(new_df: DataFrame, text_col: str, id_col: str, norm) -> DataFrame:
+    """Batch-internal first-occurrence dedup + the ``_n`` content key
+    (same normalization the Bloom hashed). min(struct(id, rest)) per
+    content key, not a window rank: the associative min gets MAP-SIDE
+    partials, so a batch that is mostly copies of one document (the
+    skew case for a content-keyed window — dedup_lines documents the
+    same hazard for hot lines) reaches the reducer as one partial row
+    per map task. Falls back to the window when any column type —
+    including nested — is not orderable inside a struct (maps)."""
+    others = [c for c in new_df.columns if c != id_col]
+    keyed = new_df.withColumn("_n", norm(text_col))
+    if not all(_struct_orderable(f.dataType) for f in new_df.schema.fields):
+        w = Window.partitionBy("_n").orderBy(F.col(id_col).asc())
+        return (
+            keyed.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    return (
+        keyed.groupBy("_n")
+        .agg(F.min(F.struct(id_col, *others)).alias("_w"))
+        .select(*[F.col(f"_w.{c}").alias(c) for c in new_df.columns], "_n")
     )
 
 
@@ -1686,13 +1698,18 @@ def incremental_dedup_sharded(
 
     def _build_shard(key, pdf):
         bits = np.zeros(n_words, dtype=np.uint64)
-        pos = _positions_from_h(
-            pdf["_h1"].to_numpy().view(np.uint64),
-            pdf["_h2"].to_numpy().view(np.uint64),
-            m_bits,
-            k,
-        ).ravel()
-        np.bitwise_or.at(bits, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64))
+        h1 = pdf["_h1"].to_numpy().view(np.uint64)
+        h2 = pdf["_h2"].to_numpy().view(np.uint64)
+        # chunk the (rows, k) position expansion so peak memory is the
+        # bitmap + one chunk's positions, not a k-wide matrix over the
+        # whole shard (the group's digest rows are the irreducible term)
+        for c0 in range(0, len(h1), 1 << 16):
+            pos = _positions_from_h(
+                h1[c0 : c0 + (1 << 16)], h2[c0 : c0 + (1 << 16)], m_bits, k
+            ).ravel()
+            np.bitwise_or.at(
+                bits, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64)
+            )
         return pd.DataFrame({"_shard": [int(key[0])], "bits": [bits.tobytes()]})
 
     filt_schema = StructType(
@@ -1705,25 +1722,29 @@ def incremental_dedup_sharded(
         .localCheckpoint()  # feeds every probe; rebuild would rescan the corpus
     )
 
-    # batch-internal first-occurrence dedup (same agg as the broadcast
-    # tier) + shard routing column
-    others = [c for c in new_df.columns if c != id_col]
-    keyed = new_df.withColumn("_n", norm(text_col))
-    batch = (
-        keyed.groupBy("_n")
-        .agg(F.min(F.struct(id_col, *others)).alias("_w"))
-        .select(*[F.col(f"_w.{c}").alias(c) for c in new_df.columns], "_n")
-    )
+    # batch-internal first-occurrence dedup (shared with the broadcast
+    # tier) + shard routing; _route keeps the digests as columns so
+    # _probe doesn't re-hash every row
+    batch = _first_occurrence(new_df, text_col, id_col, norm)
 
     def _route(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            h1, _ = _bloom_digests(pdf["_n"].tolist())
-            yield pdf.assign(_shard=_shard_of(h1, num_filters))
+            h1, h2 = _bloom_digests(pdf["_n"].tolist())
+            yield pdf.assign(
+                _shard=_shard_of(h1, num_filters),
+                _h1=h1.view(np.int64),
+                _h2=h2.view(np.int64),
+            )
 
     routed_schema = StructType(
-        batch.schema.fields + [StructField("_shard", IntegerType())]
+        batch.schema.fields
+        + [
+            StructField("_shard", IntegerType()),
+            StructField("_h1", LongType()),
+            StructField("_h2", LongType()),
+        ]
     )
     routed = batch.mapInPandas(_route, schema=routed_schema)
 
@@ -1733,8 +1754,12 @@ def incremental_dedup_sharded(
         if len(fpdf) == 0:  # no corpus rows hashed into this shard
             return bpdf.assign(_maybe=False)
         local = np.frombuffer(fpdf["bits"].iloc[0], dtype=np.uint64)
-        h1, h2 = _bloom_digests(bpdf["_n"].tolist())
-        pos = _positions_from_h(h1, h2, m_bits, k)
+        pos = _positions_from_h(
+            bpdf["_h1"].to_numpy().view(np.uint64),
+            bpdf["_h2"].to_numpy().view(np.uint64),
+            m_bits,
+            k,
+        )
         hit = (
             (local[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1)
         ).astype(bool).all(axis=1)
@@ -1746,15 +1771,13 @@ def incremental_dedup_sharded(
         .cogroup(filters.groupBy("_shard"))
         .applyInPandas(_probe, schema=flag_schema)
     )
+    helpers = ["_n", "_maybe", "_shard", "_h1", "_h2"]
     if not verify:
-        return flagged.where(~F.col("_maybe")).drop("_n", "_maybe", "_shard")
+        return flagged.where(~F.col("_maybe")).drop(*helpers)
 
     cand = flagged.where(F.col("_maybe")).select("_n").distinct()
     confirmed = seen_norm.join(F.broadcast(cand), "_n", "left_semi").distinct()
-    return (
-        flagged.join(F.broadcast(confirmed), "_n", "left_anti")
-        .drop("_n", "_maybe", "_shard")
-    )
+    return flagged.join(F.broadcast(confirmed), "_n", "left_anti").drop(*helpers)
 
 
 def incremental_near_dups(
