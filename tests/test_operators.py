@@ -1662,7 +1662,9 @@ def test_minhash_repeated_runs_no_persist_leak(spark, documents):
     def n_persistent():
         return spark.sparkContext._jsc.getPersistentRDDs().size()
 
-    def settle(limit, timeout=30.0):
+    def settle(limit, timeout=90.0):
+        # generous: ContextCleaner + System.gc crawl when the box is
+        # under concurrent load (observed settling >30s at 100% CPU)
         deadline = time.time() + timeout
         while time.time() < deadline:
             gc.collect()
