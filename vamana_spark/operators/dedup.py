@@ -1355,10 +1355,12 @@ def cut_duplicate_spans(
 # ---------------------------------------------------- incremental dedup
 
 def _bloom_geometry(expected_items: int, fpp: float) -> tuple:
-    """(m_bits, k_hashes) for a Bloom filter at the requested capacity.
+    """(m_bits, k_hashes) for a Bloom filter (Bloom 1970) at the
+    requested capacity.
 
     Standard sizing: m = -n·ln(p)/ln(2)^2, k = (m/n)·ln(2). m is rounded
-    up to a multiple of 64 so the bitmap is whole uint64 words.
+    up to a multiple of 64 so the bitmap is whole uint64 words. Probes
+    use Kirsch–Mitzenmacher 2006 double hashing (see _positions_from_h).
     """
     import math
 
