@@ -1956,3 +1956,44 @@ def test_incremental_dedup_nested_map_column_falls_back_to_window(spark):
         for r in dedup.incremental_dedup_sharded(new, seen, num_filters=4).collect()
     )
     assert got_sh == [11]
+
+
+def test_incremental_dedup_partition_layout_invariant(spark):
+    """Survivors depend on content + ids only, never on how either side
+    happens to be partitioned (both tiers)."""
+    new, seen = _inc_dedup_frames(spark)
+    want = [1000 + i for i in range(50)]
+    for np_, sp_ in [(1, 7), (13, 1), (5, 3)]:
+        got = sorted(
+            r.doc_id
+            for r in dedup.incremental_dedup(
+                new.repartition(np_), seen.repartition(sp_)
+            ).collect()
+        )
+        assert got == want, (np_, sp_)
+    got_sh = sorted(
+        r.doc_id
+        for r in dedup.incremental_dedup_sharded(
+            new.repartition(11), seen.repartition(3), num_filters=8
+        ).collect()
+    )
+    assert got_sh == want
+
+
+def test_incremental_dedup_sharded_hot_corpus_content(spark):
+    """A corpus that is mostly copies of one document: the map-side
+    digest dedup keeps the build correct and survivors exact."""
+    seen = spark.createDataFrame(
+        [(i, "the single hot corpus document body") for i in range(2000)]
+        + [(9000, "a rare distinct corpus doc")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(10, "the single hot corpus document body"),
+         (11, "a rare distinct corpus doc"),
+         (12, "a genuinely fresh document")],
+        ["doc_id", "text"],
+    )
+    got = sorted(r.doc_id for r in dedup.incremental_dedup_sharded(
+        new, seen, num_filters=4).collect())
+    assert got == [12]

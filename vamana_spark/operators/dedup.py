@@ -1682,6 +1682,13 @@ def incremental_dedup_sharded(
             if len(pdf) == 0:
                 continue
             h1, h2 = _bloom_digests(pdf["_n"].tolist())
+            # map-side dedup: Bloom insertion is idempotent, so only
+            # distinct digests need to travel — a corpus that is mostly
+            # copies of one document (hot-content skew) sends one row
+            # per distinct content per input partition to its build
+            # task, not one per copy
+            h1, idx = np.unique(h1, return_index=True)
+            h2 = h2[idx]
             yield pd.DataFrame(
                 {
                     "_shard": _shard_of(h1, num_filters),
