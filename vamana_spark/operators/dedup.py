@@ -1456,7 +1456,11 @@ def build_bloom(
     def _partition_bloom(batches):
         bits = np.zeros(n_words, dtype=np.uint64)
         for pdf in batches:
-            pos = _bloom_positions(pdf["_n"].tolist(), m_bits, k).ravel()
+            # insertion is idempotent — hash each distinct content once
+            # per batch (a hot-content batch pays pandas dedup, not a
+            # blake2b per copy)
+            vals = pdf["_n"].drop_duplicates().tolist()
+            pos = _bloom_positions(vals, m_bits, k).ravel()
             np.bitwise_or.at(
                 bits, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64)
             )
