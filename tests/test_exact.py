@@ -88,3 +88,44 @@ def test_medoid_approx_is_reasonable(embeddings, np_points):
     d = ((P - centroid) ** 2).sum(axis=1)
     want = int(ids[np.argmin(d)])
     assert exact.medoid_approx(embeddings) == want
+
+
+def test_ranking_metrics_hand_case(spark):
+    """recall/MRR/NDCG against hand-computed values, including the
+    all-miss query (every metric 0, no division blowup)."""
+    import math
+
+    from vamana_spark.quality import ranking_metrics
+
+    truth = spark.createDataFrame(
+        [(q, v, r) for q in (1, 2) for r, v in enumerate((1, 2, 3), 1)],
+        "query_id long, vec_id long, rank int",
+    )
+    approx = spark.createDataFrame(
+        [(1, 2, 1), (1, 9, 2), (1, 1, 3),   # hits at ranks 1 and 3
+         (2, 9, 1), (2, 8, 2), (2, 7, 3)],  # all misses
+        "query_id long, vec_id long, rank int",
+    )
+    rows = {r.query_id: r for r in ranking_metrics(approx, truth, k=3).collect()}
+    idcg = sum(1 / math.log2(i + 1) for i in (1, 2, 3))
+    dcg = 1 / math.log2(2) + 1 / math.log2(4)
+    assert abs(rows[1].recall_at_k - 2 / 3) < 1e-12
+    assert rows[1].mrr == 1.0
+    assert abs(rows[1].ndcg - dcg / idcg) < 1e-12
+    assert (rows[2].recall_at_k, rows[2].mrr, rows[2].ndcg) == (0.0, 0.0, 0.0)
+
+
+def test_ranking_metrics_perfect_list_is_one(spark, embeddings):
+    """An exact list evaluated against itself scores 1.0 across the
+    board — the metric's fixed point."""
+    from vamana_spark import exact
+    from vamana_spark.quality import ranking_metrics
+
+    q = embeddings.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    t = exact.exact_knn(embeddings, q, k=5)
+    rows = ranking_metrics(t, t, k=5).collect()
+    assert len(rows) > 0
+    assert all(r.recall_at_k == 1.0 and r.mrr == 1.0 and abs(r.ndcg - 1.0) < 1e-12
+               for r in rows)

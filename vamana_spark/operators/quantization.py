@@ -115,6 +115,7 @@ def sq_knn(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_digits: Optional[int] = None,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Exact kNN over SQ8-dequantized vectors (both sides quantized) —
     the measurable answer to "what does 4x compression cost in ranking".
@@ -135,7 +136,9 @@ def sq_knn(
     q_deq = scalar_dequantize(q_codes, bounds).select(
         F.col(id_col).alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return exact.exact_knn(deq, q_deq, k, round_digits=round_digits)
+    return exact.exact_knn(
+        deq, q_deq, k, round_digits=round_digits, exclude_self=exclude_self
+    )
 
 
 # ------------------------------------------------------- product quantization

@@ -1380,6 +1380,87 @@ def q_sq_knn(spark, sf_dir):
     return out.select("query_id", "vec_id", "dist", "rank")
 
 
+@declare(
+    "q_ranking_metrics",
+    _SQ_CTE
+    + """
+    , dq AS (
+      SELECT vec_id, ord,
+             code / 255 * (CASE WHEN mx > mn THEN mx - mn ELSE 1.0 END) + mn AS val
+      FROM c
+    ),
+    v AS (SELECT vec_id, list(val ORDER BY ord) AS emb FROM dq GROUP BY vec_id),
+    q AS (SELECT vec_id AS query_id, emb FROM v WHERE vec_id % 50 = 0),
+    ad AS (
+      SELECT q.query_id, p.vec_id,
+             list_sum(list_transform(list_zip(q.emb, p.emb),
+                      x -> (x[1] - x[2]) * (x[1] - x[2]))) AS dist
+      FROM q, v p WHERE p.vec_id <> q.query_id
+    ),
+    ar AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+      FROM ad
+    ),
+    ap AS (SELECT query_id, vec_id, CAST(rank AS DOUBLE) AS arank FROM ar WHERE rank <= 10),
+    tq AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+    td AS (
+      SELECT tq.query_id, p.vec_id,
+             list_sum(list_transform(list_zip(tq.embedding, p.embedding),
+                      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS dist
+      FROM tq, embeddings p WHERE p.vec_id <> tq.query_id
+    ),
+    tr AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+      FROM td
+    ),
+    tt AS (SELECT query_id, vec_id, CAST(rank AS DOUBLE) AS trank FROM tr WHERE rank <= 10),
+    jj AS (
+      SELECT a.query_id, a.arank, t.trank
+      FROM ap a LEFT JOIN tt t ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+    ),
+    pq AS (
+      SELECT query_id,
+             sum(CASE WHEN trank IS NOT NULL THEN 1.0 ELSE 0.0 END) / 10.0 AS recall_at_k,
+             coalesce(1.0 / min(CASE WHEN trank IS NOT NULL THEN arank END), 0.0) AS mrr,
+             sum(CASE WHEN trank IS NOT NULL
+                      THEN 1.0 / (ln(arank + 1.0) / ln(2.0)) ELSE 0.0 END) AS dcg
+      FROM jj GROUP BY query_id
+    ),
+    iq AS (
+      SELECT query_id, sum(1.0 / (ln(trank + 1.0) / ln(2.0))) AS idcg
+      FROM tt GROUP BY query_id
+    )
+    SELECT i.query_id,
+           round(coalesce(p.recall_at_k, 0.0), 6) AS recall_at_k,
+           round(coalesce(p.mrr, 0.0), 6) AS mrr,
+           round(coalesce(p.dcg, 0.0) / i.idcg, 6) AS ndcg
+    FROM iq i LEFT JOIN pq p USING (query_id)
+    ORDER BY query_id
+    """,
+)
+def q_ranking_metrics(spark, sf_dir):
+    """IR evaluation harness: recall@10 / MRR / binary NDCG@10 of the
+    SQ8-quantized searcher against the exact-kNN truth (self excluded
+    on both sides, so MRR measures the first true NEIGHBOR found).
+    Every stage — SQ8 encode/decode, both rankings, the metric
+    arithmetic (double, ln-based log2) — is replicated in DuckDB, so
+    the driver hash-matches the quality numbers themselves, not just
+    the rankings they summarize."""
+    from vamana_spark import quality
+
+    e = _emb(spark, sf_dir)
+    dim = len(e.select("embedding").first()[0])
+    q = _fixed_queries(e, 50)
+    approx = quantization.sq_knn(e, q, k=10, dim=dim, exclude_self=True)
+    truth = exact.exact_knn(e, q, k=10, exclude_self=True)
+    return quality.ranking_metrics(approx, truth, k=10, round_digits=6).orderBy(
+        "query_id"
+    )
+
+
 @declare("q_pq_knn")
 def q_pq_knn(spark, sf_dir):
     """PQ ADC shortlist + exact re-rank (rows-only: codebook is k-means
@@ -3172,9 +3253,10 @@ def q_dsir_sample(spark, sf_dir):
 # stale); (5) the five r04-row queries whose
 # search path sits on the r6-modified brute_topk_batch margin re-rank.
 # The 42 remaining r04-row queries (plus r03-stale q_top_users,
-# q_token_histogram, q_random_vectors and q_token_chunks, which
-# yielded their slots to the never-run q_incremental_dedup /
-# q_incremental_near_dups / q_incremental_dedup_sharded) rotate
+# q_token_histogram, q_random_vectors, q_token_chunks and
+# q_token_entropy, which yielded their slots to the never-run
+# q_incremental_dedup / q_incremental_near_dups /
+# q_incremental_dedup_sharded / q_ranking_metrics) rotate
 # in r7; every declared query still
 # runs against the bit-strict local parity suite
 # (tests/test_oracle_parity.py) every round.
@@ -3194,11 +3276,11 @@ _ROTATION_FRONT = [
     "q_market_share", "q_profit_by_nation", "q_ship_delay_class",
     "q_bulk_part_suppliers", "q_shuffle_export", "q_incremental_dedup",
     "q_incremental_near_dups", "q_incremental_dedup_sharded",
+    "q_ranking_metrics",
     # (3) canaries (core surface, cheap, always verified; the trivial
     # scan canary yielded its slot to a never-run query this round)
     "q_knn_exact", "q_dedup_exact",
     # (4) latest row r03
-    "q_token_entropy",
     "q_tfidf_top_terms", "q_ngram_jaccard",
     "q_dup_clusters", "q_corpus_dedup", "q_stratified_sample",
     "q_train_test_split", "q_contamination", "q_weighted_sample",
