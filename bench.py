@@ -338,6 +338,14 @@ def _query_mix(timings: dict, extra: dict) -> None:
             extra["recall_at_10"] = round(
                 quality.avg_recall(approx, truth, k=10), 4
             )
+            # MRR/NDCG alongside recall — the fuller IR picture of the
+            # graph searcher (quality.ranking_metrics, hash-gated via
+            # q_ranking_metrics)
+            m = quality.ranking_metrics(approx, truth, k=10).agg(
+                F.avg("mrr"), F.avg("ndcg")
+            ).first()
+            extra["mrr_at_10"] = round(m[0], 4)
+            extra["ndcg_at_10"] = round(m[1], 4)
             truth.unpersist()
             approx.unpersist()
             if timings.get("ann_search_full"):
