@@ -104,9 +104,14 @@ def _scale_25k_block(spark) -> dict:
         t0 = time.perf_counter()
         idx.search(allq, k=10).count()
         search_sec = min(search_sec, time.perf_counter() - t0)
-    approx = idx.search(q, k=10)
-    truth = exact.exact_knn_batch(emb, q, k=10)
+    approx = idx.search(q, k=10).cache()
+    truth = exact.exact_knn_batch(emb, q, k=10).cache()
     recall = round(quality.avg_recall(approx, truth, k=10), 4)
+    m = quality.ranking_metrics(approx, truth, k=10).agg(
+        F.avg("mrr"), F.avg("ndcg")
+    ).first()
+    approx.unpersist()
+    truth.unpersist()
     allq.unpersist()
     out = {
         "n": 25_000,
@@ -115,6 +120,8 @@ def _scale_25k_block(spark) -> dict:
         "build_phases": phases,
         "qps_sustained": round(n_all / search_sec, 1),
         "recall_at_10": recall,
+        "mrr_at_10": round(m[0], 4),
+        "ndcg_at_10": round(m[1], 4),
     }
 
     # partitioned serving tier at the same 25k scale (crash-isolated:
