@@ -589,7 +589,8 @@ def q_incremental_near_dups(spark, sf_dir):
     docs (+1M) plus verbatim copies of seen docs (id % 11 == 1, +2M) so
     J=1.0 hits are guaranteed present. Engine path: corpus contributes
     its MinHash band table only, batch band table broadcasts, overfull
-    buckets degrade to a min-id witness, candidates re-verified by exact
+    buckets keep their max_bucket_witnesses min-id members, candidates
+    re-verified by exact
     Jaccard — emitted as the verified projection, hash-matched against
     the full cross-pairs DuckDB oracle (same guarantee as
     q_minhash_pairs: the banding catches every J >= 0.5 pair in this
