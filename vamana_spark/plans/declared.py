@@ -495,9 +495,9 @@ _JACCARD_PAIRS_SQL = """
 """
 
 
-@declare(
-    "q_incremental_dedup_sharded",
-    r"""
+# One oracle for BOTH incremental-dedup tiers — broadcast and sharded
+# filters must produce bit-identical survivor sets.
+_INC_DEDUP_ORACLE = r"""
     WITH seen AS (
       SELECT lower(regexp_replace(text, '\s+', ' ', 'g')) AS n
       FROM documents WHERE doc_id % 3 <> 0
@@ -517,8 +517,10 @@ _JACCARD_PAIRS_SQL = """
     SELECT doc_id FROM firsts f
     WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM seen s WHERE s.n = f.n)
     ORDER BY doc_id
-    """,
-)
+    """
+
+
+@declare("q_incremental_dedup_sharded", _INC_DEDUP_ORACLE)
 def q_incremental_dedup_sharded(spark, sf_dir):
     """The beyond-broadcast tier of incremental ingest dedup: Bloom
     filter SHARDED by content hash and kept distributed (shard-keyed
@@ -654,30 +656,7 @@ def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir)).select("doc_id")
 
 
-@declare(
-    "q_incremental_dedup",
-    r"""
-    WITH seen AS (
-      SELECT lower(regexp_replace(text, '\s+', ' ', 'g')) AS n
-      FROM documents WHERE doc_id % 3 <> 0
-    ), batch AS (
-      SELECT doc_id + 1000000 AS doc_id,
-             lower(regexp_replace(text, '\s+', ' ', 'g')) AS n
-      FROM documents WHERE doc_id % 3 = 0
-      UNION ALL
-      SELECT doc_id + 2000000 AS doc_id,
-             lower(regexp_replace(text, '\s+', ' ', 'g')) AS n
-      FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 7 = 0
-    ), firsts AS (
-      SELECT doc_id, n,
-             row_number() OVER (PARTITION BY n ORDER BY doc_id) AS rn
-      FROM batch
-    )
-    SELECT doc_id FROM firsts f
-    WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM seen s WHERE s.n = f.n)
-    ORDER BY doc_id
-    """,
-)
+@declare("q_incremental_dedup", _INC_DEDUP_ORACLE)
 def q_incremental_dedup(spark, sf_dir):
     """X1 incremental form: dedup a NEW batch against the corpus at rest
     (snapshot-over-snapshot ingest). seen = docs with id % 3 != 0; the
