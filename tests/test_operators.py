@@ -1872,6 +1872,32 @@ def test_incremental_near_dups_signature_store_path(spark):
     assert a == b and (500, 3, 1.0) in a
 
 
+def test_incremental_near_dups_rejects_mismatched_signature_table(spark):
+    """A persisted signature table built with a different num_hashes
+    must be rejected loudly — banding a wrong-width minhash silently
+    misses pairs (verify masks false positives, not misses)."""
+    seen = spark.createDataFrame(
+        [(i, f"document body alpha beta gamma {i}") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(9, "document body alpha beta gamma 1")], ["doc_id", "text"]
+    )
+    narrow = dedup.minhash_signatures(seen, num_hashes=32).localCheckpoint()
+    with pytest.raises(ValueError, match="minhash width 32"):
+        dedup.incremental_near_dups(
+            batch, seen, num_hashes=64, seen_signatures=narrow
+        ).collect()
+
+
+def test_bloom_digest_null_sentinel_distinct_from_nul_content():
+    """NULL text and a document whose content is the literal "\\x00"
+    must hash to different digests — otherwise lossy (verify=False)
+    incremental dedup cross-drops one against the other."""
+    h1, h2 = dedup._bloom_digests([None, "\x00", ""])
+    assert h1[0] != h1[1] and h1[0] != h1[2] and h1[1] != h1[2]
+
+
 def test_incremental_near_dups_overfull_bucket_witness(spark):
     """A giant corpus duplicate cluster floods its band buckets; above
     max_bucket_witnesses the bucket keeps its N lowest-id members as

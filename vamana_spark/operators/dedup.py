@@ -1380,10 +1380,16 @@ def _bloom_digests(values):
     if len(values) == 0:
         e = np.empty(0, dtype=np.uint64)
         return e, e
+    # Tag byte keeps NULL distinguishable from any real content: a
+    # document whose text is literally "\x00" hashes b"\x01\x00", never
+    # the NULL sentinel b"\x00" — so lossy (verify=False) mode cannot
+    # cross-drop a NULL row against a "\x00" document or vice versa.
     dig = np.frombuffer(
         b"".join(
             blake2b(
-                v.encode("utf-8", "surrogatepass") if v is not None else b"\x00",
+                b"\x01" + v.encode("utf-8", "surrogatepass")
+                if v is not None
+                else b"\x00",
                 digest_size=16,
             ).digest()
             for v in values
@@ -1690,9 +1696,15 @@ def incremental_dedup_sharded(
             # distinct digests need to travel — a corpus that is mostly
             # copies of one document (hot-content skew) sends one row
             # per distinct content per input partition to its build
-            # task, not one per copy
-            h1, idx = np.unique(h1, return_index=True)
-            h2 = h2[idx]
+            # task, not one per copy. Distinctness is on the FULL
+            # (h1, h2) pair: two contents colliding on the h1 half
+            # alone must both reach the filter, or the no-false-
+            # negatives invariant becomes probabilistic.
+            order = np.lexsort((h2, h1))
+            h1, h2 = h1[order], h2[order]
+            keep = np.ones(len(h1), dtype=bool)
+            keep[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+            h1, h2 = h1[keep], h2[keep]
             yield pd.DataFrame(
                 {
                     "_shard": _shard_of(h1, num_filters),
@@ -1852,13 +1864,26 @@ def incremental_near_dups(
     )
     if broadcast_batch:
         banded_b = F.broadcast(banded_b)
-    sig_s = (
-        seen_signatures
-        if seen_signatures is not None
-        else minhash_signatures(
+    if seen_signatures is not None:
+        # Guard against a signature table persisted with different
+        # parameters: banding a wrong-width minhash silently produces
+        # wrong band hashes, and exact-Jaccard verify masks the false
+        # positives but NOT the resulting misses. One limit-1 row is a
+        # cheap scan; the width is uniform by construction.
+        probe = seen_signatures.select(
+            F.size("minhash").alias("_w")
+        ).limit(1).collect()
+        if probe and probe[0]["_w"] != num_hashes:
+            raise ValueError(
+                f"seen_signatures has minhash width {probe[0]['_w']} but "
+                f"num_hashes={num_hashes}; recompute the signature table "
+                "with matching (num_hashes, bands, shingle_n) parameters"
+            )
+        sig_s = seen_signatures
+    else:
+        sig_s = minhash_signatures(
             seen, text_col, id_col, num_hashes, shingle_n, arrow=arrow
         )
-    )
     banded_s = sig_s.select(
         F.col(id_col).alias("seen_id"),
         F.posexplode(band_hash_array("minhash", num_hashes, bands)).alias(

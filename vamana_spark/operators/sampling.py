@@ -176,6 +176,14 @@ def shuffle_export(
     md5 buckets), then a per-shard window rank; no global sort ever.
     Feed the result to ``sinks.write_parquet_sized`` partitioned by
     ``shard`` to land one file set per shard.
+
+    SCALING CONSTRAINT: the intra-shard ``pos`` is a row_number window
+    partitioned by shard, so every shard's n/num_shards rows sort
+    through ONE task. ``num_shards`` must therefore scale with the
+    corpus — size shards to the training-file granularity you want
+    (e.g. ~1M docs / a few GiB per shard), never a small constant over
+    a huge corpus. At 100 TB that means thousands of shards, which is
+    exactly the file count a training loader wants anyway.
     """
     S = int(num_shards)
     if S <= 0:
