@@ -380,3 +380,43 @@ def test_temperature_mixture_corpus_never_shuffles(spark, sf_dir):
     # the 1-row max(rate) rides in as the single nested-loop broadcast
     tree = p.split("\n\n")[0]
     assert tree.count("BroadcastNestedLoopJoin") <= 1, p
+
+
+# ----------------------------------------------------------------------
+# Rotation staleness bound (driver runs only the first 50 registry
+# slots per round; the data-driven order must keep every query's
+# driver row within ceil(Q/50) rounds of fresh)
+# ----------------------------------------------------------------------
+
+def test_rotation_window_bounds_staleness():
+    """After the next driver round runs the first-50 window, no query's
+    latest driver row may be older than (current max round - 1): every
+    query excluded from the window must already hold a row from the
+    previous round or newer."""
+    last = D._latest_driver_rounds()
+    if not last:
+        pytest.skip("no CORRECTNESS records next to the package")
+    window = set(list(D.QUERIES)[:50])
+    mx = max(last.values())
+    offenders = [
+        (q, last.get(q, 0))
+        for q in D.QUERIES
+        if q not in window and last.get(q, 0) < mx - 1
+    ]
+    assert offenders == [], (
+        f"queries excluded from the 50-slot window with rows older than "
+        f"r{mx - 1:02d}: {offenders}"
+    )
+
+
+def test_rotation_promotes_never_run_and_changed():
+    """Never-driver-run queries and _CHANGED_THIS_ROUND entries sort to
+    the front; the order is deterministic (pure function of records)."""
+    last = {"q_a": 6, "q_b": 3, "q_c": 5}
+    order = D.rotation_order(
+        ["q_a", "q_b", "q_c", "q_new"], last_rounds=last, changed=["q_a"]
+    )
+    assert order == ["q_a", "q_new", "q_b", "q_c"]
+    assert order == D.rotation_order(
+        ["q_new", "q_c", "q_b", "q_a"], last_rounds=last, changed=["q_a"]
+    )

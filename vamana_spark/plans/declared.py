@@ -3212,70 +3212,81 @@ def q_dsir_sample(spark, sf_dir):
 # ROTATION — driver-verification window management
 # ======================================================================
 # The correctness driver runs only the FIRST 50 registry slots each
-# round, so with 95 declared queries a static order leaves 45 forever
-# unverified. Round-robin policy: any query whose last CORRECTNESS_r{N}
-# row is >= 2 rounds old — or that has never been driver-run — enters
-# the front window; freshly-green queries rotate to the back (they stay
-# covered by the local bit-strict parity suite, tests/test_oracle_parity
-# .py, every round).
+# round, so with 137 declared queries a static order leaves 87 forever
+# unverified. The rotation is DATA-DRIVEN (r7+): each query's latest
+# driver round is read from the CORRECTNESS_r*.json records at the repo
+# root, and the registry is reordered stalest-first — never-driver-run
+# queries and queries listed in _CHANGED_THIS_ROUND (whose existing
+# rows describe old code) sort as round 0, everything else by its
+# latest recorded round, ties broken by name. Taking the first 50 of
+# that order every round guarantees a structural staleness bound: with
+# Q queries and a 50-slot window, no query's driver row is ever older
+# than ceil(Q/50) rounds (= 3 at Q=137), PROVIDED the promoted set
+# (never-run + changed) stays within the window's slack. A guard test
+# (tests/test_plans.py) asserts the bound on the actual files.
 #
-# Round-6 window (exactly 50 entries — the driver's check budget), by
-# priority: (1) the 4 TPC-H shapes added in r5 that spilled past slot
-# 50 and have NEVER had a driver row (VERDICT r5 next-#1); (2) queries
-# whose implementation or oracle CHANGED this round (de-vacuated
-# dup-groups, verified-pair minhash/simhash oracles, capped semantic
-# dedup, surrogate-label nearest-centroid, ADC-kernel PQ path, the
-# verified-projection lsh_join oracle, the exact+invariant approx-
-# distinct oracle) — their r05 rows describe the old code; (3) the 3
-# always-on canaries, plus the four r6-NEW queries (DSIR weights +
-# sample, exact-mode partitioned serving, temperature mixture — never
-# driver-run); (4) the 19 queries whose latest row is r03 (3 rounds
-# stale); (5) the five r04-row queries whose
-# search path sits on the r6-modified brute_topk_batch margin re-rank.
-# The 42 remaining r04-row queries (plus r03-stale q_top_users,
-# q_token_histogram, q_random_vectors, q_token_chunks and
-# q_token_entropy, which yielded their slots to the never-run
-# q_incremental_dedup / q_incremental_near_dups /
-# q_incremental_dedup_sharded / q_ranking_metrics) rotate
-# in r7; every declared query still
-# runs against the bit-strict local parity suite
-# (tests/test_oracle_parity.py) every round.
-_ROTATION_FRONT = [
-    # (1) never driver-run
-    "q_min_cost_supplier", "q_revenue_concentration",
-    "q_supplier_part_variety", "q_sole_supplier_orders",
-    # (2) changed in r6
-    "q_dup_groups", "q_minhash_pairs", "q_simhash_near_dups", "q_anti_join",
-    "q_semantic_dedup", "q_nearest_centroid", "q_partitioned_pq",
-    "q_lsh_join", "q_approx_distinct",
-    # new in r6 (DSIR importance resampling; exact-mode partitioned
-    # serving; temperature-scaled source rebalancing)
-    "q_dsir_weights", "q_dsir_sample",
-    "q_partitioned_exact", "q_temperature_mixture", "q_ivf_exact",
-    "q_append_membership", "q_delete_membership", "q_interval_join",
-    "q_market_share", "q_profit_by_nation", "q_ship_delay_class",
-    "q_bulk_part_suppliers", "q_shuffle_export", "q_incremental_dedup",
-    "q_incremental_near_dups", "q_incremental_dedup_sharded",
-    "q_ranking_metrics",
-    # (3) canaries (core surface, cheap, always verified; the trivial
-    # scan canary yielded its slot to a never-run query this round)
-    "q_knn_exact", "q_dedup_exact",
-    # (4) latest row r03
-    "q_tfidf_top_terms", "q_ngram_jaccard",
-    "q_dup_clusters", "q_corpus_dedup", "q_stratified_sample",
-    "q_train_test_split", "q_contamination", "q_weighted_sample",
-    "q_embedding_near_dups", "q_scalar_quantize", "q_sq_knn", "q_pq_knn",
-    "q_ivfpq_knn",
-    # (5) latest row r04 — brute_topk_batch-dependent first
-    "q_partitioned_ann", "q_partitioned_recall", "q_index_append",
-    "q_index_delete", "q_knn_ip",
+# Every declared query additionally runs against the bit-strict local
+# parity suite (tests/test_oracle_parity.py) every round regardless of
+# window membership.
+
+# Queries whose implementation or oracle changed THIS round — their
+# most recent driver rows predate the change, so they are promoted to
+# the front alongside never-run queries. r7: the four graph/serving
+# queries re-pointed at the deterministic prebuilt-index fixture
+# (rows-only -> hash-matched conversion).
+_CHANGED_THIS_ROUND = [
+    "q_index_append",
+    "q_index_delete",
+    "q_partitioned_ann",
+    "q_partitioned_recall",
 ]
 
 
+def _latest_driver_rounds() -> dict:
+    """query -> latest CORRECTNESS_r{N}.json round that recorded it
+    (any row counts, including err rows — the driver ran it). Empty
+    dict if no records are readable (executor-shipped copies of the
+    package; rotation only matters where the driver imports from the
+    repo root)."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    last: dict = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if isinstance(rows, dict):
+            for q in rows:
+                last[q] = max(last.get(q, 0), rnd)
+    return last
+
+
+def rotation_order(queries, last_rounds=None, changed=None) -> list:
+    """Stalest-first registry order (pure function, unit-testable):
+    effective round 0 for never-run and changed queries, else the
+    latest recorded driver round; ties by name."""
+    if last_rounds is None:
+        last_rounds = _latest_driver_rounds()
+    changed_set = set(_CHANGED_THIS_ROUND if changed is None else changed)
+    return sorted(
+        queries,
+        key=lambda q: (0 if q in changed_set else last_rounds.get(q, 0), q),
+    )
+
+
 def _apply_rotation() -> None:
-    front = [k for k in _ROTATION_FRONT if k in QUERIES]
-    back = [k for k in QUERIES if k not in set(front)]
-    reordered = {k: QUERIES[k] for k in front + back}
+    order = rotation_order(list(QUERIES))
+    reordered = {k: QUERIES[k] for k in order}
     QUERIES.clear()
     QUERIES.update(reordered)
 
