@@ -16,6 +16,7 @@ Determinism conventions (FIXTURES.md §C):
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Dict
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -281,11 +282,85 @@ def _built_index(spark, sf_dir):
     return _INDEX_CACHE[key]
 
 
-@declare("q_degree_stats")
+# ---------------------------------------------------------------------
+# Deterministic prebuilt-index fixtures (the reference's own test
+# strategy — save once, assert against the LOADED artifact,
+# main.cpp:71-82). Graph builds are seeded but not bit-stable across
+# task layouts, so graph-dependent queries were rows-only; loading a
+# committed fixture (tools/build_index_fixtures.py) makes degree
+# stats, reachability, and mutation outputs bit-deterministic and
+# DuckDB-oracle-able — the oracle SQL reads the fixture parquet
+# directly.
+# ---------------------------------------------------------------------
+_FIXTURE_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "fixtures", "vamana",
+)
+
+
+def _fixture_path(sf_dir: str, variant: str) -> str:
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(_FIXTURE_ROOT, sf, variant)
+
+
+def _fixture_meta(sf: str, variant: str = "base") -> dict:
+    import json as _json
+
+    try:
+        with open(os.path.join(_FIXTURE_ROOT, sf, variant, "_meta.json")) as f:
+            return _json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _fixture_index(spark, sf_dir, variant):
+    """Load the committed fixture for this scale; fall back to a live
+    rebuild of the same recipe when absent (non-testdata dirs — the
+    output is then not hash-stable, but the invariants still hold)."""
+    from vamana_spark.index import VamanaIndex
+
+    key = (spark.sparkContext.applicationId, sf_dir, f"fixture-{variant}")
+    if key not in _INDEX_CACHE:
+        path = _fixture_path(sf_dir, variant)
+        if os.path.exists(os.path.join(path, "_meta.json")):
+            _INDEX_CACHE[key] = VamanaIndex.load(spark, path)
+        else:
+            e = _emb(spark, sf_dir)
+            params = VamanaParams(
+                dim=64, alpha=1.2, R=32, L=64, ef_search=100, seed=42
+            )
+            if variant == "appended":
+                _INDEX_CACHE[key] = VamanaIndex.build(
+                    spark, e.where(F.col("vec_id") % 5 != 0), params
+                ).add_points(e.where(F.col("vec_id") % 5 == 0))
+            elif variant == "deleted":
+                _INDEX_CACHE[key] = VamanaIndex.build(
+                    spark, e, params
+                ).delete_points(e.where(F.col("vec_id") % 10 == 3).select("vec_id"))
+            else:
+                _INDEX_CACHE[key] = VamanaIndex.build(spark, e, params)
+    return _INDEX_CACHE[key]
+
+
+_FIX01 = os.path.join(_FIXTURE_ROOT, "sf0.01")
+_FIX01_MEDOID = int(_fixture_meta("sf0.01").get("medoid") or 0)
+
+
+@declare(
+    "q_degree_stats",
+    f"""
+    SELECT ordinal, CAST(len(neighbors) AS INT) AS out_degree
+    FROM read_parquet('{_FIX01}/base/graph/*.parquet')
+    ORDER BY ordinal
+    """,
+)
 def q_degree_stats(spark, sf_dir):
-    """R18 healthCheck as an operator: per-node out-degree (rows-only;
-    build is seeded but graph content is engine-specific)."""
-    idx = _built_index(spark, sf_dir)
+    """R18 healthCheck as an operator: per-node out-degree over the
+    committed prebuilt-index fixture (the reference's save->load test
+    pattern, main.cpp:71-82) — bit-deterministic, so the oracle reads
+    the same fixture parquet the engine loads. The LIVE build's degree
+    bound stays asserted by q_ann_search invariants + test_index.py."""
+    idx = _fixture_index(spark, sf_dir, "base")
     return idx.degree_stats().orderBy("ordinal")
 
 
@@ -1933,14 +2008,25 @@ _PIDX_CACHE: dict = {}
 
 
 def _built_partitioned(spark, sf_dir):
+    """The partitioned index the serving queries run against: the
+    committed deterministic fixture when present (search over a loaded
+    fixed graph is bit-stable), else a live build (non-testdata dirs).
+    The partitioned BUILD path stays driver-exercised via
+    q_append_membership and the bench/tests."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PIDX_CACHE:
         from vamana_spark.index.partitioned import PartitionedVamanaIndex
 
-        params = VamanaParams(dim=64, alpha=1.2, R=32, L=64, ef_search=100, seed=42)
-        _PIDX_CACHE[key] = PartitionedVamanaIndex.build(
-            spark, _emb(spark, sf_dir), params, num_shards=4
-        )
+        path = _fixture_path(sf_dir, "partitioned")
+        if os.path.exists(os.path.join(path, "_meta.json")):
+            _PIDX_CACHE[key] = PartitionedVamanaIndex.load(spark, path)
+        else:
+            params = VamanaParams(
+                dim=64, alpha=1.2, R=32, L=64, ef_search=100, seed=42
+            )
+            _PIDX_CACHE[key] = PartitionedVamanaIndex.build(
+                spark, _emb(spark, sf_dir), params, num_shards=4
+            )
         _PIDX_CACHE[key].shards_df = _PIDX_CACHE[key].shards_df.cache()
     return _PIDX_CACHE[key]
 
@@ -2115,47 +2201,146 @@ def _deleted_idx(spark, sf_dir):
     return _INDEX_CACHE[key]
 
 
-@declare("q_index_append")
+@declare(
+    "q_index_append",
+    f"""
+    WITH p AS (
+      SELECT vec_id, ordinal
+      FROM read_parquet('{_FIX01}/appended/points/*.parquet')
+    ),
+    g AS (
+      SELECT ordinal, len(neighbors) AS deg
+      FROM read_parquet('{_FIX01}/appended/graph/*.parquet')
+    ),
+    inv AS (
+      SELECT (SELECT max(deg) FROM g) <= 32
+             AND (SELECT count(DISTINCT vec_id) FROM p)
+                 = (SELECT count(*) FROM embeddings) AS ok
+    )
+    SELECT p.vec_id, p.ordinal, CAST(g.deg AS INT) AS out_degree,
+           (p.vec_id % 5 = 0) AS is_appended, inv.ok AS ok
+    FROM p JOIN g ON p.ordinal = g.ordinal, inv
+    ORDER BY p.ordinal
+    """,
+)
 def q_index_append(spark, sf_dir):
     """Incremental maintenance (reference AddPoint-after-build,
-    vamana.h:98-135 made safe): build the partitioned index on 80% of
-    the vectors, add_points() the held-out 20%, then report per-query
-    recall@10 over the FULL set — appended points must be findable
-    (rows-only; avg recall additionally asserted ≥ 0.8 in
-    tests/test_partitioned.py)."""
+    vamana.h:98-135 made safe), asserted on the committed appended
+    fixture: built on 80% of the vectors, add_points() of the held-out
+    20%, saved once (tools/build_index_fixtures.py). The output is the
+    stored (vec_id, ordinal, degree) table — hash-checked against the
+    fixture parquet by the oracle, whose ``ok`` verifies the degree
+    bound and lossless membership in SQL. The Spark ``ok`` is strictly
+    stronger: it additionally requires appended points to be FINDABLE
+    (beam search returns >=1 held-out point) and recall@10 >= 0.8 over
+    the full set — a navigability failure flips it false and
+    hash-mismatches. Partitioned-tier append stays covered by
+    q_append_membership + tests."""
     from vamana_spark import quality
 
-    pidx = _appended_pidx(spark, sf_dir)
+    idx = _fixture_index(spark, sf_dir, "appended")
     e = _emb(spark, sf_dir)
     q = _fixed_queries(e, 25)
-    res = pidx.search(q, k=10)
-    # appended points must actually be findable: at least one result from
-    # the held-out 20% (vec_id % 5 == 0) across the gate queries
+    res = idx.search(q, k=10)
     n_appended_hits = res.where(F.col("vec_id") % 5 == 0).count()
-    return quality.recall_with_ok(
-        res, exact.exact_knn(e, q, k=10), k=10
-    ).withColumn("ok", F.col("ok") & F.lit(n_appended_hits > 0))
+    rec_ok = quality.avg_recall(res, exact.exact_knn(e, q, k=10), k=10) >= 0.8
+    stored = idx.points_df.join(idx.graph_df, "ordinal").select(
+        "vec_id", "ordinal", F.size("neighbors").alias("out_degree")
+    )
+    row = stored.agg(
+        F.max("out_degree").alias("mx"),
+        F.countDistinct("vec_id").alias("nd"),
+    ).first()
+    ok = bool(
+        n_appended_hits > 0
+        and rec_ok
+        and row["mx"] <= int(idx.params.R)
+        and row["nd"] == e.count()
+    )
+    return (
+        stored.withColumn("is_appended", F.col("vec_id") % 5 == 0)
+        .withColumn("ok", F.lit(ok))
+        .orderBy("ordinal")
+    )
 
 
-@declare("q_index_delete")
+@declare(
+    "q_index_delete",
+    f"""
+    WITH p AS (
+      SELECT vec_id, ordinal
+      FROM read_parquet('{_FIX01}/deleted/points/*.parquet')
+    ),
+    g AS (
+      SELECT ordinal, neighbors, len(neighbors) AS deg
+      FROM read_parquet('{_FIX01}/deleted/graph/*.parquet')
+    ),
+    dangling AS (
+      SELECT count(*) AS n FROM (
+        SELECT unnest(neighbors) AS dst FROM g
+      ) e LEFT JOIN p ON e.dst = p.ordinal WHERE p.ordinal IS NULL
+    ),
+    inv AS (
+      SELECT (SELECT max(deg) FROM g) <= 32
+             AND (SELECT count(*) FROM p WHERE vec_id % 10 = 3) = 0
+             AND (SELECT n FROM dangling) = 0
+             AND (SELECT count(DISTINCT vec_id) FROM p)
+                 = (SELECT count(*) FROM embeddings WHERE vec_id % 10 <> 3)
+             AS ok
+    )
+    SELECT p.vec_id, p.ordinal, CAST(g.deg AS INT) AS out_degree, inv.ok AS ok
+    FROM p JOIN g ON p.ordinal = g.ordinal, inv
+    ORDER BY p.ordinal
+    """,
+)
 def q_index_delete(spark, sf_dir):
-    """Incremental maintenance, delete side (FreshDiskANN consolidate):
-    build on the full set, delete_points() 10%, then report per-query
-    recall@10 against exact kNN over the survivors — the repaired graph
-    must still navigate (rows-only; recall + no-deleted-results + degree
-    bound additionally asserted in tests/test_index.py)."""
+    """Incremental maintenance, delete side (FreshDiskANN consolidate),
+    asserted on the committed deleted fixture: built on the full set,
+    delete_points() of vec_id % 10 == 3, saved once. Output is the
+    stored (vec_id, ordinal, degree) table, hash-checked against the
+    fixture parquet; the oracle ``ok`` verifies in SQL that no deleted
+    id survives, no edge dangles to a removed ordinal, degrees respect
+    R, and the survivor set matches the source exactly. The Spark
+    ``ok`` additionally requires the repaired graph to NAVIGATE —
+    search must return zero deleted points and recall@10 >= 0.8 vs
+    exact kNN over the survivors."""
     from vamana_spark import quality
 
-    idx2 = _deleted_idx(spark, sf_dir)
+    idx = _fixture_index(spark, sf_dir, "deleted")
     e = _emb(spark, sf_dir)
     q = _fixed_queries(e, 25)
     remaining = e.where(~(F.col("vec_id") % 10 == 3))
-    res = idx2.search(q, k=10)
-    # deleted points must never surface in results (bounded scalar count)
+    res = idx.search(q, k=10)
     n_deleted_hits = res.where(F.col("vec_id") % 10 == 3).count()
-    return quality.recall_with_ok(
-        res, exact.exact_knn(remaining, q, k=10), k=10
-    ).withColumn("ok", F.col("ok") & F.lit(n_deleted_hits == 0))
+    rec_ok = (
+        quality.avg_recall(res, exact.exact_knn(remaining, q, k=10), k=10) >= 0.8
+    )
+    stored = idx.points_df.join(idx.graph_df, "ordinal").select(
+        "vec_id", "ordinal", F.size("neighbors").alias("out_degree")
+    )
+    dangling = (
+        idx.graph_df.select(F.explode("neighbors").alias("dst"))
+        .join(
+            idx.points_df.select("ordinal"),
+            F.col("dst") == F.col("ordinal"),
+            "left_anti",
+        )
+        .count()
+    )
+    row = stored.agg(
+        F.max("out_degree").alias("mx"),
+        F.countDistinct("vec_id").alias("nd"),
+        F.sum((F.col("vec_id") % 10 == 3).cast("int")).alias("bad"),
+    ).first()
+    ok = bool(
+        n_deleted_hits == 0
+        and rec_ok
+        and dangling == 0
+        and row["mx"] <= int(idx.params.R)
+        and row["bad"] == 0
+        and row["nd"] == remaining.count()
+    )
+    return stored.withColumn("ok", F.lit(ok)).orderBy("ordinal")
 
 
 @declare(
@@ -2290,17 +2475,42 @@ def q_knn_ip(spark, sf_dir):
     return out.select("query_id", "vec_id", "dist", "rank")
 
 
-@declare("q_graph_reachability")
+@declare(
+    "q_graph_reachability",
+    f"""
+    WITH RECURSIVE edges AS (
+      SELECT ordinal AS src, unnest(neighbors) AS dst
+      FROM read_parquet('{_FIX01}/base/graph/*.parquet')
+    ),
+    r(node) AS (
+      SELECT CAST({_FIX01_MEDOID} AS BIGINT)
+      UNION
+      SELECT e.dst FROM edges e JOIN r ON e.src = r.node
+    ),
+    tot AS (
+      SELECT count(*) AS total
+      FROM read_parquet('{_FIX01}/base/graph/*.parquet')
+    )
+    SELECT (SELECT count(*) FROM r) AS reachable,
+           total,
+           round((SELECT count(*) FROM r) * 1.0 / total, 4) AS reachable_fraction
+    FROM tot
+    """,
+)
 def q_graph_reachability(spark, sf_dir):
-    """R18-class invariant as a first-class operator: BFS reachability of
-    the built graph from its medoid (rows-only; one summary row)."""
+    """R18-class invariant as a first-class operator: BFS reachability
+    of the committed fixture graph from its medoid. A genuine
+    dual-implementation check — Spark runs distributed frontier BFS
+    (O(log n) rounds of join+anti-join), the oracle a recursive CTE
+    over the same fixture parquet; counts must agree exactly."""
     from vamana_spark.index.diagnostics import reachability
 
-    idx = _built_index(spark, sf_dir)
+    idx = _fixture_index(spark, sf_dir, "base")
     rep = reachability(idx.graph_df, int(idx.params.medoid or 0))
     return spark.createDataFrame(
-        [(rep["reachable"], rep["total"], float(rep["reachable_fraction"]), rep["rounds"])],
-        "reachable long, total long, reachable_fraction double, rounds long",
+        [(rep["reachable"], rep["total"],
+          round(rep["reachable"] / rep["total"], 4) if rep["total"] else 0.0)],
+        "reachable long, total long, reachable_fraction double",
     )
 
 
@@ -3231,14 +3441,16 @@ def q_dsir_sample(spark, sf_dir):
 
 # Queries whose implementation or oracle changed THIS round — their
 # most recent driver rows predate the change, so they are promoted to
-# the front alongside never-run queries. r7: the four graph/serving
-# queries re-pointed at the deterministic prebuilt-index fixture
-# (rows-only -> hash-matched conversion).
+# the front alongside never-run queries. r7: the three queries whose
+# OUTPUT CONTRACT changed in the rows-only -> hash-matched fixture
+# conversion (q_graph_reachability also converted, but it is already
+# front-of-window by staleness; q_partitioned_ann/_recall/_pq merely
+# swapped their index source to the fixture — same rows-only
+# contract).
 _CHANGED_THIS_ROUND = [
+    "q_degree_stats",
     "q_index_append",
     "q_index_delete",
-    "q_partitioned_ann",
-    "q_partitioned_recall",
 ]
 
 
