@@ -140,21 +140,26 @@ def _scale_25k_block(spark) -> dict:
         pidx.search(q.limit(5), k=10).count()  # materialize cache + pack
         p_build = round(time.perf_counter() - t0, 3)
         # exhaustive probe = the recall ceiling; ONE rep (it reads every
-        # shard per query — ~8x the nprobe=2 work — and is not the
-        # number the tier is designed around)
+        # shard per query — ~8/3 the default-nprobe work — and is not
+        # the number the tier is designed around)
         t0 = time.perf_counter()
         pidx.search(allq, k=10).count()
         p_search = time.perf_counter() - t0
-        p2_search = float("inf")  # nprobe=2: the serving operating point
+        # the default serving operating point: default_nprobe is the
+        # measured-curve rule (max(3, S/4) — see
+        # tools/sweep_operating_points.py; nprobe=2 sat on the 0.8
+        # gate's edge at 0.803, nprobe=3 holds 0.914)
+        npd = pidx.default_nprobe
+        p2_search = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            pidx.search(allq, k=10, nprobe=2).count()
+            pidx.search(allq, k=10, nprobe=npd).count()
             p2_search = min(p2_search, time.perf_counter() - t0)
         p_recall = round(
             quality.avg_recall(pidx.search(q, k=10), truth, k=10), 4
         )
         p2_recall = round(
-            quality.avg_recall(pidx.search(q, k=10, nprobe=2), truth, k=10), 4
+            quality.avg_recall(pidx.search(q, k=10, nprobe=npd), truth, k=10), 4
         )
         out["partitioned"] = {
             "num_shards": 8,
@@ -162,8 +167,9 @@ def _scale_25k_block(spark) -> dict:
             "build_plus_pack_sec": p_build,
             "qps_exhaustive": round(n_all / p_search, 1),
             "recall_at_10_exhaustive": p_recall,
-            "qps_sustained_nprobe2": round(n_all / p2_search, 1),
-            "recall_at_10_nprobe2": p2_recall,
+            "default_nprobe": npd,
+            "qps_sustained_default_nprobe": round(n_all / p2_search, 1),
+            "recall_at_10_default_nprobe": p2_recall,
         }
         pidx.unpersist_packed()
         pidx.shards_df.unpersist()

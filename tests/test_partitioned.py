@@ -161,6 +161,28 @@ def test_pq_search_recall(pidx, embeddings, queries):
     assert r >= 0.8, f"partitioned PQ recall@10 = {r}"
 
 
+def test_pq_default_operating_point_recall(pidx, embeddings, queries):
+    """The DEFAULTS (m=16, rerank=10k) must clear the gate with margin
+    — the r6 finding was a default operating point (m=8, rerank=4k)
+    measuring 0.60-0.68 while the tests pinned better explicit params.
+    Measured at 25k: m=16/rerank=100 holds 0.91 (sweep tool)."""
+    truth = exact.exact_knn(embeddings, queries, k=10)
+    r = quality.avg_recall(pidx.search_pq(queries, k=10), truth, k=10)
+    assert r >= 0.85, f"default-params PQ recall@10 = {r}"
+
+
+def test_default_nprobe_rule(pidx):
+    """max(3, ceil(S/4)) capped at S — the measured-curve serving
+    default (sweep: nprobe=2 -> 0.803 on the gate's edge; 3 -> 0.914)."""
+    from vamana_spark.index.partitioned import PartitionedVamanaIndex
+
+    assert pidx.default_nprobe == min(int(pidx.params.num_shards), 3)
+    for S, want in ((1, 1), (2, 2), (4, 3), (8, 3), (16, 4), (32, 8), (256, 64)):
+        fake = object.__new__(PartitionedVamanaIndex)
+        fake.params = type("P", (), {"num_shards": S})()
+        assert PartitionedVamanaIndex.default_nprobe.fget(fake) == want, S
+
+
 def test_pq_pack_excludes_float_matrix(pidx):
     """The beyond-RAM pack must hold codes, not the float32 points: the
     pq blob for a shard is smaller than the flat blob. (ksub=16 here —

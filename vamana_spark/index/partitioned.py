@@ -578,6 +578,26 @@ class PartitionedVamanaIndex:
             )
         )
 
+    @property
+    def default_nprobe(self) -> int:
+        """The measured serving operating point: ``max(3, ceil(S/4))``
+        shards probed per query, capped at S.
+
+        Derived from the recall-vs-nprobe curve, not picked to sit on
+        the 0.8 gate's edge (tools/sweep_operating_points.py, 25k
+        uniform 64-d, 8 shards x overlap 2: nprobe=2 -> 0.803, 3 ->
+        0.914, 4 -> 0.969; scale rungs at the same S/4 fraction: 100k
+        S=32 nprobe=8 -> 0.88, 1M S=256 nprobe=64 -> 0.968). The
+        ``max(3, .)`` floor keeps small-S deployments >= 0.05 above
+        the gate; the S/4 fraction keeps scan cost at ~1/4 of
+        exhaustive as S grows with n. ``search(nprobe=None)`` remains
+        EXHAUSTIVE (the recall ceiling / exact-mode contract); pass
+        ``nprobe=idx.default_nprobe`` for the production serving
+        shape.
+        """
+        S = int(self.params.num_shards)
+        return min(S, max(3, -(-S // 4)))
+
     def search(
         self,
         queries: DataFrame,
@@ -768,7 +788,7 @@ class PartitionedVamanaIndex:
         k: int,
         ef_search: Optional[int] = None,
         nprobe: Optional[int] = None,
-        pq_m: int = 8,
+        pq_m: int = 16,
         pq_ksub: int = 256,
         rerank: Optional[int] = None,
         query_id_col: str = "query_id",
@@ -807,7 +827,15 @@ class PartitionedVamanaIndex:
         S = int(self.params.num_shards)
         nprobe = S if nprobe is None else min(nprobe, S)
         ef = int(ef_search or self.params.ef_search)
-        kprime = int(rerank or max(4 * k, 32))
+        # Defaults sit on the measured frontier, not the gate's edge
+        # (tools/sweep_operating_points.py, 25k uniform 64-d, nprobe=3):
+        # m=16/rerank=100 -> recall 0.910 at 4.2k qps, vs the old
+        # m=8/rerank=4k default's 0.60 — at dim=64 the 8-dim subspaces
+        # of m=8 quantize too coarsely for the ADC shortlist to retain
+        # the true neighbors, and no rerank depth fully buys it back
+        # (m=8/rerank=500: 0.891 at 2.4k qps). The exact re-rank makes
+        # rerank depth a pure recall/qps trade, never a correctness one.
+        kprime = int(rerank or max(10 * k, 100))
         # per-shard ADC emission: 2x the fair share of the global
         # shortlist (floor k). Emitting the full kprime per shard made
         # the merge shuffle nprobe*kprime rows per query (5M rows at the
