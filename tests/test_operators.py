@@ -2023,3 +2023,17 @@ def test_incremental_dedup_sharded_hot_corpus_content(spark):
     got = sorted(r.doc_id for r in dedup.incremental_dedup_sharded(
         new, seen, num_filters=4).collect())
     assert got == [12]
+
+
+def test_estimate_rows_uses_footers_and_overestimates_derived(spark, tmp_path):
+    """Bloom sizing estimate: a parquet-backed frame answers from file
+    footers (even when filtered — the over-estimate is harmless), and a
+    frame with no file lineage falls back to an exact count."""
+    p = str(tmp_path / "seen.parquet")
+    spark.range(1000).selectExpr("CAST(id AS STRING) AS text").write.parquet(p)
+    full = spark.read.parquet(p)
+    assert dedup._estimate_rows(full) == 1000
+    filtered = full.where("CAST(text AS INT) % 10 = 0")
+    assert dedup._estimate_rows(filtered) == 1000  # upper bound, not 100
+    mem = spark.createDataFrame([(str(i),) for i in range(7)], ["text"])
+    assert dedup._estimate_rows(mem) == 7

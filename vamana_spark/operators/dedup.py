@@ -1372,6 +1372,41 @@ def _bloom_geometry(expected_items: int, fpp: float) -> tuple:
     return m, min(k, 32)
 
 
+def _estimate_rows(df) -> int:
+    """Upper-bound row-count estimate for Bloom sizing, from the
+    frame's parquet footers (driver-side metadata only — no Spark job).
+
+    ``inputFiles()`` returns the SOURCE files even for a
+    filtered/projected frame, so the estimate over-counts for derived
+    corpora — harmless here: oversizing a Bloom filter only lowers its
+    real false-positive rate. Falls back to a full ``count()`` when
+    the frame has no file lineage or a footer is unreadable
+    (non-parquet source); callers who care should pass an explicit
+    ``expected_seen``.
+    """
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        import pyarrow.parquet as pq
+
+        total = 0
+        try:
+            for f in files:
+                u = urlparse(f)
+                path = unquote(u.path) if u.scheme in ("file", "") else None
+                if path is None:
+                    raise ValueError(f"non-local file {f}")
+                total += pq.ParquetFile(path).metadata.num_rows
+            return max(int(total), 1)
+        except Exception:
+            pass
+    return int(df.count())
+
+
 def _bloom_digests(values):
     """(h1, h2) uint64 arrays — one blake2b-16 digest per value split
     into two independent 64-bit halves (h2 forced odd)."""
@@ -1558,14 +1593,20 @@ def incremental_dedup(
       map-side partials — hot duplicate keys combine before the
       exchange) — it is the small side by construction.
 
-    ``expected_seen`` sizes the filter (~1.2 bytes/row at fpp=0.01); when
-    None it is taken from one ``seen_df.count()`` (metadata-only on a
-    parquet scan). Bloom membership has NO false negatives, so every
-    true duplicate is always dropped in both modes.
+    ``expected_seen`` sizes the filter (~1.2 bytes/row at fpp=0.01).
+    When None, the count is estimated from the corpus files' parquet
+    FOOTERS (driver-side metadata, no Spark job) — an upper bound when
+    ``seen_df`` is a filtered/derived frame, which is harmless: an
+    oversized Bloom filter only lowers the real fpp. Only a corpus
+    with no file lineage (in-memory frames, non-parquet sources) falls
+    back to a full ``seen_df.count()`` pass — pass ``expected_seen``
+    explicitly there to avoid it. Bloom membership has NO false
+    negatives, so every true duplicate is always dropped in both
+    modes.
     """
     norm = _content_norm if normalize else F.col
     if expected_seen is None:
-        expected_seen = seen_df.count()
+        expected_seen = _estimate_rows(seen_df)
     m_bits, k = _bloom_geometry(expected_seen, fpp)
 
     seen_norm = seen_df.select(norm(text_col).alias("_n"))
@@ -1680,7 +1721,8 @@ def incremental_dedup_sharded(
 
     norm = _content_norm if normalize else F.col
     if expected_seen is None:
-        expected_seen = seen_df.count()
+        # parquet-footer upper bound (see _estimate_rows) — no Spark job
+        expected_seen = _estimate_rows(seen_df)
     per_shard = max(int(expected_seen // max(num_filters, 1)) + 1, 1)
     m_bits, k = _bloom_geometry(per_shard, fpp)
     n_words = m_bits // 64
