@@ -1917,6 +1917,54 @@ def test_incremental_near_dups_overfull_bucket_witness(spark):
     assert rows == [(900, i, 1.0) for i in range(5)]  # N min-id witnesses answer
 
 
+def test_incremental_dedup_ranged_matches_broadcast_tier(spark):
+    """The hash-range-sharded escape hatch (sequential range-scoped
+    filters, no full-key-space bitmap anywhere) must produce the exact
+    same survivor set as the monolithic broadcast tier — including at
+    num_ranges=1 (degenerate identity) and with intra-batch dups."""
+    seen = spark.createDataFrame(
+        [(i, f"corpus document number {i} with shared body") for i in range(200)],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        # 30 planted corpus copies, 50 fresh, plus an intra-batch dup pair
+        [(1000 + i, f"corpus document number {i} with shared body") for i in range(30)]
+        + [(2000 + i, f"fresh document {i}") for i in range(50)]
+        + [(3000, "fresh document 0")],
+        ["doc_id", "text"],
+    )
+    want = sorted(
+        r.doc_id for r in dedup.incremental_dedup(batch, seen).collect()
+    )
+    assert len(want) == 50  # the fresh docs, first occurrence each
+    for nr in (1, 4, 16):
+        got = sorted(
+            r.doc_id
+            for r in dedup.incremental_dedup_ranged(
+                batch, seen, num_ranges=nr
+            ).collect()
+        )
+        assert got == want, f"num_ranges={nr}"
+
+
+def test_incremental_dedup_ranged_lossy_mode(spark):
+    """verify=False drops every true duplicate (no false negatives) in
+    range mode too; survivors are a subset of the fresh set."""
+    seen = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [(500 + i, f"doc {i}") for i in range(20)]
+        + [(900 + i, f"new doc {i}") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id for r in dedup.incremental_dedup_ranged(
+        batch, seen, num_ranges=4, verify=False).collect()}
+    assert not any(d < 900 for d in got)          # all true dups dropped
+    assert got <= {900 + i for i in range(20)}    # ~fpp over-drop allowed
+    assert len(got) >= 18
+
+
 def test_incremental_dedup_hot_duplicate_key_and_plan(spark):
     """A batch that is mostly copies of ONE document (hot content key)
     dedups via the map-side-combined min-struct agg — survivors stay

@@ -1,8 +1,8 @@
 """1M-corpus incremental-dedup smoke — reproduces the SCALE.md rung.
 
 Synthesizes a 1M-doc corpus and a 100k batch with 20k planted corpus
-copies, then times both tiers (broadcast Bloom and sharded/distributed
-filters) and asserts the survivor set is exactly the 80k fresh docs.
+copies, then times all three tiers (broadcast Bloom, sharded/distributed
+filters, sequential hash-range passes) and asserts the survivor set is exactly the 80k fresh docs.
 
     python tools/scale_smoke_inc_dedup.py [--n 1000000] [--batch 100000]
                                           [--filters 32]
@@ -23,6 +23,7 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=100_000)
     ap.add_argument("--planted", type=int, default=20_000)
     ap.add_argument("--filters", type=int, default=32)
+    ap.add_argument("--ranges", type=int, default=8)
     ap.add_argument("--cpus", type=int, default=32)
     args = ap.parse_args()
 
@@ -39,6 +40,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     from vamana_spark.operators.dedup import (
         incremental_dedup,
+        incremental_dedup_ranged,
         incremental_dedup_sharded,
     )
 
@@ -64,6 +66,12 @@ def main() -> None:
             "sharded",
             lambda: incremental_dedup_sharded(
                 batch, corpus, expected_seen=n, num_filters=args.filters
+            ),
+        ),
+        (
+            "ranged",
+            lambda: incremental_dedup_ranged(
+                batch, corpus, expected_seen=n, num_ranges=args.ranges
             ),
         ),
     ]:

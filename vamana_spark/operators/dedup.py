@@ -1468,6 +1468,7 @@ def build_bloom(
     k: int,
     max_build_tasks: int = 256,
     chunk_words: int = 1 << 21,
+    range_filter: "Optional[tuple[int, int]]" = None,
 ):
     """Fold a one-string-column DataFrame (column ``_n``) into a Bloom
     filter; returns the broadcast bitmap (``.value`` = m_bits/8 bytes).
@@ -1485,6 +1486,12 @@ def build_bloom(
     ``max_build_tasks`` for more build parallelism (linear partial
     traffic), raise ``fpp`` upstream to shrink m for very large key
     counts. Insertion is idempotent — no distinct() pre-pass.
+
+    ``range_filter=(r, num_ranges)`` builds a RANGE-SCOPED filter:
+    only values whose digest falls in range ``r`` of ``num_ranges``
+    equal slices of the digest space are inserted (the
+    ``incremental_dedup_ranged`` escape hatch for >10^9-key corpora —
+    ``m_bits`` then only needs to cover the range's share of keys).
     """
     import numpy as np
 
@@ -1501,7 +1508,12 @@ def build_bloom(
             # per batch (a hot-content batch pays pandas dedup, not a
             # blake2b per copy)
             vals = pdf["_n"].drop_duplicates().tolist()
-            pos = _bloom_positions(vals, m_bits, k).ravel()
+            if range_filter is not None:
+                h1, h2 = _bloom_digests(vals)
+                keep = _shard_of(h1, range_filter[1]) == range_filter[0]
+                pos = _positions_from_h(h1[keep], h2[keep], m_bits, k).ravel()
+            else:
+                pos = _bloom_positions(vals, m_bits, k).ravel()
             np.bitwise_or.at(
                 bits, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64)
             )
@@ -1614,6 +1626,102 @@ def incremental_dedup(
 
     batch = _first_occurrence(new_df, text_col, id_col, norm)
     flagged = flag_bloom_membership(batch, b_bloom, m_bits, k)
+    if not verify:
+        return flagged.where(~F.col("_maybe")).drop("_n", "_maybe")
+
+    cand = flagged.where(F.col("_maybe")).select("_n").distinct()
+    confirmed = (
+        seen_norm.join(F.broadcast(cand), "_n", "left_semi").distinct()
+    )
+    return (
+        flagged.join(F.broadcast(confirmed), "_n", "left_anti")
+        .drop("_n", "_maybe")
+    )
+
+
+def incremental_dedup_ranged(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+    expected_seen: Optional[int] = None,
+    fpp: float = 0.01,
+    num_ranges: int = 8,
+    verify: bool = True,
+    max_build_tasks: int = 256,
+) -> DataFrame:
+    """``incremental_dedup``'s hash-RANGE-sharded escape hatch for
+    corpora past ~10^9 keys: the digest space is cut into
+    ``num_ranges`` equal slices processed SEQUENTIALLY — each pass
+    builds a Bloom filter over only the corpus keys in that range
+    (narrow map pass, chunk-OR merge, same as the monolithic build)
+    and probes only the batch rows routed to that range. Identical
+    exact semantics to the broadcast tier (equivalence-tested); the
+    difference is the memory envelope.
+
+    Why a third tier: the monolithic broadcast filter must hold the
+    WHOLE key space (10^9 keys at fpp=0.01 ≈ 1.2 GB on the driver and
+    every executor); the sharded tier removes the broadcast but pays a
+    corpus-wide digest shuffle. Here neither happens — the corpus
+    never shuffles AND no driver/broadcast artifact ever exceeds
+    m/num_ranges bits (150 MB per pass for the 10^9-key example at
+    num_ranges=8). The price is ``num_ranges`` narrow passes over the
+    corpus for the build; at that scale, persist/localCheckpoint a
+    ``select(<normalized text>)`` projection of the corpus first so
+    the repeated scans read a slim cached column, or raise
+    ``num_ranges`` only as far as the memory bound requires.
+
+    Range routing draws on the digest's high bits (``_shard_of``) and
+    probe positions on the low-mod range — the same entropy split the
+    sharded tier uses, so filter occupancy stays uniform per range.
+    The exact-verify tail runs ONCE over the union of all ranges'
+    maybe-hits (one extra corpus pass total, not per range).
+    """
+    import numpy as np
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    R = max(int(num_ranges), 1)
+    norm = _content_norm if normalize else F.col
+    if expected_seen is None:
+        # parquet-footer upper bound (see _estimate_rows) — no Spark job
+        expected_seen = _estimate_rows(seen_df)
+    per_range = max(int(expected_seen // R) + 1, 1)
+    m_bits, k = _bloom_geometry(per_range, fpp)
+
+    seen_norm = seen_df.select(norm(text_col).alias("_n"))
+    batch = _first_occurrence(new_df, text_col, id_col, norm)
+
+    def _route(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            h1, _h2 = _bloom_digests(pdf["_n"].tolist())
+            yield pdf.assign(_range=_shard_of(h1, R))
+
+    routed_schema = StructType(
+        batch.schema.fields + [StructField("_range", IntegerType())]
+    )
+    # feeds R probe passes — recomputing would replay the batch's
+    # first-occurrence shuffle per range
+    routed = batch.mapInPandas(_route, schema=routed_schema).localCheckpoint()
+
+    flagged_parts = []
+    for r in range(R):
+        b_bloom = build_bloom(
+            seen_norm, m_bits, k, max_build_tasks, range_filter=(r, R)
+        )
+        part = flag_bloom_membership(
+            routed.where(F.col("_range") == r), b_bloom, m_bits, k
+        ).localCheckpoint()  # materialize before the next pass replaces the broadcast
+        flagged_parts.append(part)
+        b_bloom.unpersist(blocking=False)
+
+    flagged = flagged_parts[0]
+    for part in flagged_parts[1:]:
+        flagged = flagged.unionByName(part)
+    flagged = flagged.drop("_range")
     if not verify:
         return flagged.where(~F.col("_maybe")).drop("_n", "_maybe")
 
