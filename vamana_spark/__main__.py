@@ -116,6 +116,12 @@ def cmd_dedup(args) -> int:
                 fpp=args.bloom_fpp, num_filters=args.filters,
                 verify=not args.no_verify,
             )
+        elif args.ranges > 1:
+            out = dedup.incremental_dedup_ranged(
+                docs, seen, text_col=args.text_col, id_col=args.id_col,
+                fpp=args.bloom_fpp, num_ranges=args.ranges,
+                verify=not args.no_verify,
+            )
         else:
             out = dedup.incremental_dedup(
                 docs, seen, text_col=args.text_col, id_col=args.id_col,
@@ -525,6 +531,11 @@ def main(argv=None) -> int:
                    help="mode=incremental: >1 shards the Bloom filter by "
                         "content hash and keeps it distributed (no driver "
                         "bitmap/broadcast — the beyond-broadcast tier)")
+    d.add_argument("--ranges", type=int, default=1,
+                   help="mode=incremental: >1 processes the digest space in "
+                        "that many sequential range-scoped Bloom passes — "
+                        "corpus never shuffles AND no broadcast exceeds "
+                        "m/ranges bits (the >1e9-key escape hatch)")
     d.add_argument("--no-verify", dest="no_verify", action="store_true",
                    help="mode=incremental: skip the exact re-check of Bloom "
                         "candidates (may over-drop ~fpp of unique rows)")
