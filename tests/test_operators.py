@@ -2085,3 +2085,31 @@ def test_estimate_rows_uses_footers_and_overestimates_derived(spark, tmp_path):
     assert dedup._estimate_rows(filtered) == 1000  # upper bound, not 100
     mem = spark.createDataFrame([(str(i),) for i in range(7)], ["text"])
     assert dedup._estimate_rows(mem) == 7
+
+
+def test_signature_store_roundtrip_scan(spark, tmp_path):
+    """save_signatures -> scan_against_store finds cross-snapshot
+    near-dups with the STORE's parameters (not the caller's guesses),
+    and the result matches a direct incremental_near_dups call."""
+    seen = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon number {i} zeta") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(700, "alpha beta gamma delta epsilon number 5 zeta"),
+         (701, "totally different content about bloom filters")],
+        ["doc_id", "text"],
+    )
+    store = str(tmp_path / "sigstore")
+    dedup.save_signatures(seen, store, num_hashes=32, bands=8)
+    sigs, meta = dedup.load_signatures(spark, store)
+    assert meta["num_hashes"] == 32 and meta["bands"] == 8
+    assert sigs.count() == 40
+    got = sorted((r.batch_id, r.seen_id, r.jaccard)
+                 for r in dedup.scan_against_store(batch, seen, store).collect())
+    direct = sorted((r.batch_id, r.seen_id, r.jaccard)
+                    for r in dedup.incremental_near_dups(
+                        batch, seen, num_hashes=32, bands=8,
+                        seen_signatures=sigs).collect())
+    assert got == direct and (700, 5, 1.0) in got
+    assert not any(b == 701 for b, _, _ in got)

@@ -2089,3 +2089,90 @@ def incremental_near_dups(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------
+# Persisted signature store — the re-ingest companion to
+# incremental_near_dups. The store carries its OWN parameters, so a
+# table written with one (num_hashes, bands, shingle_n) configuration
+# can never be silently banded with another (the failure mode the
+# width guard in incremental_near_dups catches at the last line of
+# defense; the store prevents it at the API level).
+# ---------------------------------------------------------------------
+
+def save_signatures(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    arrow: bool = True,
+) -> None:
+    """Compute and persist the corpus MinHash signature table plus a
+    ``_meta.json`` recording the parameters it was built with. One
+    narrow pass over the corpus (no shuffle); the table is
+    ``(id_col, minhash: array<long>[num_hashes])`` parquet, readable by
+    any engine. Re-ingests then call ``scan_against_store`` and never
+    re-shingle the corpus."""
+    import json as _json
+    import os as _os
+
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n, arrow=arrow
+    )
+    sigs.write.mode("overwrite").parquet(_os.path.join(path, "signatures"))
+    with open(_os.path.join(path, "_meta.json"), "w") as f:
+        _json.dump(
+            {
+                "num_hashes": int(num_hashes),
+                "bands": int(bands),
+                "shingle_n": int(shingle_n),
+                "id_col": id_col,
+            },
+            f,
+        )
+
+
+def load_signatures(spark, path: str) -> "tuple[DataFrame, dict]":
+    """Load a persisted signature store -> (signatures_df, params)."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_meta.json")) as f:
+        meta = _json.load(f)
+    return spark.read.parquet(_os.path.join(path, "signatures")), meta
+
+
+def scan_against_store(
+    batch: DataFrame,
+    seen: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    threshold: float = 0.7,
+    arrow: bool = True,
+    max_bucket_witnesses: int = 512,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Cross-snapshot near-dup scan against a persisted signature store:
+    the banding parameters come FROM the store's metadata, so batch
+    signatures are always computed with the same configuration the
+    corpus table was. ``seen`` is still needed for the exact-Jaccard
+    verify pass (candidates only — the corpus never re-shingles in
+    full)."""
+    sigs, meta = load_signatures(batch.sparkSession, store_path)
+    return incremental_near_dups(
+        batch,
+        seen,
+        text_col=text_col,
+        id_col=meta.get("id_col", "doc_id"),
+        threshold=threshold,
+        num_hashes=int(meta["num_hashes"]),
+        bands=int(meta["bands"]),
+        shingle_n=int(meta["shingle_n"]),
+        arrow=arrow,
+        max_bucket_witnesses=max_bucket_witnesses,
+        seen_signatures=sigs,
+        broadcast_batch=broadcast_batch,
+    )
