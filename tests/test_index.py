@@ -380,3 +380,24 @@ def test_add_points_capacity_check(spark, embeddings):
     with _pytest.raises(ValueError, match="capacity"):
         idx.add_points(too_many)
     idx.release()
+
+
+def test_committed_index_fixtures_present_and_loadable(spark):
+    """The driver's fixture-backed oracle queries (q_degree_stats,
+    q_graph_reachability, q_index_append/delete, q_partitioned_*) read
+    committed fixtures; a missing or unreadable fixture would silently
+    fall back to a live build and break their hash oracles."""
+    import json
+    import os
+
+    from vamana_spark.index.vamana import VamanaIndex
+    from vamana_spark.plans.declared import _FIXTURE_ROOT
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        for variant in ("base", "appended", "deleted", "partitioned"):
+            meta = os.path.join(_FIXTURE_ROOT, sf, variant, "_meta.json")
+            assert os.path.exists(meta), f"missing fixture {sf}/{variant}"
+    idx = VamanaIndex.load(spark, os.path.join(_FIXTURE_ROOT, "sf0.01", "base"))
+    meta = json.load(open(os.path.join(_FIXTURE_ROOT, "sf0.01", "base", "_meta.json")))
+    assert idx.graph_df.count() == meta["n"] == 500
+    assert idx.params.medoid == meta["medoid"]

@@ -171,3 +171,81 @@ def test_ivfpq_save_load_roundtrip(tmp_path, spark, embeddings):
     b = qz.ivfpq_search(codes2, model2, queries, k=5, nprobe=4).collect()
     key = lambda r: (r.query_id, r.rank)
     assert sorted(a, key=key) == sorted(b, key=key)
+
+
+# ------------------------------------------------------------------- OPQ
+
+@pytest.fixture(scope="module")
+def correlated(spark):
+    """Strongly anisotropic vectors (decaying spectrum under a random
+    rotation — the real-embedding shape): the case where the dimension
+    split's alignment matters and OPQ's learned rotation pays."""
+    rng = np.random.default_rng(7)
+    scales = np.exp(-np.arange(64) / 8.0)
+    Q, _ = np.linalg.qr(rng.standard_normal((64, 64)))
+    X = ((rng.standard_normal((600, 64)) * scales) @ Q).astype(np.float32)
+    return spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<float>",
+    ).cache()
+
+
+def test_opq_rotation_orthogonal_and_reconstruction_beats_pq(correlated):
+    opq = qz.opq_train(correlated, dim=64, m=8, ksub=16, sample=600,
+                       iters=6, opq_iters=4)
+    assert np.allclose(opq.R @ opq.R.T, np.eye(64), atol=1e-8)
+    pq = qz.pq_train(correlated, dim=64, m=8, ksub=16, sample=600, iters=6)
+    rows = correlated.orderBy("vec_id").toPandas()
+    X = np.stack(rows["embedding"].to_numpy()).astype(np.float64)
+
+    def mse(Xs, cents):
+        err = 0.0
+        for j in range(8):
+            sub = Xs[:, j * 8 : (j + 1) * 8]
+            d = ((sub * sub).sum(1)[:, None] + (cents[j] ** 2).sum(1)[None, :]
+                 - 2.0 * sub @ cents[j].T)
+            err += d.min(axis=1).sum()
+        return err / len(Xs)
+
+    mse_pq = mse(X, pq.centroids)
+    mse_opq = mse(X @ opq.R, opq.codebook.centroids)
+    assert mse_opq < mse_pq * 0.9, (mse_opq, mse_pq)
+
+
+def test_opq_search_recall_on_correlated_data(correlated):
+    """OPQ ADC + exact re-rank clears the recall gate on data where
+    plain PQ's axis-aligned split struggles; rotation preserves L2 so
+    the re-rank runs in the original space."""
+    from vamana_spark import quality
+
+    opq = qz.opq_train(correlated, dim=64, m=8, ksub=16, sample=600,
+                       iters=6, opq_iters=4)
+    codes = qz.opq_encode(correlated, opq)
+    queries = correlated.where(F.col("vec_id") % 30 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    truth = exact.exact_knn(correlated, queries, k=10)
+    got = qz.opq_search(codes, opq, queries, k=10, points=correlated)
+    r = quality.avg_recall(got, truth, k=10)
+    assert r >= 0.8, f"OPQ recall@10 = {r}"
+    # ADC-only mode returns approx dists but valid ids
+    assert qz.opq_search(codes, opq, queries, k=5).count() == queries.count() * 5
+
+
+def test_opq_save_load_roundtrip(tmp_path, spark, correlated):
+    opq = qz.opq_train(correlated, dim=64, m=8, ksub=16, sample=600,
+                       iters=4, opq_iters=2)
+    codes = qz.opq_encode(correlated, opq)
+    path = str(tmp_path / "opq")
+    qz.save_opq(path, opq, codes)
+    loaded, codes2 = qz.load_opq(spark, path)
+    assert np.allclose(loaded.R, opq.R)
+    queries = correlated.where(F.col("vec_id") % 60 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    a = sorted(((r.query_id, r.rank, r.vec_id) for r in
+                qz.opq_search(codes, opq, queries, k=5, points=correlated).collect()))
+    b = sorted(((r.query_id, r.rank, r.vec_id) for r in
+                qz.opq_search(codes2, loaded, queries, k=5, points=correlated).collect()))
+    assert a == b

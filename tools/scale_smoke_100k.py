@@ -116,9 +116,10 @@ def main() -> None:
 
     for mode, key in (("flat", "partitioned"), ("pq", "partitioned_pq")):
         fn = pidx.search if mode == "flat" else pidx.search_pq
-        # PQ needs a deeper exact-re-rank shortlist at this scale: m=8
-        # codes on uniform-random 64-d data are a coarse ADC ranking
-        kw = {"nprobe": 8} if mode == "flat" else {"nprobe": 8, "rerank": 100}
+        # nprobe=8 == default_nprobe at S=32; PQ uses the library
+        # defaults (m=16/rerank=100 since r7 — the m=8 default measured
+        # 0.72 here, subspace coarseness, see SCALE.md sweep section)
+        kw = {"nprobe": 8}
         fn(allq.limit(8), k=10, **kw).count()  # warm the pack
         best = float("inf")
         for _ in range(2):
