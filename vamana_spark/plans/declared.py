@@ -1530,6 +1530,34 @@ def q_pq_knn(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+@declare("q_opq_knn")
+def q_opq_knn(spark, sf_dir):
+    """OPQ (Ge et al. 2013): learned-orthogonal-rotation PQ — ADC in
+    the rotated space, exact re-rank in the original (rotation
+    preserves L2). Rows-only: the rotation/codebook are alternating
+    k-means outputs; ``ok`` embeds recall@10 >= 0.8 vs exact kNN plus
+    the R^T R = I orthogonality invariant."""
+    from vamana_spark import quality
+
+    e = _emb(spark, sf_dir)
+    dim = len(e.select("embedding").first()[0])
+    model = quantization.opq_train(
+        e, dim, m=8, ksub=64, seed=42, iters=6, opq_iters=4
+    )
+    import numpy as np
+
+    orth = bool(np.allclose(model.R @ model.R.T, np.eye(dim), atol=1e-8))
+    codes = quantization.opq_encode(e, model)
+    q = _fixed_queries(e, 50)
+    got = quantization.opq_search(
+        codes, model, q, k=10, shortlist=100, points=e, round_digits=4
+    )
+    return (
+        quality.recall_with_ok(got, exact.exact_knn(e, q, k=10), k=10)
+        .withColumn("ok", F.col("ok") & F.lit(orth))
+    )
+
+
 @declare("q_ivfpq_knn")
 def q_ivfpq_knn(spark, sf_dir):
     """IVF routing + residual-PQ ADC + exact re-rank — the standard
