@@ -391,3 +391,46 @@ def test_streaming_incremental_dedup_matches_batch(spark, documents, tmp_path):
     want = {r.doc_id for r in incremental_dedup(batch, seen).collect()}
     assert got == want and len(want) > 0
     assert not any(i >= 50_000 for i in got)  # planted corpus copies gone
+
+
+def test_streaming_incremental_near_dups_matches_batch(spark, tmp_path):
+    """Streaming near-dup scan vs a static corpus == the batch
+    incremental_near_dups pair set on a closed input (same threshold,
+    banding, and exact-Jaccard verify semantics)."""
+    from vamana_spark.operators.dedup import incremental_near_dups
+    from vamana_spark.streaming.dedup import streaming_incremental_near_dups
+
+    seen = spark.createDataFrame(
+        [(i, f"the quick brown fox jumps over dog number {i} end story")
+         for i in range(40)],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(500, "the quick brown fox jumps over dog number 7 end story"),
+         (501, "the quick brown fox jumps over dog number 7 end tale"),
+         (502, "entirely unrelated content about structured streaming")],
+        ["doc_id", "text"],
+    )
+    stream_in = batch.withColumn(
+        "ts", F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    )
+    d = str(tmp_path / "near_stream")
+    stream_in.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .format("parquet").load(d)
+    )
+    q = (
+        streaming_incremental_near_dups(stream, seen, threshold=0.5)
+        .writeStream.format("memory").queryName("t_stream_near")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_near"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {(r.batch_id, r.seen_id, r.jaccard) for r in
+           spark.sql("SELECT * FROM t_stream_near").collect()}
+    want = {(r.batch_id, r.seen_id, r.jaccard) for r in
+            incremental_near_dups(batch, seen, threshold=0.5).collect()}
+    assert got == want and (500, 7, 1.0) in got
+    assert not any(b == 502 for b, _, _ in got)

@@ -172,3 +172,88 @@ def streaming_incremental_dedup(
         .dropDuplicatesWithinWatermark(["_n"])
         .drop("_n", "_maybe")
     )
+
+
+def streaming_incremental_near_dups(
+    docs: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seen_signatures=None,
+) -> DataFrame:
+    """Streaming mirror of ``operators.dedup.incremental_near_dups``:
+    emit verified near-dup pairs (batch_id, seen_id, jaccard) of each
+    streamed document against a STATIC already-ingested corpus.
+
+    Stateless-by-construction pipeline — no stream-stream join, no
+    aggregation: one projection computes shingles + MinHash per
+    streamed row (pandas-UDF column expressions), the banded keys
+    equi-join the corpus band table (stream-static), the exact-Jaccard
+    verify joins the corpus SHINGLE table (stream-static) and filters
+    on array_intersect/array_union sizes — identical set semantics to
+    the batch verify. The only state is the within-watermark pair
+    dedup (a band match can fire in several bands).
+
+    The corpus band and shingle tables are computed ONCE at stream
+    definition; pass ``seen_signatures`` (a persisted
+    ``minhash_signatures`` table — see ``operators.dedup
+    .save_signatures``) to skip the corpus signature pass. For
+    long-running streams persist both static frames: the static side
+    of a stream-static join is re-scanned every micro-batch.
+    """
+    from vamana_spark.operators.dedup import (
+        _shingle_udf,
+        _signature_udf,
+        band_hash_array,
+        minhash_signatures,
+        shingle_sets,
+    )
+
+    sh_s = shingle_sets(seen, text_col, id_col, shingle_n).select(
+        F.col(id_col).alias("seen_id"), F.col("_sh").alias("_sh_seen")
+    ).localCheckpoint()
+    sig_s = (
+        seen_signatures
+        if seen_signatures is not None
+        else minhash_signatures(seen, text_col, id_col, num_hashes, shingle_n)
+    )
+    banded_s = sig_s.select(
+        F.col(id_col).alias("seen_id"),
+        F.posexplode(band_hash_array("minhash", num_hashes, bands)).alias(
+            "band_id", "band_hash"
+        ),
+    ).localCheckpoint()
+
+    enriched = docs.select(
+        F.col(id_col).alias("batch_id"),
+        F.col(ts_col),
+        _shingle_udf(shingle_n)(text_col).alias("_sh"),
+    ).withColumn("minhash", _signature_udf(num_hashes)("_sh"))
+    banded_b = enriched.select(
+        "batch_id", ts_col, "_sh",
+        F.posexplode(band_hash_array("minhash", num_hashes, bands)).alias(
+            "band_id", "band_hash"
+        ),
+    )
+    cand = banded_b.join(banded_s, ["band_id", "band_hash"]).select(
+        "batch_id", ts_col, "_sh", "seen_id"
+    )
+    inter = F.size(F.array_intersect("_sh", "_sh_seen")).cast("double")
+    union = F.size(F.array_union("_sh", "_sh_seen")).cast("double")
+    pairs = (
+        cand.join(sh_s, "seen_id")
+        .withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1.0)), 4))
+        .where(F.col("jaccard") >= F.lit(float(threshold)))
+        .select("batch_id", "seen_id", "jaccard", ts_col)
+    )
+    return (
+        pairs.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["batch_id", "seen_id"])
+        .drop(ts_col)
+    )
