@@ -215,17 +215,21 @@ class VamanaIndex:
         # plain-Python values: robust whether or not Arrow conversion is
         # on. verifySchema=False skips the per-row/per-element type walk
         # (~35% of this tier's non-kernel wall at n=2000) — the rows are
-        # constructed as exactly (int, [int]) one line above, so the
-        # verification can prove nothing the construction doesn't.
-        graph_rows = [(i, [int(x) for x in g]) for i, g in enumerate(graph)]
-        graph_df = spark.createDataFrame(
-            graph_rows, "ordinal long, neighbors array<long>", verifySchema=False
-        )
-        ord_map = spark.createDataFrame(
-            list(zip(pdf["vec_id"].tolist(), pdf["ordinal"].tolist())),
-            "vec_id long, ordinal long",
+        # constructed as exactly (int, int, [int]) one line above, so
+        # the verification can prove nothing the construction doesn't.
+        # ONE local relation carries both the adjacency and the
+        # (vec_id, ordinal) map — halving the py4j serialization
+        # round-trips this toy-scale tier can't amortize.
+        combined = spark.createDataFrame(
+            [
+                (i, int(v), [int(x) for x in g])
+                for i, (v, g) in enumerate(zip(pdf["vec_id"].tolist(), graph))
+            ],
+            "ordinal long, vec_id long, neighbors array<long>",
             verifySchema=False,
         )
+        graph_df = combined.select("ordinal", "neighbors")
+        ord_map = combined.select("vec_id", "ordinal")
         points_df = pts.join(F.broadcast(ord_map), "vec_id").select(
             "vec_id", "ordinal", "embedding"
         )
