@@ -1824,6 +1824,19 @@ def test_incremental_dedup_corpus_never_shuffles(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_incremental_dedup_ranged_corpus_never_shuffles(spark):
+    """Plan shape of the ranged tier: same corpus-at-rest property as
+    the broadcast tier — the per-range builds are narrow map passes
+    and the verify join broadcasts, so no Exchange is keyed by corpus
+    content anywhere in the final plan."""
+    new, seen = _inc_dedup_frames(spark)
+    plan = dedup.incremental_dedup_ranged(
+        new, seen, num_ranges=4
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_incremental_dedup_empty_corpus(spark):
     new, _ = _inc_dedup_frames(spark)
     seen = new.where(F.lit(False))

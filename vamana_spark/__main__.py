@@ -133,10 +133,18 @@ def cmd_dedup(args) -> int:
         if not args.against:
             raise SystemExit("--mode incremental-near requires --against <corpus>")
         seen = spark.read.parquet(args.against)
-        out = dedup.incremental_near_dups(
-            docs, seen, text_col=args.text_col, id_col=args.id_col,
-            threshold=args.threshold,
-        )
+        if args.signatures:
+            # persisted signature store: banding parameters come from the
+            # store's own metadata (dedup.save_signatures wrote them)
+            out = dedup.scan_against_store(
+                docs, seen, args.signatures, text_col=args.text_col,
+                threshold=args.threshold,
+            )
+        else:
+            out = dedup.incremental_near_dups(
+                docs, seen, text_col=args.text_col, id_col=args.id_col,
+                threshold=args.threshold,
+            )
     elif args.mode == "semantic":
         # SemDeDup over an embedding column: survivors only
         from pyspark.sql import functions as F
@@ -536,6 +544,11 @@ def main(argv=None) -> int:
                         "that many sequential range-scoped Bloom passes — "
                         "corpus never shuffles AND no broadcast exceeds "
                         "m/ranges bits (the >1e9-key escape hatch)")
+    d.add_argument("--signatures", default=None,
+                   help="mode=incremental-near: directory of a persisted "
+                        "corpus signature store (dedup.save_signatures) — "
+                        "skips the corpus signature pass and takes banding "
+                        "parameters from the store's metadata")
     d.add_argument("--no-verify", dest="no_verify", action="store_true",
                    help="mode=incremental: skip the exact re-check of Bloom "
                         "candidates (may over-drop ~fpp of unique rows)")
