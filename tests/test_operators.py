@@ -2098,6 +2098,12 @@ def test_estimate_rows_uses_footers_and_overestimates_derived(spark, tmp_path):
     assert dedup._estimate_rows(filtered) == 1000  # upper bound, not 100
     mem = spark.createDataFrame([(str(i),) for i in range(7)], ["text"])
     assert dedup._estimate_rows(mem) == 7
+    # row-MULTIPLYING plans must NOT trust the footers (an undersized
+    # filter saturates and verify=False would over-drop): exact count
+    exploded = full.selectExpr("explode(array(text, text)) AS text")
+    assert dedup._estimate_rows(exploded) == 2000
+    unioned = full.unionByName(mem)
+    assert dedup._estimate_rows(unioned) == 1007
 
 
 def test_signature_store_roundtrip_scan(spark, tmp_path):
@@ -2126,3 +2132,10 @@ def test_signature_store_roundtrip_scan(spark, tmp_path):
                         seen_signatures=sigs).collect())
     assert got == direct and (700, 5, 1.0) in got
     assert not any(b == 701 for b, _, _ in got)
+    # a batch whose id column is named differently: id_col renames it to
+    # the store's persisted id_col, same pairs out
+    renamed = batch.withColumnRenamed("doc_id", "my_id")
+    got2 = sorted((r.batch_id, r.seen_id, r.jaccard)
+                  for r in dedup.scan_against_store(
+                      renamed, seen, store, id_col="my_id").collect())
+    assert got2 == got

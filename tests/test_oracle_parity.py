@@ -44,8 +44,25 @@ def _values_equal(a, b) -> bool:
     return a == b
 
 
+# Fixture-backed oracles embed the sf0.01 fixture path and medoid in
+# their static SQL (the driver's correctness gate runs oracles at
+# sf=0.01 only — that is the contract). Running THIS harness at a
+# different SF via SPARK_GRAFT_SF_DIR_T2 would compare a different
+# scale's fixture against sf0.01's SQL, so skip them there.
+_SF001_ONLY_ORACLES = {
+    "q_degree_stats",
+    "q_graph_reachability",
+    "q_index_append",
+    "q_index_delete",
+}
+
+
 @pytest.mark.parametrize("name", sorted(_ORACLES))
 def test_oracle_match(name, spark, ddb):
+    if name in _SF001_ONLY_ORACLES and os.path.basename(
+        os.path.normpath(SF_DIR)
+    ) != "sf0.01":
+        pytest.skip("fixture-backed oracle SQL is pinned to sf0.01")
     got = _canon(_QUERIES[name](spark, SF_DIR).toPandas())
     want = _canon(ddb.sql(_ORACLES[name]).df())
     assert list(got.columns) == list(want.columns), (

@@ -138,7 +138,7 @@ def cmd_dedup(args) -> int:
             # store's own metadata (dedup.save_signatures wrote them)
             out = dedup.scan_against_store(
                 docs, seen, args.signatures, text_col=args.text_col,
-                threshold=args.threshold,
+                threshold=args.threshold, id_col=args.id_col,
             )
         else:
             out = dedup.incremental_near_dups(

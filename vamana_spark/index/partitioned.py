@@ -788,7 +788,7 @@ class PartitionedVamanaIndex:
         k: int,
         ef_search: Optional[int] = None,
         nprobe: Optional[int] = None,
-        pq_m: int = 16,
+        pq_m: Optional[int] = None,
         pq_ksub: int = 256,
         rerank: Optional[int] = None,
         query_id_col: str = "query_id",
@@ -822,6 +822,13 @@ class PartitionedVamanaIndex:
             # breaks the PQ subspace split and the raw-vector re-rank;
             # serve ip through search() (flat pack handles it)
             raise ValueError("search_pq supports l2sq/l2/cosine, not ip")
+        if pq_m is None:
+            # default m is dimension-aware: 16 where the dim allows it
+            # (the measured operating point at dim=64 — 4-dim subspaces
+            # quantize far better than 8-dim, see sweep docs), else 8 so
+            # dims divisible by 8 but not 16 (24, 40, 56, 120, 200, ...)
+            # keep working with default arguments
+            pq_m = 16 if self.params.dim % 16 == 0 else 8
         if self.params.dim % pq_m:
             raise ValueError(f"dim {self.params.dim} not divisible by pq_m {pq_m}")
         S = int(self.params.num_shards)

@@ -1372,17 +1372,28 @@ def _bloom_geometry(expected_items: int, fpp: float) -> tuple:
     return m, min(k, 32)
 
 
+_ROW_PRESERVING_NODES = (
+    "Project", "Filter", "Relation", "LogicalRelation", "GlobalLimit",
+    "LocalLimit", "Sort", "Repartition", "RepartitionByExpression",
+    "Coalesce", "SubqueryAlias", "View", "ResolvedHint", "Sample",
+)
+
+
 def _estimate_rows(df) -> int:
     """Upper-bound row-count estimate for Bloom sizing, from the
     frame's parquet footers (driver-side metadata only — no Spark job).
 
-    ``inputFiles()`` returns the SOURCE files even for a
-    filtered/projected frame, so the estimate over-counts for derived
-    corpora — harmless here: oversizing a Bloom filter only lowers its
-    real false-positive rate. Falls back to a full ``count()`` when
-    the frame has no file lineage or a footer is unreadable
-    (non-parquet source); callers who care should pass an explicit
-    ``expected_seen``.
+    SOUNDNESS: footer totals upper-bound the frame's row count only
+    when every operator between the scan and the frame is
+    row-preserving-or-reducing (project/filter/limit/sort/...). A
+    row-MULTIPLYING plan (join, union, explode/generate, expand) over
+    the same files could exceed the footer total, and an undersized
+    Bloom filter saturates — in verify=False mode that would silently
+    over-drop far beyond the documented ~fpp. So the footer path is
+    used only when the optimized plan contains exclusively whitelisted
+    node types; anything else falls back to an exact ``count()``.
+    Callers with expensive derived corpora should pass an explicit
+    ``expected_seen`` (oversizing is harmless).
     """
     from urllib.parse import unquote, urlparse
 
@@ -1390,6 +1401,19 @@ def _estimate_rows(df) -> int:
         files = df.inputFiles()
     except Exception:
         files = []
+    if files:
+        try:
+            import re
+
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
+            nodes = re.findall(r"^[\s+:\-]*'?([A-Za-z]+)", plan, re.MULTILINE)
+            if not all(
+                any(n == a or n.startswith(a) for a in _ROW_PRESERVING_NODES)
+                for n in nodes if n
+            ):
+                files = []
+        except Exception:
+            files = []
     if files:
         import pyarrow.parquet as pq
 
@@ -1716,7 +1740,12 @@ def incremental_dedup_ranged(
             routed.where(F.col("_range") == r), b_bloom, m_bits, k
         ).localCheckpoint()  # materialize before the next pass replaces the broadcast
         flagged_parts.append(part)
-        b_bloom.unpersist(blocking=False)
+        # destroy, not unpersist: the checkpoint above is eager, so the
+        # broadcast is never re-read, and destroy() releases the
+        # DRIVER-side copy too — unpersist leaves it to GC, which could
+        # transiently accumulate all num_ranges filters on the driver
+        # (exactly the memory envelope this tier exists to bound)
+        b_bloom.destroy()
 
     flagged = flagged_parts[0]
     for part in flagged_parts[1:]:
@@ -2154,19 +2183,25 @@ def scan_against_store(
     arrow: bool = True,
     max_bucket_witnesses: int = 512,
     broadcast_batch: bool = True,
+    id_col: Optional[str] = None,
 ) -> DataFrame:
     """Cross-snapshot near-dup scan against a persisted signature store:
     the banding parameters come FROM the store's metadata, so batch
     signatures are always computed with the same configuration the
     corpus table was. ``seen`` is still needed for the exact-Jaccard
     verify pass (candidates only — the corpus never re-shingles in
-    full)."""
+    full). ``id_col`` names the BATCH's id column when it differs from
+    the store's (the batch column is renamed to the store's id_col so
+    one name flows through the scan; output stays batch_id/seen_id)."""
     sigs, meta = load_signatures(batch.sparkSession, store_path)
+    store_id = meta.get("id_col", "doc_id")
+    if id_col is not None and id_col != store_id:
+        batch = batch.withColumnRenamed(id_col, store_id)
     return incremental_near_dups(
         batch,
         seen,
         text_col=text_col,
-        id_col=meta.get("id_col", "doc_id"),
+        id_col=store_id,
         threshold=threshold,
         num_hashes=int(meta["num_hashes"]),
         bands=int(meta["bands"]),

@@ -338,7 +338,27 @@ def pq_search(
         if round_digits is not None:
             out = out.withColumn("dist", F.round("dist", round_digits))
         return out
-    # exact re-rank of the shortlist
+    return _exact_rerank(
+        merged, points, queries, k,
+        query_id_col, query_vec_col, id_col, vec_col, round_digits,
+    )
+
+
+def _exact_rerank(
+    merged: DataFrame,
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    query_id_col: str,
+    query_vec_col: str,
+    id_col: str,
+    vec_col: str,
+    round_digits: Optional[int],
+) -> DataFrame:
+    """Shared exact-re-rank tail for the ADC searchers (pq_search,
+    opq_search): join the merged shortlist (query_id, vec_id) back to
+    the points on vec_id — an equi-join on candidates only — compute
+    exact distances against ``queries``, and cut to top-k."""
     p = points.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_pv"))
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_qv")
@@ -865,27 +885,12 @@ def opq_search(
         if round_digits is not None:
             out = out.withColumn("dist", F.round("dist", round_digits))
         return out
-    p = points.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_pv"))
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_qv")
+    # shared tail, with the UN-rotated queries: rotation is orthogonal,
+    # so exact distances in the original space are identical
+    return _exact_rerank(
+        merged, points, queries, k,
+        query_id_col, query_vec_col, id_col, vec_col, round_digits,
     )
-    exactd = (
-        merged.drop("dist")
-        .join(p, "vec_id")
-        .join(F.broadcast(q), "query_id")
-        .select(
-            "query_id", "vec_id", pairwise_distance("_qv", "_pv").alias("dist")
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("dist").asc(), F.col("vec_id").asc()
-    )
-    out = exactd.withColumn("rank", F.row_number().over(w2)).where(
-        F.col("rank") <= k
-    )
-    if round_digits is not None:
-        out = out.withColumn("dist", F.round("dist", round_digits))
-    return out.select("query_id", "vec_id", "dist", "rank")
 
 
 def save_opq(path: str, model: OPQModel, codes_df: DataFrame) -> None:

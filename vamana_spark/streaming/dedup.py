@@ -186,6 +186,7 @@ def streaming_incremental_near_dups(
     bands: int = 16,
     shingle_n: int = 3,
     seen_signatures=None,
+    max_bucket_witnesses: int = 512,
 ) -> DataFrame:
     """Streaming mirror of ``operators.dedup.incremental_near_dups``:
     emit verified near-dup pairs (batch_id, seen_id, jaccard) of each
@@ -203,10 +204,18 @@ def streaming_incremental_near_dups(
     The corpus band and shingle tables are computed ONCE at stream
     definition; pass ``seen_signatures`` (a persisted
     ``minhash_signatures`` table — see ``operators.dedup
-    .save_signatures``) to skip the corpus signature pass. For
+    .save_signatures``) to skip the corpus signature pass (its
+    minhash width is validated against ``num_hashes`` — a mismatched
+    store would band wrongly and silently MISS pairs). A corpus band
+    bucket holding more than ``max_bucket_witnesses`` docs (a giant
+    duplicate cluster) keeps only its min-id witnesses, the same cap
+    and semantics as the batch scan — without it one hot cluster
+    would explode the candidate join on EVERY micro-batch. For
     long-running streams persist both static frames: the static side
     of a stream-static join is re-scanned every micro-batch.
     """
+    from pyspark.sql import Window
+
     from vamana_spark.operators.dedup import (
         _shingle_udf,
         _signature_udf,
@@ -218,17 +227,37 @@ def streaming_incremental_near_dups(
     sh_s = shingle_sets(seen, text_col, id_col, shingle_n).select(
         F.col(id_col).alias("seen_id"), F.col("_sh").alias("_sh_seen")
     ).localCheckpoint()
-    sig_s = (
-        seen_signatures
-        if seen_signatures is not None
-        else minhash_signatures(seen, text_col, id_col, num_hashes, shingle_n)
+    if seen_signatures is not None:
+        probe = seen_signatures.select(
+            F.size("minhash").alias("_w")
+        ).limit(1).collect()
+        if probe and probe[0]["_w"] != num_hashes:
+            raise ValueError(
+                f"seen_signatures has minhash width {probe[0]['_w']} but "
+                f"num_hashes={num_hashes}; recompute the signature table "
+                "with matching (num_hashes, bands, shingle_n) parameters"
+            )
+        sig_s = seen_signatures
+    else:
+        sig_s = minhash_signatures(seen, text_col, id_col, num_hashes, shingle_n)
+    wb = Window.partitionBy("band_id", "band_hash").orderBy(
+        F.col("seen_id").asc()
     )
-    banded_s = sig_s.select(
-        F.col(id_col).alias("seen_id"),
-        F.posexplode(band_hash_array("minhash", num_hashes, bands)).alias(
-            "band_id", "band_hash"
-        ),
-    ).localCheckpoint()
+    banded_s = (
+        sig_s.select(
+            F.col(id_col).alias("seen_id"),
+            F.posexplode(band_hash_array("minhash", num_hashes, bands)).alias(
+                "band_id", "band_hash"
+            ),
+        )
+        # static side, computed once at definition — a plain rank cap is
+        # fine here (the batch path's overfull-only optimization matters
+        # when banding runs per call; this table is built exactly once)
+        .withColumn("_r", F.row_number().over(wb))
+        .where(F.col("_r") <= int(max_bucket_witnesses))
+        .drop("_r")
+        .localCheckpoint()
+    )
 
     enriched = docs.select(
         F.col(id_col).alias("batch_id"),
