@@ -420,3 +420,15 @@ def test_rotation_promotes_never_run_and_changed():
     assert order == D.rotation_order(
         ["q_new", "q_c", "q_b", "q_a"], last_rounds=last, changed=["q_a"]
     )
+
+
+def test_fixture_queries_fall_back_to_live_build(spark, sf_dir, monkeypatch):
+    """A missing fixture dir must not break the fixture-backed queries
+    off the testdata tree: they rebuild the same recipe live (outputs
+    then aren't hash-stable, but the invariants hold)."""
+    monkeypatch.setattr(D, "_FIXTURE_ROOT", "/nonexistent/fixtures")
+    D._INDEX_CACHE.pop(
+        (spark.sparkContext.applicationId, sf_dir, "fixture-base"), None
+    )
+    idx = D._fixture_index(spark, sf_dir, "base")
+    assert idx.degree_stats().count() > 0
