@@ -348,13 +348,15 @@ def robust_prune_batch(
     Returns (n_rows, R) admitted ids padded with -1.
     """
     n_rows, Cw = cand.shape
+    D = np.ascontiguousarray(D)  # no-op for the in-module callers
+    w = D.shape[1]
     # nodes[t] = the graph node row t prunes for (defaults to t itself)
     node_idx = np.arange(n_rows) if nodes is None else np.asarray(nodes)
     alive = cand >= 0
-    d_p = np.where(
-        alive, D[np.repeat(node_idx, Cw), np.clip(cand, 0, D.shape[0] - 1).ravel()]
-        .reshape(n_rows, Cw), np.inf,
-    )
+    # flat-index take: same gather as D[rows, cols] tuple fancy indexing
+    # but ~2x faster on these shapes (single flat address computation)
+    safe = np.clip(cand, 0, D.shape[0] - 1)
+    d_p = np.where(alive, D.take(node_idx[:, None] * w + safe), np.inf)
     out = np.full((n_rows, R), -1, dtype=np.int64)
     counts = np.zeros(n_rows, dtype=np.int64)
     for _ in range(R):
@@ -368,7 +370,7 @@ def robust_prune_batch(
         counts[active] += 1
         alive[active, first] = False
         # kill dominated: alpha * d(star, c) <= d(p, c)
-        d_star = D[star[:, None], np.clip(cand[active], 0, D.shape[0] - 1)]
+        d_star = D.take(star[:, None] * w + safe[active])
         kill = (alpha * d_star <= d_p[active]) & alive[active]
         alive[active] &= ~kill
     return out
@@ -495,27 +497,37 @@ def build_vamana_dense(
     loc = np.argsort(part_d, axis=1, kind="stable")
     order = np.take_along_axis(part, loc, axis=1)
 
-    # drop self from each row, keep C candidates, lockstep-prune all nodes
+    # drop self from each row, keep C candidates, lockstep-prune all nodes.
+    # Each argpartition row holds C+1 distinct ids including self exactly
+    # once, so a stable compaction of the non-self entries yields exactly
+    # C candidates per row — no ragged loop needed.
     cand_rows = np.where(order == np.arange(n)[:, None], -1, order)
-    packed = np.full((n, C), -1, dtype=np.int64)
-    for i in range(n):
-        row = cand_rows[i]
-        row = row[row >= 0][:C]
-        packed[i, : row.size] = row
+    compact = np.argsort(cand_rows < 0, axis=1, kind="stable")
+    packed = np.take_along_axis(cand_rows, compact, axis=1)[:, :C]
     pruned = robust_prune_batch(D, packed, float(alpha), R)
     graph: List[np.ndarray] = [row[row >= 0] for row in pruned]
 
     # reverse-edge fix-up: ensure j sees i for every edge i->j; re-prune
-    # any node pushed over R (vamana.h:270-287 semantics, batched)
-    rev: List[List[int]] = [[] for _ in range(n)]
-    for i in range(n):
-        for j in graph[i]:
-            rev[int(j)].append(i)
+    # any node pushed over R (vamana.h:270-287 semantics, batched).
+    # One sorted-unique pass over (src, dst) keys replaces the per-node
+    # Python rev-list/unique loop: np.unique on src*n+dst yields each
+    # node's merged neighbor set grouped by src in ascending-id order —
+    # bit-identical to per-node np.unique(concat(fwd, rev)).
+    fmask = pruned >= 0
+    src = np.broadcast_to(np.arange(n)[:, None], pruned.shape)[fmask]
+    dst = pruned[fmask]
+    keys = np.unique(
+        np.concatenate([src * n + dst, dst * n + src])
+    )
+    s2, d2 = keys // n, keys % n
+    nonself = s2 != d2
+    s2, d2 = s2[nonself], d2[nonself]
+    deg = np.bincount(s2, minlength=n)
+    merged_all = np.split(d2, np.cumsum(deg)[:-1])
     over: List[int] = []
     merged_lists: List[np.ndarray] = []
     for j in range(n):
-        merged = np.unique(np.concatenate([graph[j], np.asarray(rev[j], dtype=np.int64)]))
-        merged = merged[merged != j]
+        merged = merged_all[j]
         if merged.size <= R:
             graph[j] = merged
         else:
