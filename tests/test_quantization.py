@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from vamana_spark import exact
 from vamana_spark.operators import quantization as qz
+from vamana_spark.operators import similarity
 
 
 @pytest.fixture(scope="module")
@@ -90,6 +91,37 @@ def test_pq_rerank_recall(emb):
     )
     bad = per_q.where((F.col("n") != 10) | (F.col("mx") != 10)).count()
     assert bad == 0
+
+
+def test_pq_pinned_codebook_is_row_slices(emb):
+    """pq_pinned_codebook must equal the row slices the SQL oracle
+    re-derives: centroid c of subspace j == embedding of the c-th
+    smallest vec_id, dims j*dsub..(j+1)*dsub."""
+    dim = _dim(emb)
+    cb = qz.pq_pinned_codebook(emb, dim, m=8, ksub=16)
+    rows = emb.orderBy("vec_id").limit(16).toPandas()
+    X = np.stack(rows["embedding"].to_numpy()).astype(np.float64)
+    dsub = dim // 8
+    for j in range(8):
+        assert np.array_equal(cb.centroids[j], X[:, j * dsub : (j + 1) * dsub])
+
+
+def test_ivf_pinned_centers_skip_training(emb):
+    """ivf_build(centers=...) must assign against the given matrix
+    verbatim (no Lloyd drift): every vector lands on its argmin list."""
+    rows = emb.orderBy("vec_id").limit(4).toPandas()
+    C = np.stack(rows["embedding"].to_numpy()).astype(np.float64)
+    assigns = similarity.ivf_build(emb, num_lists=4, centers=C)
+    assert np.array_equal(assigns._ivf_centers, C)
+    got = {r.vec_id: r.list_id for r in assigns.collect()}
+    pts = emb.toPandas()
+    X = np.stack(pts["embedding"].to_numpy()).astype(np.float64)
+    want = (
+        (X * X).sum(1)[:, None]
+        + (C * C).sum(1)[None, :]
+        - 2.0 * X @ C.T
+    ).argmin(axis=1)
+    assert all(got[v] == w for v, w in zip(pts["vec_id"], want))
 
 
 def test_pq_adc_beats_random(emb):

@@ -225,6 +225,28 @@ def pq_train(
     return PQCodebook(centroids=cents, dim=dim, m=m, ksub=ksub)
 
 
+def pq_pinned_codebook(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> PQCodebook:
+    """Deterministic, SQL-expressible codebook — no k-means: centroid c
+    of subspace j is the j-th sub-vector of the row with the c-th
+    smallest id. Exists for the bit-strict correctness gate (the
+    q_pq_knn oracle re-derives the identical codebook in DuckDB via
+    list slices), so encode + ADC + re-rank are dual-checked end to
+    end; production training stays ``pq_train``."""
+    assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(ksub).toPandas()
+    X = np.stack(rows[vec_col].to_numpy()).astype(np.float64)
+    dsub = dim // m
+    cents = np.stack([X[:, j * dsub : (j + 1) * dsub] for j in range(m)])
+    return PQCodebook(centroids=cents, dim=dim, m=m, ksub=X.shape[0])
+
+
 def pq_encode(
     df: DataFrame,
     codebook: PQCodebook,

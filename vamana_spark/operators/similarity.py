@@ -70,6 +70,7 @@ def ivf_build(
     vec_col: str = "embedding",
     seed: int = 42,
     iters: int = 5,
+    centers: Optional[np.ndarray] = None,
 ) -> DataFrame:
     """IVF coarse quantizer: Lloyd's k-means (seeded, few iters) run as
     repeated mapInPandas passes; returns the assignment DataFrame
@@ -85,15 +86,29 @@ def ivf_build(
 
     The assignment join key (list_id) is what kills the cross product at
     scale: probing c of C lists scans ~n*c/C vectors.
+
+    ``centers``: optional (num_lists, dim) float64 matrix of PINNED
+    coarse centers — skips sampling AND Lloyd's iterations entirely and
+    assigns against the given matrix as-is. This makes the whole IVF
+    pipeline a deterministic, SQL-expressible function of its inputs
+    (the oracle for q_ivf_topk replicates it in DuckDB); production
+    callers leave it None and get the trained quantizer.
     """
     spark = emb.sparkSession
-    sample = (
-        emb.select(vec_col)
-        .orderBy(F.xxhash64(F.col(id_col) + F.lit(seed)))
-        .limit(num_lists)
-        .toPandas()
-    )
-    C = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    if centers is not None:
+        C = np.asarray(centers, dtype=np.float64)
+        assert C.shape[0] == num_lists, (
+            f"pinned centers rows {C.shape[0]} != num_lists {num_lists}"
+        )
+        iters = 0
+    else:
+        sample = (
+            emb.select(vec_col)
+            .orderBy(F.xxhash64(F.col(id_col) + F.lit(seed)))
+            .limit(num_lists)
+            .toPandas()
+        )
+        C = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
 
     for _ in range(iters):
         bc = spark.sparkContext.broadcast(C)
@@ -166,6 +181,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    centers: Optional[np.ndarray] = None,
 ) -> DataFrame:
     """Approximate top-k: probe the ``nprobe`` nearest IVF lists per query.
 
@@ -178,7 +194,7 @@ def ivf_topk(
     candidate rows.
     """
     spark = emb.sparkSession
-    assignments = ivf_build(emb, num_lists, id_col, vec_col, seed)
+    assignments = ivf_build(emb, num_lists, id_col, vec_col, seed, centers=centers)
     C = assignments._ivf_centers
 
     bcC = spark.sparkContext.broadcast(C)
@@ -194,7 +210,9 @@ def ivf_topk(
             if take >= Cv.shape[0]:
                 pr = np.broadcast_to(np.arange(Cv.shape[0]), qd.shape)
             else:
-                pr = np.argpartition(qd, take - 1, axis=1)[:, :take]
+                # stable sort, not argpartition: boundary ties resolve to
+                # the smaller list_id, the same rule the SQL oracle uses
+                pr = np.argsort(qd, axis=1, kind="stable")[:, :take]
             rep = np.repeat(pdf["query_id"].to_numpy(dtype=np.int64), take)
             yield pd.DataFrame(
                 {"query_id": rep, "list_id": np.asarray(pr).ravel().astype(np.int32)}

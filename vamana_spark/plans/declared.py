@@ -485,12 +485,68 @@ def q_ip_graph_recall(spark, sf_dir):
     return quality.recall_with_ok(approx, truth, k=10)
 
 
-@declare("q_ivf_topk")
+@declare(
+    "q_ivf_topk",
+    f"""
+    WITH cent AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS list_id,
+             embedding
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+    ),
+    assign AS (
+      SELECT vec_id, embedding, list_id FROM (
+        SELECT v.vec_id, v.embedding, c.list_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_sq_l2_sql('v.embedding', 'c.embedding')}, c.list_id
+               ) AS rn
+        FROM embeddings v, cent c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+    probe AS (
+      SELECT query_id, list_id FROM (
+        SELECT q.query_id, c.list_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_sq_l2_sql('q.embedding', 'c.embedding')}, c.list_id
+               ) AS rn
+        FROM q, cent c
+      ) WHERE rn <= 4
+    ),
+    d AS (
+      SELECT q.query_id, a.vec_id,
+             {_sq_l2_sql('q.embedding', 'a.embedding')} AS dist
+      FROM q
+      JOIN probe p ON p.query_id = q.query_id
+      JOIN assign a ON a.list_id = p.list_id
+    ),
+    r AS (
+      SELECT query_id, vec_id, dist,
+             row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+      FROM d
+    )
+    SELECT query_id, vec_id, round(dist, 4) AS dist, rank
+    FROM r WHERE rank <= 10
+    """,
+)
 def q_ivf_topk(spark, sf_dir):
-    """X3 approx variant: IVF probe search (rows-only; kmeans is seeded
-    but float-order-sensitive)."""
+    """X3 approx variant: IVF probe search, bit-strict since r7 via
+    PINNED coarse centers (the embeddings of the 8 smallest vec_ids) —
+    list assignment, nprobe routing, candidate equi-join, and top-k
+    merge are all re-derived independently in the DuckDB oracle. The
+    k-means-trained quantizer stays covered by q_ivf_exact (exhaustive
+    probe == exact kNN, hash-green) and the recall tests."""
+    import numpy as np
+
     e = _emb(spark, sf_dir)
-    return similarity.ivf_topk(e, _fixed_queries(e, 50), k=10, num_lists=8, nprobe=4)
+    cent = (
+        e.orderBy("vec_id").limit(8).select("embedding").toPandas()
+    )
+    C = np.stack(cent["embedding"].to_numpy()).astype(np.float64)
+    return similarity.ivf_topk(
+        e, _fixed_queries(e, 50), k=10, num_lists=8, nprobe=4, centers=C
+    )
 
 
 @declare("q_ivf_exact", _KNN_ORACLE)
@@ -1516,13 +1572,85 @@ def q_ranking_metrics(spark, sf_dir):
     )
 
 
-@declare("q_pq_knn")
+@declare(
+    "q_pq_knn",
+    f"""
+    WITH js AS (SELECT CAST(j AS INT) AS j FROM range(8) AS t(j)),
+    base AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+             embedding
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 64)
+    ),
+    cb AS (
+      SELECT js.j, base.code,
+             list_slice(base.embedding, js.j * 8 + 1, js.j * 8 + 8) AS cvec
+      FROM base, js
+    ),
+    vsub AS (
+      SELECT v.vec_id, js.j,
+             list_slice(v.embedding, js.j * 8 + 1, js.j * 8 + 8) AS sv
+      FROM embeddings v, js
+    ),
+    enc AS (
+      SELECT vec_id, j, code FROM (
+        SELECT s.vec_id, s.j, c.code,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, s.j
+                 ORDER BY {_sq_l2_sql('s.sv', 'c.cvec')}, c.code
+               ) AS rn
+        FROM vsub s JOIN cb c ON c.j = s.j
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+    qsub AS (
+      SELECT q.query_id, js.j,
+             list_slice(q.embedding, js.j * 8 + 1, js.j * 8 + 8) AS sv
+      FROM q, js
+    ),
+    adc AS (
+      SELECT qs.query_id, en.vec_id,
+             sum({_sq_l2_sql('qs.sv', 'c.cvec')}) AS adist
+      FROM qsub qs
+      JOIN enc en ON en.j = qs.j
+      JOIN cb c ON c.j = en.j AND c.code = en.code
+      GROUP BY qs.query_id, en.vec_id
+    ),
+    short AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rn
+        FROM adc
+      ) WHERE rn <= 100
+    ),
+    d AS (
+      SELECT s.query_id, s.vec_id,
+             {_sq_l2_sql('q.embedding', 'p.embedding')} AS dist
+      FROM short s
+      JOIN q ON q.query_id = s.query_id
+      JOIN embeddings p ON p.vec_id = s.vec_id
+    ),
+    r AS (
+      SELECT query_id, vec_id, dist,
+             row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+      FROM d
+    )
+    SELECT query_id, vec_id, round(dist, 4) AS dist, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 10
+    """,
+)
 def q_pq_knn(spark, sf_dir):
-    """PQ ADC shortlist + exact re-rank (rows-only: codebook is k-means
-    output; recall vs exact asserted in tests)."""
+    """PQ ADC shortlist + exact re-rank, bit-strict since r7 via a
+    PINNED codebook (``pq_pinned_codebook``: centroid c of subspace j =
+    the j-th 8-dim slice of the row with the c-th smallest vec_id). The
+    DuckDB oracle re-derives the identical codebook with list slices and
+    replays encode (per-subspace argmin, ties to the smaller code), ADC
+    (sum of per-subspace table distances), the top-100 shortlist, and
+    the exact re-rank — the whole PQ serving pipeline dual-checked end
+    to end. K-means-trained codebooks stay covered by the recall gates
+    (q_opq_knn, q_ivfpq_knn, SCALE.md PQ rungs)."""
     e = _emb(spark, sf_dir)
     dim = len(e.select("embedding").first()[0])
-    cb = quantization.pq_train(e, dim, m=8, ksub=64, seed=42)
+    cb = quantization.pq_pinned_codebook(e, dim, m=8, ksub=64)
     codes = quantization.pq_encode(e, cb)
     return quantization.pq_search(
         codes, cb, _fixed_queries(e, 50), k=10, shortlist=100, points=e,
@@ -3474,7 +3602,13 @@ def q_dsir_sample(spark, sf_dir):
 # conversion (q_graph_reachability also converted, but it is already
 # front-of-window by staleness; q_partitioned_ann/_recall/_pq merely
 # swapped their index source to the fixture — same rows-only
-# contract).
+# contract). The late-r7 rows-only -> hash-matched pinned conversions
+# (q_ivf_topk, q_pq_knn) are deliberately NOT promoted: the r7 window
+# is exactly full with the never-run + changed + r03/r04 cohorts, and
+# forcing them in would spill two r04 queries past the staleness bound.
+# They hold r05/r06 rows (within bound), the local parity suite
+# verifies their new oracles every round, and their first hash-strict
+# driver rows land r8 by ordinary rotation.
 _CHANGED_THIS_ROUND = [
     "q_degree_stats",
     "q_index_append",
