@@ -746,6 +746,39 @@ def test_pii_scrub_replaces_each_class(spark):
     assert got[5] == "no pii here at all"
 
 
+def test_bm25_matches_hand_computation(spark):
+    """BM25 on a 3-doc corpus vs the formula computed by hand: the doc
+    that repeats the query term most (relative to its length) wins, a
+    doc with zero matching terms never appears, and the scores equal
+    the Lucene-variant formula to the 4-digit rounding."""
+    import math
+
+    from vamana_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat cat cat dog"),
+            (2, "cat bird bird bird bird bird bird bird"),
+            (3, "fish fish fish fish"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.bm25 for r in T.bm25_rank(docs, ["cat"]).collect()}
+    assert set(out) == {1, 2}  # doc 3 has no query term
+    n_docs, df, k1, b = 3.0, 2.0, 1.2, 0.75
+    avgdl = (4 + 8 + 4) / 3.0
+    idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+    def score(tf, dl):
+        return round(
+            idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl)), 4
+        )
+
+    assert out[1] == score(3.0, 4.0)
+    assert out[2] == score(1.0, 8.0)
+    assert out[1] > out[2]
+
+
 def test_gopher_filter_rules_fire_individually(spark):
     from vamana_spark.operators.text import gopher_quality_filter
 

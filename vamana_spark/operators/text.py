@@ -393,6 +393,65 @@ def tfidf_terms(
     )
 
 
+def bm25_rank(
+    df: DataFrame,
+    query_terms: list,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval over the corpus for one term query —
+    the Lucene variant with +1 inside the idf log so every weight is
+    positive: score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
+
+    The retrieval pass a training-data pipeline runs for contamination
+    probes and targeted corpus slicing. 100-TB shape: corpus stats
+    (N, avgdl) are one tiny aggregate (a single driver row); the
+    explode is filtered to the query's terms BEFORE the tf shuffle, so
+    the groupBy key space is |matching docs|·|query terms|, not the
+    vocabulary; per-term df is a second tiny agg over that same
+    filtered frame, broadcast back; the final cut is
+    orderBy+limit (TakeOrderedAndProject — per-partition top-n, no
+    single-task global window). Ranking is on the ROUNDED score with
+    doc-id tie-break, so the cut is reproducible across engines.
+    """
+    terms = sorted({str(t).lower() for t in query_terms})
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(tokens(text_col), F.lower).alias("toks"),
+    ).select("doc_id", F.size("toks").cast("double").alias("dl"), "toks")
+    n_docs, avgdl = d.agg(
+        F.count("*").cast("double"), F.avg("dl")
+    ).first()  # ONE row of corpus stats — bounded driver traffic
+    tf = (
+        d.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    wt = idf * F.col("tf") * F.lit(k1 + 1.0) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl)))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .select("doc_id", wt.alias("wt"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("wt"), 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(top_n)
+    )
+
+
 # ------------------------------------------------- corpus quality filters
 
 # the 8 "must contain 2 of these" words from the published Gopher rules

@@ -1158,6 +1158,49 @@ def q_tfidf_top_terms(spark, sf_dir):
 
 
 @declare(
+    "q_bm25_search",
+    f"""
+    WITH d AS (
+      SELECT doc_id, len({_TOKS_LOWER}) AS dl, {_TOKS_LOWER} AS toks
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             avg(CAST(dl AS DOUBLE)) AS avgdl
+      FROM d
+    ),
+    tf AS (
+      SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+      WHERE term IN ('merge', 'stream', 'vector')
+      GROUP BY doc_id, dl, term
+    ),
+    dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+    w AS (
+      SELECT tf.doc_id,
+             ln((stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+             * tf.tf * (1.2 + 1.0)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(tf.dl AS DOUBLE) / stats.avgdl)) AS wt
+      FROM tf JOIN dfq USING (term), stats
+    )
+    SELECT doc_id, round(sum(wt), 4) AS bm25
+    FROM w GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_bm25_search(spark, sf_dir):
+    """Okapi BM25 ranked retrieval (Robertson et al.; Lucene's
+    positive-idf variant) for a fixed 3-term query — the retrieval
+    pass behind contamination probes and targeted corpus slicing. The
+    oracle re-derives N/avgdl, per-(doc,term) tf, per-term df, and the
+    full saturation formula independently."""
+    return text.bm25_rank(
+        _docs(spark, sf_dir), ["merge", "stream", "vector"], top_n=20
+    )
+
+
+@declare(
     "q_ngram_jaccard",
     """
     WITH s AS (
