@@ -74,6 +74,17 @@ def test_global_topk_uses_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in p, p
 
 
+def test_bm25_shape_takeordered_broadcast_no_cross(spark, sf_dir):
+    """BM25's promised 100-TB shape: the per-term df joins back as a
+    broadcast, the final cut is TakeOrderedAndProject (no global
+    window), and nothing degenerates to a cross product."""
+    p = plan(D.q_bm25_search(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "Window" not in p, p
+
+
 def test_groupby_has_partial_aggregation(spark, sf_dir):
     p = plan(D.q_grouped_text_stats(spark, sf_dir))
     # two HashAggregate nodes (partial + final) around the shuffle
