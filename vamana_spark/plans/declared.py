@@ -675,6 +675,31 @@ def q_incremental_dedup_sharded(spark, sf_dir):
     )
 
 
+@declare("q_incremental_dedup_ranged", _INC_DEDUP_ORACLE)
+def q_incremental_dedup_ranged(spark, sf_dir):
+    """The >10^9-key escape hatch of incremental ingest dedup: the
+    BATCH is split by digest range and each range builds a range-scoped
+    Bloom filter over only the corpus keys in that range, so no single
+    filter must span the whole key space. Same planted batch and the
+    SAME anti-join oracle as q_incremental_dedup — all three tiers
+    (broadcast / sharded / ranged) must agree bit-for-bit."""
+    docs = _docs(spark, sf_dir)
+    seen = docs.where(F.col("doc_id") % 3 != 0)
+    batch = (
+        docs.where(F.col("doc_id") % 3 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        .unionByName(
+            docs.where((F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 7 == 0))
+            .select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+        )
+    )
+    return (
+        dedup.incremental_dedup_ranged(batch, seen, num_ranges=4)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 @declare(
     "q_incremental_near_dups",
     """
