@@ -77,6 +77,32 @@ def test_cli_clean_ppl_band_keeps_short_docs(spark, tmp_path, capsys):
     assert 1 in kept
 
 
+def test_cli_search_text_bm25(spark, tmp_path, capsys):
+    """search-text ranks by BM25 over the given terms: the term-dense
+    doc wins, non-matching docs never appear, parquet output matches
+    the printed top list."""
+    import json
+
+    from vamana_spark.__main__ import main
+
+    src = str(tmp_path / "bm_in")
+    dst = str(tmp_path / "bm_out")
+    rows = [
+        (1, "cat cat cat dog"),
+        (2, "cat bird bird bird bird bird bird bird"),
+        (3, "fish fish fish fish"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    rc = main(["search-text", "--input", src, "--terms", "CAT",
+               "--output", dst, "--top-n", "5"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["terms"] == ["cat"]
+    assert [r["doc_id"] for r in out["top"]] == [1, 2]
+    stored = {(r.doc_id, r.bm25) for r in spark.read.parquet(dst).collect()}
+    assert stored == {(r["doc_id"], r["bm25"]) for r in out["top"]}
+
+
 def test_cli_sample_temperature(spark, tmp_path, capsys):
     """sample --temperature derives per-source keep-rates from observed
     counts (n_i^(tau-1) scaled so the smallest source keeps all)."""

@@ -322,6 +322,28 @@ def cmd_select(args) -> int:
     return 0
 
 
+def cmd_search_text(args) -> int:
+    """BM25 ranked retrieval over a parquet corpus for a term query
+    (contamination probes, targeted corpus slicing)."""
+    from vamana_spark.operators import text as T
+
+    spark = _spark("vamana-search-text")
+    docs = spark.read.parquet(args.input)
+    out = T.bm25_rank(
+        docs, args.terms, k1=args.k1, b=args.b, top_n=args.top_n,
+        text_col=args.text_col, id_col=args.id_col,
+    )
+    rows = out.collect()  # bounded: top_n rows
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({
+        "terms": sorted({str(t).lower() for t in args.terms}),
+        "matched": len(rows),
+        "top": [r.asDict() for r in rows],
+    }))
+    return 0
+
+
 def cmd_ivfpq(args) -> int:
     from vamana_spark.operators import quantization as qz
 
@@ -597,6 +619,17 @@ def main(argv=None) -> int:
     sl.add_argument("--seed", type=int, default=42)
     sl.add_argument("--temperature", type=float, default=1.0)
     sl.set_defaults(fn=cmd_select)
+
+    st = sub.add_parser("search-text")
+    st.add_argument("--input", required=True)
+    st.add_argument("--terms", nargs="+", required=True)
+    st.add_argument("--output", default=None)
+    st.add_argument("--top-n", dest="top_n", type=int, default=20)
+    st.add_argument("--k1", type=float, default=1.2)
+    st.add_argument("--b", type=float, default=0.75)
+    st.add_argument("--text-col", dest="text_col", default="text")
+    st.add_argument("--id-col", dest="id_col", default="doc_id")
+    st.set_defaults(fn=cmd_search_text)
 
     iq = sub.add_parser("ivfpq")
     iq.add_argument("--input", required=True)
