@@ -33,6 +33,41 @@ def test_exhaustive_probe_recall(pidx, embeddings, queries):
     assert r >= 0.8, f"partitioned recall@10 = {r}"
 
 
+def test_graph_free_build_serves_identically(spark, embeddings, queries, pidx):
+    """graph=False (IVF-flat) must return byte-identical search results
+    to the graph build at shard sizes under the brute crossover — the
+    searchers take the same exact kernel, the graph is dead weight —
+    for both the flat and the PQ path, at partial and exhaustive
+    nprobe, and even when brute_threshold=0 tries to force the graph
+    walk (a graph-free shard must override it)."""
+    params = VamanaParams(dim=64, alpha=1.2, R=24, L=48, ef_search=64, seed=42)
+    flat_idx = PartitionedVamanaIndex.build(
+        spark, embeddings, params, num_shards=4, graph=False
+    )
+    assert flat_idx.shards_df.where(F.size("neighbors") > 0).count() == 0
+
+    def rows(df):
+        return sorted(
+            (r.query_id, r.vec_id, round(r.dist, 6), r.rank) for r in df.collect()
+        )
+
+    for kw in ({}, {"nprobe": 2}):
+        assert rows(flat_idx.search(queries, k=5, **kw)) == rows(
+            pidx.search(queries, k=5, **kw)
+        ), kw
+    # brute_threshold=0 forces the graph walk on a graph index; the
+    # graph-free index must override it back to brute and still match
+    # the auto-path (= brute at these shard sizes) exactly
+    assert rows(flat_idx.search(queries, k=5, brute_threshold=0)) == rows(
+        pidx.search(queries, k=5)
+    )
+    assert rows(flat_idx.search_pq(queries, k=5)) == rows(
+        pidx.search_pq(queries, k=5)
+    )
+    flat_idx.unpersist_packed()
+    flat_idx.shards_df.unpersist()
+
+
 def test_nprobe_tradeoff_runs(pidx, queries):
     res = pidx.search(queries, k=5, nprobe=2).collect()
     per_q = {}

@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""One-off 10M-vector scale checkpoint — the first ladder rung where
+the FLAT vectors themselves (10M x 64 f32 = 2.56 GB) exceed the 2 GiB
+broadcast-tier ceiling, so the partitioned tier stops being an option
+and becomes the only serving path. This is the rung the beyond-RAM
+design exists for; 1M (tools/scale_smoke_1m.py) still fits broadcast.
+
+Not part of the per-round bench (runtime ~1 h); run manually to extend
+the SCALE.md ladder:
+
+    python tools/scale_smoke_10m.py
+
+Measures, at n=10M / dim=64 on local[32]:
+  * partitioned-tier IVF-FLAT build (graph=False; 2560 shards x
+    overlap 2 — the 1M-validated ~7.8k rows/shard operating point).
+    At this shard size BOTH searchers serve via the exact brute
+    kernels (4·ef·R flat / 16·ef·R ADC crossovers), so per-shard
+    Vamana graphs are dead weight: byte-identical results
+    (test_partitioned.py::test_graph_free_build_serves_identically)
+    and the build drops its dominant stage. The graph build was
+    measured anyway before the pivot: 2560x2 graph kernels saturate a
+    single box's memory bandwidth (~17/128 salt-tasks in 36 min →
+    ~2.5 h projected; embarrassingly parallel across a real cluster's
+    aggregate bandwidth, pointless to wait out on one box). GRAPH=1
+    re-runs with graphs for the wall measurement.
+  * flat and PQ (m=16/rerank=100, the r7 defaults) serving at
+    nprobe=640/2560 — the same 1/4 probe fraction every rung uses —
+    over a 25k-query batch, recall@10 against exact ground truth on a
+    250-query sample
+  * exact ground truth wall (exact_knn_batch over all 10M — itself a
+    scale datapoint for the partial-top-k kernel)
+
+Uniform-random data (the no-cluster adversarial case, matching the
+rest of the ladder). NUM_SHARDS / OVERLAP / NPROBE env vars re-run
+other frontier points. Prints one JSON object.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N, DIM = 10_000_000, 64
+NQ_MOD = 400      # vec_id % 400 == 0 -> 25k queries
+GT_MOD = 40_000   # query_id % 40000 == 0 -> 250 ground-truth queries
+
+
+def _gen(path: str) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rng = np.random.default_rng(42)
+    schema = pa.schema(
+        [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
+    )
+    chunk = 100_000
+    with pq.ParquetWriter(path, schema) as w:
+        for lo in range(0, N, chunk):
+            X = rng.uniform(-1, 1, (chunk, DIM)).astype(np.float32)
+            w.write_table(
+                pa.table(
+                    {
+                        "vec_id": pa.array(range(lo, lo + chunk), type=pa.int64()),
+                        "embedding": pa.array(list(X), type=pa.list_(pa.float32())),
+                    },
+                    schema=schema,
+                )
+            )
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession, functions as F
+
+    from vamana_spark import VamanaParams, exact, quality
+    from vamana_spark.index.partitioned import PartitionedVamanaIndex
+
+    path = "/tmp/sf10m/embeddings.parquet"
+    if not os.path.exists(path):
+        t0 = time.perf_counter()
+        _gen(path)
+        print(json.dumps({"gen_sec": round(time.perf_counter() - t0, 1)}),
+              flush=True)
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(int(cpus) * 4))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "96g")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    emb = spark.read.parquet(path).cache()
+    emb.count()
+    out: dict = {"n": N, "dim": DIM}
+
+    allq = emb.where(F.col("vec_id") % NQ_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).cache()
+    nq = allq.count()
+    out["nq"] = nq
+    sample = allq.where(F.col("query_id") % GT_MOD == 0)
+
+    t0 = time.perf_counter()
+    truth = exact.exact_knn_batch(emb, sample, k=10).cache()
+    truth.count()
+    out["exact_gt_sec"] = round(time.perf_counter() - t0, 2)
+    print(json.dumps({"exact_gt_sec": out["exact_gt_sec"]}), flush=True)
+
+    n_shards = int(os.environ.get("NUM_SHARDS", "2560"))
+    overlap = int(os.environ.get("OVERLAP", "2"))
+    with_graph = bool(os.environ.get("GRAPH"))
+    out["num_shards"], out["shard_overlap"] = n_shards, overlap
+    out["graph"] = with_graph
+    pparams = VamanaParams(dim=DIM, alpha=1.2, R=32, L=64, ef_search=100, seed=42)
+    t0 = time.perf_counter()
+    pidx = PartitionedVamanaIndex.build(
+        spark, emb, pparams, num_shards=n_shards, overlap=overlap,
+        graph=with_graph,
+    )
+    pidx.shards_df = pidx.shards_df.cache()
+    pidx.shards_df.count()
+    out["partitioned_build_sec"] = round(time.perf_counter() - t0, 2)
+    print(json.dumps({"build_sec": out["partitioned_build_sec"]}), flush=True)
+    t0 = time.perf_counter()
+    pidx._packed_df("flat")
+    out["pack_sec"] = round(time.perf_counter() - t0, 2)
+    out["default_nprobe"] = pidx.default_nprobe
+    nprobe = int(os.environ.get("NPROBE", str(pidx.default_nprobe)))
+    out["nprobe"] = nprobe
+
+    def measure(key, fn, **kw):
+        fn(allq.limit(8), k=10, **kw).count()  # warm the pack
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(allq, k=10, **kw).count()
+            best = min(best, time.perf_counter() - t0)
+        out[f"{key}_qps"] = round(nq / best, 1)
+        out[f"{key}_recall_at_10"] = round(
+            quality.avg_recall(fn(sample, k=10, **kw), truth, k=10), 4
+        )
+        print(json.dumps({key: {
+            "qps": out[f"{key}_qps"],
+            "recall": out[f"{key}_recall_at_10"],
+        }}), flush=True)
+
+    measure("partitioned", pidx.search, nprobe=nprobe)
+    measure("partitioned_pq", pidx.search_pq, nprobe=nprobe)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -73,6 +73,10 @@ def _make_shard_packer(
         graph = [np.asarray(g, dtype=np.int64) for g in pdf["neighbors"]]
         indptr, nbrs = kernels._to_csr(graph, len(graph))
         nbr = kernels.pad_adjacency(indptr, nbrs, len(graph))
+        if nbrs.size == 0:
+            # IVF-flat shard (graph=False build): zero-width adjacency
+            # marks it so searchers force the brute kernel
+            nbr = nbr[:, :0]
         med = kernels.medoid_of(P)
         buf = io.BytesIO()
         if mode == "pq":
@@ -222,6 +226,7 @@ class PartitionedVamanaIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         overlap: int = 1,
+        graph: bool = True,
     ) -> "PartitionedVamanaIndex":
         """``overlap``: assign each point to its ``overlap`` nearest
         centers (DiskANN's ell-closest-center recipe). overlap=1 is
@@ -229,7 +234,20 @@ class PartitionedVamanaIndex:
         each true neighbor in 2 shards, which is what makes nprobe<S
         serving recall viable on weakly-clustered data. Search dedupes
         (query_id, vec_id) before ranking, so results are unaffected
-        semantically."""
+        semantically.
+
+        ``graph=False`` builds the IVF-FLAT form: shards carry vectors
+        only, no per-shard Vamana graphs. Both searchers auto-switch to
+        the exact brute kernel below their crossover caps (4·ef·R flat
+        / 16·ef·R ADC), so at shard sizes under the cap — every rung of
+        the measured ladder — the graph is dead weight: identical
+        search results, and the build drops the kernel stage entirely
+        (the dominant cost: measured at 10M/2560×2 shards on one
+        32-core box, per-shard kernels saturate memory bandwidth at
+        ~45 min/salt-task). Searching a graph-free index always takes
+        the brute path regardless of ``brute_threshold`` — results stay
+        exact within probed shards. Use graph=True when shards must
+        grow past the crossover (fewer, larger shards)."""
         import dataclasses
 
         # never mutate the caller's params (ADVICE r4, same as
@@ -327,17 +345,21 @@ class PartitionedVamanaIndex:
                 metric,
                 mips_m,
             )
-            if P.shape[0] <= DENSE_BUILD_MAX:
-                graph, _ = kernels.build_vamana_dense(P, R, alpha, seed + shard)
+            if not graph:
+                adj = [[]] * len(pdf)  # IVF-flat: no per-shard graph
+            elif P.shape[0] <= DENSE_BUILD_MAX:
+                g, _ = kernels.build_vamana_dense(P, R, alpha, seed + shard)
+                adj = [[int(x) for x in row] for row in g]
             else:
-                graph, _ = kernels.build_vamana(P, R, L, alpha, seed + shard)
+                g, _ = kernels.build_vamana(P, R, L, alpha, seed + shard)
+                adj = [[int(x) for x in row] for row in g]
             return pd.DataFrame(
                 {
                     "shard": shard,
                     "vec_id": pdf["vec_id"].astype("int64"),
                     "local_ord": np.arange(len(pdf), dtype=np.int32),
                     "embedding": pdf["embedding"],
-                    "neighbors": [[int(x) for x in g] for g in graph],
+                    "neighbors": adj,
                 }
             )
 
@@ -658,7 +680,8 @@ class PartitionedVamanaIndex:
             # qv is already metric-transformed by _route
             Q = np.stack(right["qv"].to_numpy()).astype(np.float32)
             qids = right["query_id"].to_numpy(dtype=np.int64)
-            if P.shape[0] <= brute_cap:
+            # zero-width adjacency = IVF-flat shard: brute is the only path
+            if P.shape[0] <= brute_cap or nbr.shape[1] == 0:
                 rq, rid, rd = kernels.brute_topk_batch(P, Q, metric_k)
             else:
                 rq, rid, rd, _, _ = kernels.search_topk_batch(
@@ -869,7 +892,8 @@ class PartitionedVamanaIndex:
             Q = np.stack(right["qv"].to_numpy()).astype(np.float64)
             qids = right["query_id"].to_numpy(dtype=np.int64)
             n_sh = codes.shape[0]
-            if n_sh <= brute_cap:
+            # zero-width adjacency = IVF-flat shard: brute is the only path
+            if n_sh <= brute_cap or nbr.shape[1] == 0:
                 rq, rid, rd = kernels.brute_topk_batch_adc(codes, cents, Q, pk)
             else:
                 rq, rid, rd = kernels.search_topk_batch_adc(
