@@ -453,10 +453,12 @@ def cmd_pbuild(args) -> int:
     idx = PartitionedVamanaIndex.build(
         spark, df, params, num_shards=args.shards,
         id_col=args.id_col, vec_col=args.vec_col, overlap=args.overlap,
+        graph=not args.no_graph,
     )
     idx.save(args.output, packs=packs)
     print(json.dumps({"n": idx.params.n, "shards": idx.params.num_shards,
                       "overlap": idx.params.shard_overlap, "packs": args.pack,
+                      "graph": not args.no_graph,
                       "health": idx.health_check()}))
     return 0
 
@@ -686,6 +688,13 @@ def main(argv=None) -> int:
         "--pack", action="append", default=[],
         help="also persist a search-ready pack: 'flat' or 'pq:M:KSUB' "
              "(repeatable); psearch then serves without re-packing",
+    )
+    pb.add_argument(
+        "--no-graph", dest="no_graph", action="store_true",
+        help="IVF-flat build: skip per-shard Vamana graphs (serving is "
+             "exact-brute within probed shards anyway at shard sizes "
+             "under the 4*ef*R crossover; identical results, far "
+             "cheaper build)",
     )
     pb.set_defaults(fn=cmd_pbuild)
 
