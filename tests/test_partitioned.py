@@ -33,18 +33,22 @@ def test_exhaustive_probe_recall(pidx, embeddings, queries):
     assert r >= 0.8, f"partitioned recall@10 = {r}"
 
 
-def test_graph_free_build_serves_identically(spark, embeddings, queries, pidx):
+def test_graph_free_build_serves_identically(spark, embeddings, queries):
     """graph=False (IVF-flat) must return byte-identical search results
-    to the graph build at shard sizes under the brute crossover — the
-    searchers take the same exact kernel, the graph is dead weight —
-    for both the flat and the PQ path, at partial and exhaustive
-    nprobe, and even when brute_threshold=0 tries to force the graph
-    walk (a graph-free shard must override it)."""
+    to the forced-graph build at shard sizes under the brute crossover
+    — the searchers take the same exact kernel, the graph is dead
+    weight — for both the flat and the PQ path, at partial and
+    exhaustive nprobe, and even when brute_threshold=0 tries to force
+    the graph walk (a graph-free shard must override it)."""
     params = VamanaParams(dim=64, alpha=1.2, R=24, L=48, ef_search=64, seed=42)
+    gidx = PartitionedVamanaIndex.build(
+        spark, embeddings, params, num_shards=4, graph=True
+    )
     flat_idx = PartitionedVamanaIndex.build(
         spark, embeddings, params, num_shards=4, graph=False
     )
     assert flat_idx.shards_df.where(F.size("neighbors") > 0).count() == 0
+    assert gidx.shards_df.where(F.size("neighbors") > 0).count() > 0
 
     def rows(df):
         return sorted(
@@ -53,19 +57,41 @@ def test_graph_free_build_serves_identically(spark, embeddings, queries, pidx):
 
     for kw in ({}, {"nprobe": 2}):
         assert rows(flat_idx.search(queries, k=5, **kw)) == rows(
-            pidx.search(queries, k=5, **kw)
+            gidx.search(queries, k=5, **kw)
         ), kw
     # brute_threshold=0 forces the graph walk on a graph index; the
     # graph-free index must override it back to brute and still match
     # the auto-path (= brute at these shard sizes) exactly
     assert rows(flat_idx.search(queries, k=5, brute_threshold=0)) == rows(
-        pidx.search(queries, k=5)
+        gidx.search(queries, k=5)
     )
     assert rows(flat_idx.search_pq(queries, k=5)) == rows(
-        pidx.search_pq(queries, k=5)
+        gidx.search_pq(queries, k=5)
     )
-    flat_idx.unpersist_packed()
-    flat_idx.shards_df.unpersist()
+    for ix in (gidx, flat_idx):
+        ix.unpersist_packed()
+        ix.shards_df.unpersist()
+
+
+def test_graph_auto_decides_per_shard(spark, embeddings):
+    """Default graph=None builds a shard's graph only when its row
+    count exceeds the 4·ef·R flat crossover: with a tiny cap every
+    shard gets a graph, with a huge cap none do."""
+    def per_shard(idx):
+        return idx.shards_df.groupBy("shard").agg(
+            F.count("*").alias("n"), F.max(F.size("neighbors")).alias("mx")
+        ).collect()
+
+    small_cap = VamanaParams(dim=64, alpha=1.2, R=2, L=8, ef_search=4, seed=42)
+    idx = PartitionedVamanaIndex.build(spark, embeddings, small_cap, num_shards=4)
+    for r in per_shard(idx):  # crossover = 4*4*2 = 32 rows
+        assert (r.mx > 0) == (r.n > 32), (r.shard, r.n, r.mx)
+    idx.shards_df.unpersist()
+    big_cap = VamanaParams(dim=64, alpha=1.2, R=32, L=64, ef_search=100, seed=42)
+    idx2 = PartitionedVamanaIndex.build(spark, embeddings, big_cap, num_shards=4)
+    for r in per_shard(idx2):  # crossover = 12800 rows >> any shard here
+        assert r.mx == 0, (r.shard, r.n, r.mx)
+    idx2.shards_df.unpersist()
 
 
 def test_nprobe_tradeoff_runs(pidx, queries):

@@ -134,6 +134,15 @@ def main() -> None:
     t0 = time.perf_counter()
     pidx._packed_df("flat")
     out["pack_sec"] = round(time.perf_counter() - t0, 2)
+    print(json.dumps({"pack_sec": out["pack_sec"]}), flush=True)
+    t0 = time.perf_counter()
+    pidx._packed_df("pq", pq_m=16, pq_ksub=256)
+    out["pq_pack_sec"] = round(time.perf_counter() - t0, 2)
+    print(json.dumps({"pq_pack_sec": out["pq_pack_sec"]}), flush=True)
+    # flat serving reads only the packed blobs and PQ re-rank reads
+    # shards_df: the raw emb cache (~5 GB at 10M) is dead weight past
+    # this point — drop it before the query fan-out
+    emb.unpersist()
     out["default_nprobe"] = pidx.default_nprobe
     nprobe = int(os.environ.get("NPROBE", str(pidx.default_nprobe)))
     out["nprobe"] = nprobe

@@ -450,15 +450,16 @@ def cmd_pbuild(args) -> int:
         dim=dim, alpha=args.alpha, R=args.R, L=args.L,
         ef_search=args.ef_search, seed=args.seed,
     )
+    graph = False if args.no_graph else (True if args.with_graph else None)
     idx = PartitionedVamanaIndex.build(
         spark, df, params, num_shards=args.shards,
         id_col=args.id_col, vec_col=args.vec_col, overlap=args.overlap,
-        graph=not args.no_graph,
+        graph=graph,
     )
     idx.save(args.output, packs=packs)
     print(json.dumps({"n": idx.params.n, "shards": idx.params.num_shards,
                       "overlap": idx.params.shard_overlap, "packs": args.pack,
-                      "graph": not args.no_graph,
+                      "graph": "auto" if graph is None else graph,
                       "health": idx.health_check()}))
     return 0
 
@@ -691,10 +692,15 @@ def main(argv=None) -> int:
     )
     pb.add_argument(
         "--no-graph", dest="no_graph", action="store_true",
-        help="IVF-flat build: skip per-shard Vamana graphs (serving is "
-             "exact-brute within probed shards anyway at shard sizes "
-             "under the 4*ef*R crossover; identical results, far "
-             "cheaper build)",
+        help="force the IVF-flat build: no per-shard Vamana graphs "
+             "(serving is exact-brute within probed shards anyway at "
+             "shard sizes under the 4*ef*R crossover; identical "
+             "results, far cheaper build). Default: per-shard auto — "
+             "graphs only where the shard exceeds the crossover",
+    )
+    pb.add_argument(
+        "--with-graph", dest="with_graph", action="store_true",
+        help="force per-shard graphs everywhere (override the auto rule)",
     )
     pb.set_defaults(fn=cmd_pbuild)
 

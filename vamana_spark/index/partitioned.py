@@ -226,7 +226,7 @@ class PartitionedVamanaIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         overlap: int = 1,
-        graph: bool = True,
+        graph: Optional[bool] = None,
     ) -> "PartitionedVamanaIndex":
         """``overlap``: assign each point to its ``overlap`` nearest
         centers (DiskANN's ell-closest-center recipe). overlap=1 is
@@ -236,18 +236,20 @@ class PartitionedVamanaIndex:
         (query_id, vec_id) before ranking, so results are unaffected
         semantically.
 
-        ``graph=False`` builds the IVF-FLAT form: shards carry vectors
-        only, no per-shard Vamana graphs. Both searchers auto-switch to
-        the exact brute kernel below their crossover caps (4·ef·R flat
-        / 16·ef·R ADC), so at shard sizes under the cap — every rung of
-        the measured ladder — the graph is dead weight: identical
-        search results, and the build drops the kernel stage entirely
-        (the dominant cost: measured at 10M/2560×2 shards on one
-        32-core box, per-shard kernels saturate memory bandwidth at
-        ~45 min/salt-task). Searching a graph-free index always takes
-        the brute path regardless of ``brute_threshold`` — results stay
-        exact within probed shards. Use graph=True when shards must
-        grow past the crossover (fewer, larger shards)."""
+        ``graph``: per-shard Vamana graphs. Both searchers auto-switch
+        to the exact brute kernel below their crossover caps (4·ef·R
+        flat / 16·ef·R ADC), so for shards under the cap the graph is
+        dead weight — yet it dominated the build wall (measured at
+        10M/2560×2 on one 32-core box: the kernel stage saturates
+        memory bandwidth, ~2.5 h projected; the graph-free build takes
+        331 s at identical serving results). Default ``None`` decides
+        PER SHARD: a shard builds its graph only if its row count
+        exceeds the 4·ef_search·R flat crossover — don't build what
+        serving won't walk. ``False`` forces the pure IVF-flat form,
+        ``True`` forces graphs everywhere. Graph-free shards pack a
+        zero-width adjacency and always take the brute path, even under
+        ``brute_threshold=0`` — results stay exact within probed
+        shards (equivalence-tested)."""
         import dataclasses
 
         # never mutate the caller's params (ADVICE r4, same as
@@ -325,6 +327,7 @@ class PartitionedVamanaIndex:
         )
 
         R, L, alpha, seed = params.R, params.L, params.alpha, params.seed
+        ef_search = params.ef_search
         out_schema = (
             "shard int, vec_id long, local_ord int, "
             "embedding array<float>, neighbors array<int>"
@@ -345,7 +348,12 @@ class PartitionedVamanaIndex:
                 metric,
                 mips_m,
             )
-            if not graph:
+            want_graph = (
+                graph
+                if graph is not None
+                else len(pdf) > 4 * ef_search * R  # the flat brute crossover
+            )
+            if not want_graph:
                 adj = [[]] * len(pdf)  # IVF-flat: no per-shard graph
             elif P.shape[0] <= DENSE_BUILD_MAX:
                 g, _ = kernels.build_vamana_dense(P, R, alpha, seed + shard)
