@@ -164,6 +164,11 @@ def _scale_25k_block(spark) -> dict:
         out["partitioned"] = {
             "num_shards": 8,
             "overlap": 2,
+            # r7+: build uses the per-shard auto graph rule — at 25k/8x2
+            # every shard is under the 4*ef*R brute crossover, so no
+            # graphs are built (serving was already brute; identical
+            # results, the wall drops the dead kernel stage)
+            "graph_mode": "auto",
             "build_plus_pack_sec": p_build,
             "qps_exhaustive": round(n_all / p_search, 1),
             "recall_at_10_exhaustive": p_recall,
