@@ -45,7 +45,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N, DIM = 10_000_000, 64
-NQ_MOD = 400      # vec_id % 400 == 0 -> 25k queries
+# vec_id % NQ_MOD == 0 queries for sustained throughput; default 10k —
+# at nprobe=640 each query emits 640*k candidate rows into the merge,
+# so the batch size bounds the merge-window working set
+NQ_MOD = int(os.environ.get("NQ_MOD", "1000"))
 GT_MOD = 40_000   # query_id % 40000 == 0 -> 250 ground-truth queries
 
 
@@ -92,7 +95,11 @@ def main() -> None:
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(int(cpus) * 4))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", "96g")
+        # NOT sized to the box: a 96g heap let the JVM balloon to ~82 GB
+        # RSS on the 64M-row candidate merge and the kernel OOM-killed it
+        # (the 125 GB box also hosts 32 Python workers + page cache).
+        # 56g forces Spark to spill the big windows instead of dying.
+        .config("spark.driver.memory", "56g")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
