@@ -400,37 +400,57 @@ def test_temperature_mixture_corpus_never_shuffles(spark, sf_dir):
 # ----------------------------------------------------------------------
 
 def test_rotation_window_bounds_staleness():
-    """After the next driver round runs the first-50 window, no query's
-    latest driver row may be older than (current max round - 1): every
-    query excluded from the window must already hold a row from the
-    previous round or newer."""
+    """After the next driver round runs the first-50 window, no query
+    with a RECORDED driver row may be left older than (current max
+    round - 1): every recorded query excluded from the window must
+    already hold a row from the previous round or newer. Never-run
+    queries outside the window must be exactly the declared
+    _DEFER_THIS_ROUND newborns (first row allowed to wait a round)."""
     last = D._latest_driver_rounds()
     if not last:
         pytest.skip("no CORRECTNESS records next to the package")
     window = set(list(D.QUERIES)[:50])
     mx = max(last.values())
     offenders = [
-        (q, last.get(q, 0))
+        (q, last[q])
         for q in D.QUERIES
-        if q not in window and last.get(q, 0) < mx - 1
+        if q not in window and q in last and last[q] < mx - 1
     ]
     assert offenders == [], (
-        f"queries excluded from the 50-slot window with rows older than "
-        f"r{mx - 1:02d}: {offenders}"
+        f"recorded queries excluded from the 50-slot window with rows "
+        f"older than r{mx - 1:02d}: {offenders}"
+    )
+    never_run_outside = {q for q in D.QUERIES if q not in window and q not in last}
+    assert never_run_outside <= set(D._DEFER_THIS_ROUND), (
+        f"never-run queries outside the window beyond the declared "
+        f"deferrals: {never_run_outside - set(D._DEFER_THIS_ROUND)}"
     )
 
 
 def test_rotation_promotes_never_run_and_changed():
-    """Never-driver-run queries and _CHANGED_THIS_ROUND entries sort to
-    the front; the order is deterministic (pure function of records)."""
+    """Tier 1 of the rotation: bound-threatened recorded queries (row
+    older than max-1) outrank EVERYTHING — then never-run and
+    _CHANGED_THIS_ROUND entries, then the rest by staleness; deferred
+    newborns sort as max-1. Deterministic pure function of records."""
     last = {"q_a": 6, "q_b": 3, "q_c": 5}
     order = D.rotation_order(
-        ["q_a", "q_b", "q_c", "q_new"], last_rounds=last, changed=["q_a"]
+        ["q_a", "q_b", "q_c", "q_new"], last_rounds=last,
+        changed=["q_a"], deferred=[],
     )
-    assert order == ["q_a", "q_new", "q_b", "q_c"]
+    # q_b (r3 < mx-1=5) is bound-threatened -> first; then changed q_a
+    # and never-run q_new (both effective 0, name tiebreak), then q_c
+    assert order == ["q_b", "q_a", "q_new", "q_c"]
     assert order == D.rotation_order(
-        ["q_new", "q_c", "q_b", "q_a"], last_rounds=last, changed=["q_a"]
+        ["q_new", "q_c", "q_b", "q_a"], last_rounds=last,
+        changed=["q_a"], deferred=[],
     )
+    # a deferred newborn sorts as max-1: behind the stale cohort, ahead
+    # of nothing that matters this round
+    order2 = D.rotation_order(
+        ["q_a", "q_b", "q_c", "q_new"], last_rounds=last,
+        changed=["q_a"], deferred=["q_new"],
+    )
+    assert order2 == ["q_b", "q_a", "q_c", "q_new"]
 
 
 def test_fixture_queries_fall_back_to_live_build(spark, sf_dir, monkeypatch):

@@ -3683,6 +3683,17 @@ _CHANGED_THIS_ROUND = [
     "q_index_delete",
 ]
 
+# Queries DECLARED this round whose first driver row may wait until
+# next round: the r7 window is exactly full with the bound-threatened
+# r03/r04 cohorts plus the changed/never-run promotions above, and the
+# staleness bound is the hard promise. Both run in the local parity
+# suite every round regardless; by ordinary rotation they enter the r8
+# window as never-run.
+_DEFER_THIS_ROUND = [
+    "q_bm25_search",
+    "q_incremental_dedup_ranged",
+]
+
 
 def _latest_driver_rounds() -> dict:
     """query -> latest CORRECTNESS_r{N}.json round that recorded it
@@ -3713,17 +3724,40 @@ def _latest_driver_rounds() -> dict:
     return last
 
 
-def rotation_order(queries, last_rounds=None, changed=None) -> list:
-    """Stalest-first registry order (pure function, unit-testable):
-    effective round 0 for never-run and changed queries, else the
-    latest recorded driver round; ties by name."""
+def rotation_order(queries, last_rounds=None, changed=None, deferred=None) -> list:
+    """Registry order with a STRUCTURAL staleness guarantee (pure
+    function, unit-testable). Two tiers:
+
+    1. bound-threatened first: queries with a recorded driver row
+       older than (max round - 1) MUST make the window this round or
+       the no-older-than-two-rounds invariant breaks — they outrank
+       everything, stalest first;
+    2. then everything else by effective round (0 for never-run and
+       changed queries, max-1 for ``deferred`` newborns whose first
+       row may wait a round when the window is full), ties by name.
+
+    The r7 lesson behind tier 1: promoting never-run/new queries by
+    effective round alone let two r04 queries spill out of an exactly
+    full 50-slot window — the bound is the hard promise, never-run
+    promotion is best-effort within the window's slack."""
     if last_rounds is None:
         last_rounds = _latest_driver_rounds()
     changed_set = set(_CHANGED_THIS_ROUND if changed is None else changed)
-    return sorted(
-        queries,
-        key=lambda q: (0 if q in changed_set else last_rounds.get(q, 0), q),
-    )
+    defer_set = set(_DEFER_THIS_ROUND if deferred is None else deferred)
+    mx = max(last_rounds.values(), default=0)
+
+    def key(q):
+        if q in changed_set:
+            eff = 0
+        elif q in defer_set:
+            eff = max(mx - 1, 0)
+        else:
+            eff = last_rounds.get(q, 0)
+        recorded = last_rounds.get(q, 0)
+        must_run = 0 < recorded < mx - 1  # bound at risk if skipped
+        return (0 if must_run else 1, eff, q)
+
+    return sorted(queries, key=key)
 
 
 def _apply_rotation() -> None:
