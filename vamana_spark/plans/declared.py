@@ -2364,6 +2364,43 @@ def q_partitioned_exact(spark, sf_dir):
     )
 
 
+@declare("q_partitioned_pq_exact", _KNN_ORACLE)
+def q_partitioned_pq_exact(spark, sf_dir):
+    """The PQ serving pipeline in its EXACT mode: nprobe = all shards
+    and rerank depth past every candidate, so the ADC ordering cannot
+    drop a true neighbor and the exact re-rank must reproduce the
+    exact-kNN oracle bit-for-bit — probe routing, per-shard ADC
+    emission, the global shortlist merge, overlap dedupe, and the
+    re-rank equi-join are all on the hash path without pinning any
+    codebook (the quantization error is made irrelevant, not removed;
+    the approximate operating point stays covered by q_partitioned_pq's
+    recall ok-col). dist re-derived declaratively in double from the
+    returned pairs, mirroring q_partitioned_exact."""
+    pidx = _built_partitioned(spark, sf_dir)
+    e = _emb(spark, sf_dir)
+    q = _fixed_queries(e, 25)
+    hits = pidx.search_pq(q, k=10, rerank=1 << 24).select("query_id", "vec_id")
+    qe = q.select(F.col("query_id").alias("qid"), F.col("query_vec").alias("_q"))
+    pe = e.select(F.col("vec_id").alias("pid"), F.col("embedding").alias("_p"))
+    d = (
+        hits.join(qe, hits.query_id == qe.qid)
+        .join(pe, hits.vec_id == pe.pid)
+        .select("query_id", "vec_id", squared_l2("_q", "_p").alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("dist", 4).alias("dist"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 @declare("q_broadcast_append")
 def q_broadcast_append(spark, sf_dir):
     """Broadcast-tier incremental insert (FreshDiskANN insert; the safe
@@ -3692,6 +3729,7 @@ _CHANGED_THIS_ROUND = [
 _DEFER_THIS_ROUND = [
     "q_bm25_search",
     "q_incremental_dedup_ranged",
+    "q_partitioned_pq_exact",
 ]
 
 
