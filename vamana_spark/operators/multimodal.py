@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import hashlib
 import io
+import math
 import struct
 from typing import Iterator, Optional
 
@@ -251,9 +252,14 @@ def extract_image_features(
     media: DataFrame, dim: int = 16, kinds: tuple = ("image",)
 ) -> DataFrame:
     """Fake feature extractor: payload → deterministic unit vector of
-    ``dim`` floats (seeded from the payload md5). The real version would
-    run an ONNX/torch encoder over Arrow batches — identical plumbing,
-    identical schema ``(media_id, feature: array<float>)``.
+    ``dim`` floats, every component an md5 derivation (same recipe as
+    the fake decode path, so a SQL oracle can replicate it bit-for-bit:
+    component i is ``hex4(md5(payload || '-f' || i)) / 65535 * 2 - 1``
+    in double, the vector L2-normalized with a SEQUENTIAL double sum —
+    summation order pinned so engines agree to the ulp — then cast to
+    float32). The real version would run an ONNX/torch encoder over
+    Arrow batches — identical plumbing, identical schema
+    ``(media_id, feature: array<float>)``.
 
     ``kinds`` filters which media kinds get encoded (default: images
     only, like the sibling image operators — an image encoder fed audio
@@ -269,10 +275,15 @@ def extract_image_features(
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 if _is_na(mid) or _is_na(p):
                     continue  # nullable fields: no feature for null media
-                seed = int.from_bytes(hashlib.md5(bytes(p)).digest()[:8], "big")
-                rng = np.random.default_rng(seed)
-                v = rng.standard_normal(dim).astype(np.float32)
-                v /= max(float(np.linalg.norm(v)), 1e-12)
+                u = []
+                for i in range(dim):
+                    h = hashlib.md5(bytes(p) + b"-f%d" % i).hexdigest()
+                    u.append(int(h[:4], 16) / 65535.0 * 2.0 - 1.0)
+                s = 0.0
+                for x in u:  # sequential: the oracle's ordered frame matches
+                    s += x * x
+                norm = max(math.sqrt(s), 1e-12)
+                v = np.asarray([x / norm for x in u], dtype=np.float32)
                 ids.append(int(mid))
                 feats.append([float(x) for x in v])
             if not ids:

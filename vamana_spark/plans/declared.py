@@ -2193,16 +2193,41 @@ def q_media_frames(spark, sf_dir):
     return multimodal.sample_video_frames(_fake_media(spark, sf_dir), every_n=30)
 
 
-@declare("q_media_features")
+@declare(
+    "q_media_features",
+    f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, 'media-' || doc_id AS payload FROM documents
+    ),
+    comp AS (
+      SELECT media_id, i,
+             ({_hex4_sql("md5(payload || '-f' || i)", 1)}) / 65535.0 * 2 - 1 AS u
+      FROM m, (SELECT unnest(range(0, 16)) AS i)
+    ),
+    normed AS (
+      SELECT media_id, i,
+             u / greatest(sqrt(sum(u * u) OVER (
+                   PARTITION BY media_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                 )), 1e-12) AS f
+      FROM comp
+    )
+    SELECT media_id, CAST(i AS INTEGER) AS i,
+           round(CAST(CAST(f AS REAL) AS DOUBLE), 6) AS feat
+    FROM normed
+    """,
+)
 def q_media_features(spark, sf_dir):
-    """Multimodal: fake feature extraction (rows-only; numpy RNG).
-
-    Gate-facing projection: the raw ``feature array<float>`` column is
-    unhashable in the driver's pandas canonicalizer (r1 aborted here),
-    so the declared query emits scalars — (media_id, dim, feature_md5)
-    where feature_md5 fingerprints the rounded components. The array
-    output itself stays available via ``extract_image_features`` and is
-    exercised by tests/test_multimodal.py.
+    """Multimodal: fake feature extraction, hash-matched (r8 — was the
+    one rows-only-by-implementation-choice query; features are now
+    md5-derived like the decode path, so DuckDB replicates every
+    component). Gate projection: one (media_id, i, feat) row per
+    component — the array column itself is unhashable in the driver's
+    canonicalizer (r1 aborted on it), and per-row scalars beat a
+    string-formatted fingerprint (engine float→string rules differ).
+    The double pipeline is pinned on both sides (sequential norm sum /
+    ordered window frame, float32 storage cast replicated via
+    CAST(REAL)), so round-6 agrees to the ulp.
     """
     from vamana_spark.operators import multimodal
 
@@ -2210,17 +2235,11 @@ def q_media_features(spark, sf_dir):
     # embedding path; the image-only default is covered by unit tests
     feats = multimodal.extract_image_features(_fake_media(spark, sf_dir), kinds=None)
     return feats.select(
+        "media_id", F.posexplode("feature").alias("i", "_f")
+    ).select(
         "media_id",
-        F.size("feature").alias("dim"),
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    "feature",
-                    lambda x: F.round(x.cast("double"), 4).cast("string"),
-                ),
-            )
-        ).alias("feature_md5"),
+        F.col("i").cast("int").alias("i"),
+        F.round(F.col("_f").cast("double"), 6).alias("feat"),
     )
 
 
@@ -3702,35 +3721,19 @@ def q_dsir_sample(spark, sf_dir):
 
 # Queries whose implementation or oracle changed THIS round — their
 # most recent driver rows predate the change, so they are promoted to
-# the front alongside never-run queries. r7: the three queries whose
-# OUTPUT CONTRACT changed in the rows-only -> hash-matched fixture
-# conversion (q_graph_reachability also converted, but it is already
-# front-of-window by staleness; q_partitioned_ann/_recall/_pq merely
-# swapped their index source to the fixture — same rows-only
-# contract). The late-r7 rows-only -> hash-matched pinned conversions
-# (q_ivf_topk, q_pq_knn) are deliberately NOT promoted: the r7 window
-# is exactly full with the never-run + changed + r03/r04 cohorts, and
-# forcing them in would spill two r04 queries past the staleness bound.
-# They hold r05/r06 rows (within bound), the local parity suite
-# verifies their new oracles every round, and their first hash-strict
-# driver rows land r8 by ordinary rotation.
+# the front alongside never-run queries. r8: q_media_features converted
+# rows-only -> hash-matched (md5-derived features + per-component
+# oracle — its r07 row is a no_oracle row for the old contract). The
+# r8 window has slack: 40 bound-threatened r05 rows + 3 never-run r7
+# queries + this conversion + the new r8 declarations fit within 50.
 _CHANGED_THIS_ROUND = [
-    "q_degree_stats",
-    "q_index_append",
-    "q_index_delete",
+    "q_media_features",
 ]
 
 # Queries DECLARED this round whose first driver row may wait until
-# next round: the r7 window is exactly full with the bound-threatened
-# r03/r04 cohorts plus the changed/never-run promotions above, and the
-# staleness bound is the hard promise. Both run in the local parity
-# suite every round regardless; by ordinary rotation they enter the r8
-# window as never-run.
-_DEFER_THIS_ROUND = [
-    "q_bm25_search",
-    "q_incremental_dedup_ranged",
-    "q_partitioned_pq_exact",
-]
+# next round when the window is full (see rotation_order). r8: none —
+# the window has slack, every new query enters as never-run.
+_DEFER_THIS_ROUND: list = []
 
 
 def _latest_driver_rounds() -> dict:
