@@ -779,6 +779,44 @@ def test_bm25_matches_hand_computation(spark):
     assert out[1] > out[2]
 
 
+def test_bm25_batch_equals_per_probe_single(spark):
+    """bm25_rank_batch must reproduce bm25_rank exactly, probe by probe
+    — same scores to the 4-digit rounding, same top-n membership and
+    rank order — including probes with repeated terms (deduped), terms
+    absent from the corpus, and probes sharing terms."""
+    from vamana_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat cat cat dog"),
+            (2, "cat bird bird bird bird bird bird bird"),
+            (3, "fish fish fish fish"),
+            (4, "dog fish cat dog"),
+            (5, "bird cat"),
+        ],
+        "doc_id long, text string",
+    )
+    probe_terms = {
+        0: ["cat"],
+        1: ["cat", "dog"],
+        2: ["bird", "bird", "fish"],  # dupes collapse
+        3: ["unicorn"],  # absent from corpus -> no rows
+        4: ["dog", "unicorn", "cat"],
+    }
+    probes = spark.createDataFrame(
+        sorted(probe_terms.items()), "probe_id long, terms array<string>"
+    )
+    got: dict = {}
+    for r in T.bm25_rank_batch(docs, probes, top_n=3).collect():
+        got.setdefault(r.probe_id, []).append((r.rank, r.doc_id, r.bm25))
+    for pid, terms in probe_terms.items():
+        want = [
+            (i + 1, r.doc_id, r.bm25)
+            for i, r in enumerate(T.bm25_rank(docs, terms, top_n=3).collect())
+        ]
+        assert sorted(got.get(pid, [])) == want, (pid, got.get(pid), want)
+
+
 def test_gopher_filter_rules_fire_individually(spark):
     from vamana_spark.operators.text import gopher_quality_filter
 

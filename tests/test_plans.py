@@ -85,6 +85,35 @@ def test_bm25_shape_takeordered_broadcast_no_cross(spark, sf_dir):
     assert "Window" not in p, p
 
 
+def test_bm25_batch_shuffles_independent_of_probe_count(spark, sf_dir):
+    """Batch BM25's promised 100-TB shape: ONE job whose shuffle count
+    does not grow with the probe count (tf computed once per
+    (doc, term); the per-probe fan-out rides broadcast joins on the
+    aggregate), the per-probe top-n is a rank-limited window (no
+    single-task global sort, no per-probe driver loop), and nothing
+    degenerates to a cross product."""
+    from vamana_spark.operators import text
+
+    docs = D._docs(spark, sf_dir)
+    vocab = ["merge", "stream", "vector", "index", "graph"]
+
+    def shape(nprobes):
+        probes = spark.createDataFrame(
+            [(i, vocab[i % 4 : i % 4 + 2]) for i in range(nprobes)],
+            "probe_id long, terms array<string>",
+        )
+        return plan(text.bm25_rank_batch(docs, probes, top_n=20))
+
+    p2, p20 = shape(2), shape(20)
+    n2 = len(re.findall(r"\(\d+\) Exchange\b", p2))
+    n20 = len(re.findall(r"\(\d+\) Exchange\b", p20))
+    assert n2 == n20, (n2, n20)
+    assert n20 <= 6, p20  # tf + probe fan-in + tiny vocab/df/distinct aggs
+    assert "WindowGroupLimit" in p20, p20  # rank<=n pushed into the window
+    assert "BroadcastHashJoin" in p20, p20
+    assert "CartesianProduct" not in p20, p20
+
+
 def test_groupby_has_partial_aggregation(spark, sf_dir):
     p = plan(D.q_grouped_text_stats(spark, sf_dir))
     # two HashAggregate nodes (partial + final) around the shuffle

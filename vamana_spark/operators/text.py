@@ -8,7 +8,7 @@ regex (word pieces + standalone punctuation) shared by every operator.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # word pieces or single non-space punctuation — the "BPE-ish" splitter
@@ -449,6 +449,86 @@ def bm25_rank(
         .agg(F.round(F.sum("wt"), 4).alias("bm25"))
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(top_n)
+    )
+
+
+def bm25_rank_batch(
+    df: DataFrame,
+    probes: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_id_col: str = "probe_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """BM25 for a DATAFRAME of term queries at once — the production
+    shape of contamination probing, where thousands of probe strings
+    are ranked against the corpus in ONE job instead of a driver-side
+    loop over ``bm25_rank`` (each iteration of which is its own round
+    of corpus scans). Output: (probe_id, doc_id, bm25, rank), the
+    per-probe top-``top_n`` with the same rounded-score + doc-id
+    tie-break cut as the single-probe operator.
+
+    100-TB shape: the corpus explode is semi-joined against the
+    DISTINCT probe vocabulary (broadcast — a probe table is at most
+    ~10^5 short strings) BEFORE the tf shuffle, so tf is computed ONCE
+    per (doc, term) no matter how many probes share a term; the
+    per-probe fan-out happens on the (doc, term) AGGREGATE, never on
+    raw token rows. Everything downstream of tf is keyed by probe_id:
+    one repartition serves both the per-(probe, doc) score aggregation
+    (clustering by probe_id co-locates every (probe, doc) group) and
+    the per-probe top-n window, so the whole batch costs exactly two
+    data shuffles (tf, probe fan-in) plus a tiny df aggregate —
+    independent of the number of probes. Per-term df/idf is corpus
+    global (identical to ``bm25_rank``'s), broadcast back.
+    """
+    pterms = probes.select(
+        F.col(probe_id_col).alias("probe_id"),
+        F.explode(F.array_distinct(F.transform(terms_col, F.lower))).alias(
+            "term"
+        ),
+    )
+    vocab = pterms.select("term").distinct()
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(tokens(text_col), F.lower).alias("toks"),
+    ).select("doc_id", F.size("toks").cast("double").alias("dl"), "toks")
+    n_docs, avgdl = d.agg(
+        F.count("*").cast("double"), F.avg("dl")
+    ).first()  # ONE row of corpus stats — bounded driver traffic
+    tf = (
+        d.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .join(F.broadcast(vocab), "term")  # semi filter BEFORE the shuffle
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    wt = idf * F.col("tf") * F.lit(k1 + 1.0) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl)))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(pterms), "term")  # fan out per probe, post-agg
+        .select("probe_id", "doc_id", wt.alias("wt"))
+        .repartition("probe_id")  # clusters BOTH the agg and the window
+        .groupBy("probe_id", "doc_id")
+        .agg(F.round(F.sum("wt"), 4).alias("bm25"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select("probe_id", "doc_id", "bm25", F.col("rank").cast("int").alias("rank"))
     )
 
 

@@ -1225,6 +1225,75 @@ def q_bm25_search(spark, sf_dir):
     )
 
 
+_BM25_PROBES = [
+    (0, ["merge", "stream", "vector"]),
+    (1, ["index", "graph", "merge"]),
+    (2, ["data", "pipeline"]),
+    (3, ["vector"]),
+]
+
+
+@declare(
+    "q_bm25_batch",
+    f"""
+    WITH probes AS (
+      SELECT * FROM (VALUES
+        {", ".join(f"({pid}, {terms})" for pid, terms in _BM25_PROBES)}
+      ) AS t(probe_id, terms)
+    ),
+    pterms AS (
+      SELECT probe_id, unnest(list_distinct(terms)) AS term FROM probes
+    ),
+    d AS (
+      SELECT doc_id, len({_TOKS_LOWER}) AS dl, {_TOKS_LOWER} AS toks
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             avg(CAST(dl AS DOUBLE)) AS avgdl
+      FROM d
+    ),
+    tf AS (
+      SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+      WHERE term IN (SELECT DISTINCT term FROM pterms)
+      GROUP BY doc_id, dl, term
+    ),
+    dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+    w AS (
+      SELECT p.probe_id, tf.doc_id,
+             ln((stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+             * tf.tf * (1.2 + 1.0)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(tf.dl AS DOUBLE) / stats.avgdl)) AS wt
+      FROM tf JOIN dfq USING (term) JOIN pterms p USING (term), stats
+    ),
+    s AS (
+      SELECT probe_id, doc_id, round(sum(wt), 4) AS bm25
+      FROM w GROUP BY probe_id, doc_id
+    )
+    SELECT CAST(probe_id AS BIGINT) AS probe_id, doc_id, bm25,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT probe_id, doc_id, bm25,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY bm25 DESC, doc_id) AS rank
+      FROM s
+    )
+    WHERE rank <= 20
+    """,
+)
+def q_bm25_batch(spark, sf_dir):
+    """Batch BM25 (r8, the r7 verdict's Missing #2): a DATAFRAME of
+    contamination probes ranked against the corpus in ONE job — tf is
+    computed once per (doc, term), the per-probe fan-out happens on
+    the aggregate, and the whole batch costs two data shuffles
+    regardless of probe count (plan-asserted in test_plans.py). The
+    oracle replays every stage including the per-probe rounded-score
+    top-20 cut."""
+    probes = spark.createDataFrame(_BM25_PROBES, "probe_id long, terms array<string>")
+    return text.bm25_rank_batch(_docs(spark, sf_dir), probes, top_n=20)
+
+
 @declare(
     "q_ngram_jaccard",
     """
