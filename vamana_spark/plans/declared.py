@@ -1795,6 +1795,110 @@ def q_pq_knn(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+@declare(
+    "q_opq_exact",
+    f"""
+    WITH js AS (SELECT CAST(j AS INT) AS j FROM range(8) AS t(j)),
+    rot AS (
+      SELECT vec_id,
+             [embedding[(37 * (i - 1)) % 64 + 1] for i in range(1, 65)] AS embedding
+      FROM embeddings
+    ),
+    base AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+             embedding
+      FROM (SELECT vec_id, embedding FROM rot ORDER BY vec_id LIMIT 64)
+    ),
+    cb AS (
+      SELECT js.j, base.code,
+             list_slice(base.embedding, js.j * 8 + 1, js.j * 8 + 8) AS cvec
+      FROM base, js
+    ),
+    vsub AS (
+      SELECT v.vec_id, js.j,
+             list_slice(v.embedding, js.j * 8 + 1, js.j * 8 + 8) AS sv
+      FROM rot v, js
+    ),
+    enc AS (
+      SELECT vec_id, j, code FROM (
+        SELECT s.vec_id, s.j, c.code,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, s.j
+                 ORDER BY {_sq_l2_sql('s.sv', 'c.cvec')}, c.code
+               ) AS rn
+        FROM vsub s JOIN cb c ON c.j = s.j
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+    qrot AS (
+      SELECT query_id,
+             [embedding[(37 * (i - 1)) % 64 + 1] for i in range(1, 65)] AS embedding
+      FROM q
+    ),
+    qsub AS (
+      SELECT qr.query_id, js.j,
+             list_slice(qr.embedding, js.j * 8 + 1, js.j * 8 + 8) AS sv
+      FROM qrot qr, js
+    ),
+    adc AS (
+      SELECT qs.query_id, en.vec_id,
+             sum({_sq_l2_sql('qs.sv', 'c.cvec')}) AS adist
+      FROM qsub qs
+      JOIN enc en ON en.j = qs.j
+      JOIN cb c ON c.j = en.j AND c.code = en.code
+      GROUP BY qs.query_id, en.vec_id
+    ),
+    short AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rn
+        FROM adc
+      ) WHERE rn <= 100
+    ),
+    d AS (
+      SELECT s.query_id, s.vec_id,
+             {_sq_l2_sql('q.embedding', 'p.embedding')} AS dist
+      FROM short s
+      JOIN q ON q.query_id = s.query_id
+      JOIN embeddings p ON p.vec_id = s.vec_id
+    ),
+    r AS (
+      SELECT query_id, vec_id, dist,
+             row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+      FROM d
+    )
+    SELECT query_id, vec_id, round(dist, 4) AS dist, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 10
+    """,
+)
+def q_opq_exact(spark, sf_dir):
+    """The OPQ serving pipeline hash-matched end to end (r8, the r7
+    verdict's ask #5): a PINNED orthogonal rotation — the permutation
+    matrix R[(37*i) % 64, i] = 1, exactly representable so the SQL
+    oracle rotates by list element permutation with zero float
+    arithmetic — composed with the pinned codebook trick of q_pq_knn,
+    TRAINED IN THE ROTATED SPACE like any OPQ model. rotate -> encode ->
+    ADC -> shortlist -> exact re-rank in the ORIGINAL space (rotation
+    preserves L2) all run on the hash path; the LEARNED rotation stays
+    covered by q_opq_knn's recall + orthogonality gate."""
+    import numpy as np
+
+    e = _emb(spark, sf_dir)
+    dim = len(e.select("embedding").first()[0])
+    R = np.zeros((dim, dim), dtype=np.float64)
+    for i in range(dim):
+        R[(37 * i) % dim, i] = 1.0  # (X @ R)[:, i] = X[:, 37i mod dim]
+    rotated = quantization.rotate_vectors(e, R)
+    model = quantization.OPQModel(
+        R=R, codebook=quantization.pq_pinned_codebook(rotated, dim, m=8, ksub=64)
+    )
+    codes = quantization.opq_encode(e, model)
+    return quantization.opq_search(
+        codes, model, _fixed_queries(e, 50), k=10, shortlist=100, points=e,
+        round_digits=4,
+    ).orderBy("query_id", "rank")
+
+
 @declare("q_opq_knn")
 def q_opq_knn(spark, sf_dir):
     """OPQ (Ge et al. 2013): learned-orthogonal-rotation PQ — ADC in
