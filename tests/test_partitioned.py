@@ -244,6 +244,34 @@ def test_default_nprobe_rule(pidx):
         assert PartitionedVamanaIndex.default_nprobe.fget(fake) == want, S
 
 
+def test_pq_pack_codebook_strategies(pidx, embeddings, queries):
+    """r8: PQ packs encode against ONE sample-trained global codebook
+    by default (the per-shard k-means was 842 s of the 10M rung's pack
+    for no measured recall benefit); per_shard_codebooks=True restores
+    shard-local fits. Both must search above the recall gate; the
+    global pack must carry the identical codebook in every blob."""
+    import io
+
+    import numpy as np
+
+    g = [
+        np.load(io.BytesIO(r.blob))
+        for r in pidx._packed_df("pq", 8, 16).collect()
+    ]
+    for z in g[1:]:
+        assert np.array_equal(z["cents"], g[0]["cents"])
+    ps = [
+        np.load(io.BytesIO(r.blob))
+        for r in pidx._packed_df("pq", 8, 16, per_shard_codebooks=True).collect()
+    ]
+    assert any(not np.array_equal(z["cents"], ps[0]["cents"]) for z in ps[1:])
+    truth = exact.exact_knn(embeddings, queries, k=10)
+    r = quality.avg_recall(
+        pidx.search_pq(queries, k=10, per_shard_codebooks=True), truth, k=10
+    )
+    assert r >= 0.8, f"per-shard-codebook PQ recall@10 = {r}"
+
+
 def test_pq_pack_excludes_float_matrix(pidx):
     """The beyond-RAM pack must hold codes, not the float32 points: the
     pq blob for a shard is smaller than the flat blob. (ksub=16 here —

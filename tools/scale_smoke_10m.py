@@ -77,6 +77,31 @@ def _gen(path: str) -> None:
             )
 
 
+def _metrics_probe(spark):
+    """Cumulative (disk-spill, memory-spill, shuffle-write) bytes across
+    all completed stages, via the UI REST API — call twice and diff to
+    attribute spill to a phase. Returns zeros if the UI is unreachable
+    (never fails the smoke)."""
+    import json as _json
+    import urllib.request
+
+    try:
+        base = spark.sparkContext.uiWebUrl
+        app_id = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app_id}/stages?status=complete",
+            timeout=10,
+        ) as r:
+            stages = _json.load(r)
+        return (
+            sum(s.get("diskBytesSpilled", 0) for s in stages),
+            sum(s.get("memoryBytesSpilled", 0) for s in stages),
+            sum(s.get("shuffleWriteBytes", 0) for s in stages),
+        )
+    except Exception:
+        return (0, 0, 0)
+
+
 def main() -> None:
     from pyspark.sql import SparkSession, functions as F
 
@@ -101,7 +126,15 @@ def main() -> None:
         # 56g forces Spark to spill the big windows instead of dying.
         .config("spark.driver.memory", "56g")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.ui.enabled", "false")
+        # SPILL_METRICS=1 turns the UI on so the REST stage metrics can
+        # attribute spill per phase (r7 verdict #8). Off by default: the
+        # listener bus measurably drags qps on 64M-row candidate merges
+        # (the r8 instrumented run served 54 qps flat vs 85 without).
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPILL_METRICS") else "false",
+        )
+        .config("spark.ui.retainedStages", "5000")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -142,8 +175,10 @@ def main() -> None:
     pidx._packed_df("flat")
     out["pack_sec"] = round(time.perf_counter() - t0, 2)
     print(json.dumps({"pack_sec": out["pack_sec"]}), flush=True)
+    per_shard_cb = bool(os.environ.get("PER_SHARD_CB"))  # pre-r8 codebooks
+    out["pq_per_shard_codebooks"] = per_shard_cb
     t0 = time.perf_counter()
-    pidx._packed_df("pq", pq_m=16, pq_ksub=256)
+    pidx._packed_df("pq", pq_m=16, pq_ksub=256, per_shard_codebooks=per_shard_cb)
     out["pq_pack_sec"] = round(time.perf_counter() - t0, 2)
     print(json.dumps({"pq_pack_sec": out["pq_pack_sec"]}), flush=True)
     # flat serving reads only the packed blobs and PQ re-rank reads
@@ -156,22 +191,51 @@ def main() -> None:
 
     def measure(key, fn, **kw):
         fn(allq.limit(8), k=10, **kw).count()  # warm the pack
+        m0 = _metrics_probe(spark)
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
             fn(allq, k=10, **kw).count()
             best = min(best, time.perf_counter() - t0)
+        m1 = _metrics_probe(spark)
         out[f"{key}_qps"] = round(nq / best, 1)
+        # per-rep attribution of the full-batch candidate merge (2 reps)
+        out[f"{key}_spill_disk_gb_per_rep"] = round(
+            (m1[0] - m0[0]) / 2 / 2**30, 2
+        )
+        out[f"{key}_spill_mem_gb_per_rep"] = round(
+            (m1[1] - m0[1]) / 2 / 2**30, 2
+        )
+        out[f"{key}_shuffle_write_gb_per_rep"] = round(
+            (m1[2] - m0[2]) / 2 / 2**30, 2
+        )
         out[f"{key}_recall_at_10"] = round(
             quality.avg_recall(fn(sample, k=10, **kw), truth, k=10), 4
         )
         print(json.dumps({key: {
             "qps": out[f"{key}_qps"],
             "recall": out[f"{key}_recall_at_10"],
+            "spill_disk_gb_per_rep": out[f"{key}_spill_disk_gb_per_rep"],
+            "spill_mem_gb_per_rep": out[f"{key}_spill_mem_gb_per_rep"],
+            "shuffle_write_gb_per_rep": out[f"{key}_shuffle_write_gb_per_rep"],
         }}), flush=True)
 
-    measure("partitioned", pidx.search, nprobe=nprobe)
-    measure("partitioned_pq", pidx.search_pq, nprobe=nprobe)
+    if not os.environ.get("SKIP_FLAT"):
+        measure("partitioned", pidx.search, nprobe=nprobe)
+    # PQ_RERANK sweeps shortlist depth (comma-separated); empty = the
+    # library default (max(10k, 100))
+    reranks = [
+        int(x)
+        for x in os.environ.get("PQ_RERANK", "").split(",")
+        if x.strip()
+    ] or [None]
+    for rr in reranks:
+        key = "partitioned_pq" if rr is None else f"partitioned_pq_rr{rr}"
+        kw = {} if rr is None else {"rerank": rr}
+        measure(
+            key, pidx.search_pq, nprobe=nprobe,
+            per_shard_codebooks=per_shard_cb, **kw,
+        )
     print(json.dumps(out))
 
 

@@ -7,6 +7,13 @@ manually to refresh the SCALE.md ladder row:
 
     python tools/scale_smoke_1m.py
 
+The CLUSTERED rung (r8 — measures the SCALE.md claim that clustered
+corpora reach uniform-rung recall at a fraction of the probes, and
+that center-sharding co-locates each cluster's points):
+
+    CLUSTERED=256 ONLY_PARTITIONED=1 NPROBE_SWEEP=64,32,16,8 \\
+        python tools/scale_smoke_1m.py
+
 Measures, at n=1M / dim=64 on local[32]:
   * sharded broadcast-tier build — default 480 shards x overlap 3 with
     R=64/L=128, the operating point the r6 sweep landed on (extending
@@ -37,20 +44,36 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 N, DIM, NQ_MOD = 1_000_000, 64, 40  # vec_id % 40 == 0 -> 25k queries
 
 
-def _gen(path: str) -> None:
+def _gen(path: str, blobs: int = 0) -> None:
+    """Uniform [-1,1]^64 by default; ``blobs`` > 0 writes a k-blob
+    Gaussian-mixture corpus instead (centers uniform in [-1,1]^64,
+    per-component sigma 0.15 — inter-center distance ~6.5 at dim=64,
+    so blobs are well separated; blob membership is i % blobs, so it
+    interleaves with vec_id and every shard-assignment pattern is
+    data-driven, not id-driven)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     os.makedirs(os.path.dirname(path), exist_ok=True)
     rng = np.random.default_rng(42)
+    centers = (
+        rng.uniform(-1, 1, (blobs, DIM)).astype(np.float32) if blobs else None
+    )
     schema = pa.schema(
         [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
     )
     chunk = 100_000
     with pq.ParquetWriter(path, schema) as w:
         for lo in range(0, N, chunk):
-            X = rng.uniform(-1, 1, (chunk, DIM)).astype(np.float32)
+            if blobs:
+                which = (np.arange(lo, lo + chunk) % blobs).astype(np.int64)
+                X = (
+                    centers[which]
+                    + rng.normal(0.0, 0.15, (chunk, DIM)).astype(np.float32)
+                ).astype(np.float32)
+            else:
+                X = rng.uniform(-1, 1, (chunk, DIM)).astype(np.float32)
             w.write_table(
                 pa.table(
                     {
@@ -68,9 +91,14 @@ def main() -> None:
     from vamana_spark import VamanaIndex, VamanaParams, exact, quality
     from vamana_spark.index.partitioned import PartitionedVamanaIndex
 
-    path = "/tmp/sf1m/embeddings.parquet"
+    blobs = int(os.environ.get("CLUSTERED", "0"))  # k-blob corpus rung
+    path = (
+        f"/tmp/sf1m_blob{blobs}/embeddings.parquet"
+        if blobs
+        else "/tmp/sf1m/embeddings.parquet"
+    )
     if not os.path.exists(path):
-        _gen(path)
+        _gen(path, blobs=blobs)
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (
@@ -189,28 +217,66 @@ def _partitioned_block(spark, emb, allq, sample, truth, out: dict) -> None:
     out["partitioned_build_plus_pack_sec"] = round(time.perf_counter() - t0, 2)
     out["default_nprobe"] = pidx.default_nprobe
 
-    def measure(key, fn, **kw):
-        fn(allq.limit(8), k=10, **kw).count()  # warm the pack
+    def measure(key, fn, nprobe, **kw):
+        fn(allq.limit(8), k=10, nprobe=nprobe, **kw).count()  # warm the pack
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            fn(allq, k=10, **kw).count()
+            fn(allq, k=10, nprobe=nprobe, **kw).count()
             best = min(best, time.perf_counter() - t0)
-        out[f"{key}_qps_nprobe64"] = round(nq / best, 1)
-        out[f"{key}_recall_at_10_nprobe64"] = round(
-            quality.avg_recall(fn(sample, k=10, **kw), truth, k=10), 4
+        out[f"{key}_qps_nprobe{nprobe}"] = round(nq / best, 1)
+        out[f"{key}_recall_at_10_nprobe{nprobe}"] = round(
+            quality.avg_recall(
+                fn(sample, k=10, nprobe=nprobe, **kw), truth, k=10
+            ),
+            4,
         )
         print(json.dumps({key: {
-            "qps": out[f"{key}_qps_nprobe64"],
-            "recall": out[f"{key}_recall_at_10_nprobe64"],
+            "nprobe": nprobe,
+            "qps": out[f"{key}_qps_nprobe{nprobe}"],
+            "recall": out[f"{key}_recall_at_10_nprobe{nprobe}"],
         }}), flush=True)
 
-    measure("partitioned", pidx.search, nprobe=64)
-    measure("partitioned_pq", pidx.search_pq, nprobe=64)  # library defaults
+    # NPROBE_SWEEP maps the probe-fraction frontier (the clustered rung
+    # runs "64,32,16,8" to test SCALE.md's claim that clustered corpora
+    # reach uniform-rung recall at a fraction of the probes)
+    nprobes = [
+        int(x) for x in os.environ.get("NPROBE_SWEEP", "64").split(",")
+    ]
+    for p in nprobes:
+        measure("partitioned", pidx.search, nprobe=p)
+    measure("partitioned_pq", pidx.search_pq, nprobe=nprobes[0])
     for spec in filter(None, os.environ.get("PQ_SWEEP", "").split(";")):
         m, rr = (int(x) for x in spec.split(","))
         measure(f"partitioned_pq_m{m}_rr{rr}", pidx.search_pq,
-                nprobe=64, pq_m=m, rerank=rr)
+                nprobe=nprobes[0], pq_m=m, rerank=rr)
+    if len(nprobes) > 1:
+        measure("partitioned_pq", pidx.search_pq, nprobe=nprobes[-1])
+
+    # center-sharding co-location: how many distinct PRIMARY shards
+    # (nearest build center) hold a query's true 10-NN? Uniform data
+    # scatters them (~8-10 of 256); a clustered corpus should collapse
+    # them onto ~1 shard — the structural reason recall holds at a
+    # fraction of the probes.
+    import numpy as np
+
+    nbr = (
+        truth.join(emb, "vec_id")
+        .select("query_id", "embedding")
+        .collect()
+    )  # |sample| * k rows (2.5k) — bounded diagnostic pull
+    C = pidx.centers.astype(np.float64)
+    per_q: dict = {}
+    for r in nbr:
+        x = np.asarray(r["embedding"], dtype=np.float64)
+        d = ((C - x) ** 2).sum(axis=1)
+        per_q.setdefault(r["query_id"], set()).add(int(d.argmin()))
+    out["nn_primary_shards_avg"] = round(
+        sum(len(s) for s in per_q.values()) / max(len(per_q), 1), 2
+    )
+    print(json.dumps(
+        {"nn_primary_shards_avg": out["nn_primary_shards_avg"]}
+    ), flush=True)
 
 
 if __name__ == "__main__":

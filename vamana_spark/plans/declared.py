@@ -3901,6 +3901,11 @@ def q_dsir_sample(spark, sf_dir):
 # queries + this conversion + the new r8 declarations fit within 50.
 _CHANGED_THIS_ROUND = [
     "q_media_features",
+    # r8 residual global PQ codebook: the PQ pack q_partitioned_pq
+    # serves from is new code (the fixture pins the graph, not the
+    # pack); q_partitioned_pq_exact is already front-of-window as
+    # never-run
+    "q_partitioned_pq",
 ]
 
 # Queries DECLARED this round whose first driver row may wait until
