@@ -244,6 +244,55 @@ def test_default_nprobe_rule(pidx):
         assert PartitionedVamanaIndex.default_nprobe.fget(fake) == want, S
 
 
+def test_oversized_cells_split_on_skewed_corpus(spark):
+    """r8 skew guard: on a blobby corpus where one k-means cell swallows
+    most of the data (measured at the 1M k-blob rung: straggler cells
+    crossed the graph crossover and their dense kernels dominated the
+    build), cells past max_shard_factor x the fair share hash-split
+    into sub-shards repeating the parent center. Asserts the split
+    actually fires, the realized max shard stays bounded, every point
+    is indexed, and exhaustive search stays above the recall gate."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    centers = rng.uniform(-1, 1, (4, 16)).astype(np.float32)
+    # 70% of points in blob 0 -> its cell must split; 10% in each other
+    which = np.concatenate(
+        [np.zeros(3500, np.int64)] + [np.full(500, b, np.int64) for b in (1, 2, 3)]
+    )
+    X = centers[which] + rng.normal(0, 0.05, (5000, 16)).astype(np.float32)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(5000, dtype=np.int64), "embedding": list(X.astype(np.float32))}
+    )
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    params = VamanaParams(dim=16, alpha=1.2, R=16, L=32, ef_search=48, seed=42)
+    idx = PartitionedVamanaIndex.build(
+        spark, df, params, num_shards=4, overlap=2
+    )
+    S = int(idx.params.num_shards)
+    assert S > 4, "the 70% cell must have split"
+    assert idx.centers.shape[0] == S
+    sizes = {r["shard"]: r["count"] for r in idx.shards_df.groupBy("shard").count().collect()}
+    assert idx.shards_df.select("vec_id").distinct().count() == 5000
+    # fair share with overlap 2; sample-estimated splitting + hash
+    # leveling must keep the realized max within ~the factor (slack for
+    # sample noise)
+    fair = 2 * 5000 / S
+    assert max(sizes.values()) <= 2.6 * fair, (S, sizes)
+    q = df.limit(20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    truth = exact.exact_knn(df, q, k=5)
+    r = quality.avg_recall(idx.search(q, k=5), truth, k=5)
+    assert r >= 0.9, f"post-split recall@5 = {r}"
+    # disabled guard: max_shard_factor=None restores one cell per center
+    idx0 = PartitionedVamanaIndex.build(
+        spark, df, params, num_shards=4, overlap=2, max_shard_factor=None
+    )
+    assert int(idx0.params.num_shards) == 4
+
+
 def test_pq_pack_codebook_strategies(pidx, embeddings, queries):
     """r8: PQ packs encode against ONE sample-trained global codebook
     by default (the per-shard k-means was 842 s of the 10M rung's pack

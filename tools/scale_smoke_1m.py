@@ -207,9 +207,15 @@ def _partitioned_block(spark, emb, allq, sample, truth, out: dict) -> None:
     pparams = VamanaParams(
         dim=DIM, alpha=1.2, R=32, L=64, ef_search=100, seed=42
     )
+    # PGRAPH=0 forces the IVF-flat (graph-free) build — on clustered
+    # corpora the split sub-shards sit just past the graph crossover
+    # and their dense kernels dominate the build for no recall benefit
+    # (routing already delivers ~0.999)
+    graph = False if os.environ.get("PGRAPH") == "0" else None
+    out["pgraph"] = "off" if graph is False else "auto"
     t0 = time.perf_counter()
     pidx = PartitionedVamanaIndex.build(
-        spark, emb, pparams, num_shards=256, overlap=2
+        spark, emb, pparams, num_shards=256, overlap=2, graph=graph
     )
     pidx.shards_df = pidx.shards_df.cache()
     pidx.shards_df.count()
@@ -243,15 +249,20 @@ def _partitioned_block(spark, emb, allq, sample, truth, out: dict) -> None:
     nprobes = [
         int(x) for x in os.environ.get("NPROBE_SWEEP", "64").split(",")
     ]
+    per_shard_cb = bool(os.environ.get("PER_SHARD_CB"))  # pre-r8 codebooks
+    out["pq_per_shard_codebooks"] = per_shard_cb
     for p in nprobes:
         measure("partitioned", pidx.search, nprobe=p)
-    measure("partitioned_pq", pidx.search_pq, nprobe=nprobes[0])
+    measure("partitioned_pq", pidx.search_pq, nprobe=nprobes[0],
+            per_shard_codebooks=per_shard_cb)
     for spec in filter(None, os.environ.get("PQ_SWEEP", "").split(";")):
         m, rr = (int(x) for x in spec.split(","))
         measure(f"partitioned_pq_m{m}_rr{rr}", pidx.search_pq,
-                nprobe=nprobes[0], pq_m=m, rerank=rr)
+                nprobe=nprobes[0], pq_m=m, rerank=rr,
+                per_shard_codebooks=per_shard_cb)
     if len(nprobes) > 1:
-        measure("partitioned_pq", pidx.search_pq, nprobe=nprobes[-1])
+        measure("partitioned_pq", pidx.search_pq, nprobe=nprobes[-1],
+                per_shard_codebooks=per_shard_cb)
 
     # center-sharding co-location: how many distinct PRIMARY shards
     # (nearest build center) hold a query's true 10-NN? Uniform data

@@ -261,6 +261,7 @@ class PartitionedVamanaIndex:
         vec_col: str = "embedding",
         overlap: int = 1,
         graph: Optional[bool] = None,
+        max_shard_factor: Optional[float] = 2.0,
     ) -> "PartitionedVamanaIndex":
         """``overlap``: assign each point to its ``overlap`` nearest
         centers (DiskANN's ell-closest-center recipe). overlap=1 is
@@ -283,7 +284,23 @@ class PartitionedVamanaIndex:
         ``True`` forces graphs everywhere. Graph-free shards pack a
         zero-width adjacency and always take the brute path, even under
         ``brute_threshold=0`` — results stay exact within probed
-        shards (equivalence-tested)."""
+        shards (equivalence-tested).
+
+        ``max_shard_factor``: oversized-cell splitting (r8, the skew
+        guard a clustered corpus needs). Voronoi cells of k-means
+        centers track CLUSTERS, not populations — on blobby data one
+        cell can swallow several blobs (measured at the 1M k-blob rung:
+        straggler cells crossed the graph crossover and their dense
+        kernels ran 10× longer than the rest of the build combined).
+        Cells whose estimated population exceeds
+        ``max_shard_factor × n/num_shards`` are hash-split into evenly
+        sized sub-shards (deterministic vec_id hash); each sub-shard
+        repeats its parent's center, so routing degrades gracefully —
+        probing a big cell just probes its sub-shards as near-ties.
+        Population estimates come from the center-training sample
+        already on the driver (zero extra jobs; ~32 samples/shard
+        resolves the ≥2× skew that matters). Uniform corpora split
+        nothing and the path is a no-op. ``None`` disables."""
         import dataclasses
 
         # never mutate the caller's params (ADVICE r4, same as
@@ -330,12 +347,34 @@ class PartitionedVamanaIndex:
         C = _kmeans(Xs, min(num_shards, Xs.shape[0]), params.seed, 10).astype(
             np.float32
         )
+
+        # oversized-cell splitting (see docstring): estimate cell
+        # populations from the training sample already in hand, split
+        # any cell past the factor into hash-addressed sub-shards, and
+        # repeat the parent center per sub-shard so routing is unchanged
+        n_cells = C.shape[0]
+        if max_shard_factor is not None and n_cells > 1:
+            dS = exact._dist_matrix(Xs, C.astype(np.float64), "l2sq")
+            counts = np.bincount(dS.argmin(axis=1), minlength=n_cells)
+            est = counts / max(counts.sum(), 1)  # population share
+            cap = float(max_shard_factor) / n_cells
+            nsplit = np.maximum(1, np.ceil(est / cap)).astype(np.int64)
+        else:
+            nsplit = np.ones(n_cells, dtype=np.int64)
+        base = np.concatenate(([0], np.cumsum(nsplit)[:-1])).astype(np.int64)
+        C = np.repeat(C, nsplit, axis=0)
+        num_shards = int(nsplit.sum())
         bc = spark.sparkContext.broadcast(C)
+        bsplit = spark.sparkContext.broadcast((base, nsplit))
 
         def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from vamana_spark.index.vamana import _metric_transform as _mt
 
             Cv = bc.value
+            base_v, nsplit_v = bsplit.value
+            # one center row per ORIGINAL cell for assignment: overlap
+            # must insure across distinct cells, not a cell's sub-shards
+            Corig = Cv[base_v]
             for pdf in batches:
                 if pdf.empty:
                     continue
@@ -344,16 +383,23 @@ class PartitionedVamanaIndex:
                     metric,
                     mips_m,
                 ).astype(np.float64)
-                d = exact._dist_matrix(X, Cv.astype(np.float64), "l2sq")
+                d = exact._dist_matrix(X, Corig.astype(np.float64), "l2sq")
                 if overlap == 1:
                     sh = d.argmin(axis=1)[:, None]
                 elif overlap >= d.shape[1]:
                     sh = np.broadcast_to(np.arange(d.shape[1]), d.shape)
                 else:
                     sh = np.argpartition(d, overlap - 1, axis=1)[:, :overlap]
+                sh = np.asarray(sh)
+                # cell -> sub-shard: deterministic vec_id hash, level
+                # within the cell's split count (1 for unsplit cells)
+                vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+                h = (vid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+                sub = h[:, None].astype(np.int64) % nsplit_v[sh]
+                final = base_v[sh] + sub
                 rep = np.repeat(np.arange(len(pdf)), sh.shape[1])
                 out = pdf[["vec_id", "embedding"]].iloc[rep].copy()
-                out["shard"] = np.asarray(sh).ravel().astype(np.int32)
+                out["shard"] = final.ravel().astype(np.int32)
                 yield out
 
         assigned = pts.mapInPandas(
