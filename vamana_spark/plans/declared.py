@@ -2490,6 +2490,56 @@ def q_partitioned_pq(spark, sf_dir):
     )
 
 
+@declare("q_skewed_build")
+def q_skewed_build(spark, sf_dir):
+    """The r8 skew guard driver-gated: collapse 75% of the embedding
+    table into one tight blob (scale by 0.02 — declarative transform),
+    build partitioned with num_shards=4 / overlap=2, and assert the
+    oversized-cell split actually fires and stays bounded. ``ok`` folds
+    in (a) split fired: final num_shards > 4, (b) the realized max
+    shard ≤ 2.6× the fair share (sample-noise slack over the 2.0
+    factor), (c) coverage: every point indexed exactly once per
+    overlap-distinct cell, (d) exhaustive search recall ≥ 0.9 vs exact
+    kNN on the same skewed table. Rows-only by nature (k-means build);
+    the equivalent invariants run at unit scale in
+    test_partitioned.py::test_oversized_cells_split_on_skewed_corpus."""
+    from vamana_spark import quality
+    from vamana_spark.index.partitioned import PartitionedVamanaIndex
+
+    e = _emb(spark, sf_dir)
+    skewed = e.select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 4 != 0,
+            F.transform("embedding", lambda x: x * F.lit(0.02)),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    params = VamanaParams(dim=64, alpha=1.2, R=32, L=64, ef_search=100, seed=42)
+    pidx = PartitionedVamanaIndex.build(
+        spark, skewed, params, num_shards=4, overlap=2
+    )
+    S = int(pidx.params.num_shards)
+    n = int(pidx.params.n)
+    sizes = pidx.shards_df.groupBy("shard").count()
+    mx = sizes.agg(F.max("count")).first()[0]
+    covered = pidx.shards_df.select("vec_id").distinct().count() == n
+    fair = 2.0 * n / S
+    q = _fixed_queries(skewed, 25)
+    res = quality.recall_with_ok(
+        pidx.search(q, k=10), exact.exact_knn(skewed, q, k=10), k=10,
+        threshold=0.9,
+    )
+    return res.withColumn(
+        "ok",
+        F.col("ok")
+        & F.lit(S > 4)
+        & F.lit(bool(covered))
+        & F.lit(float(mx) <= 2.6 * fair),
+    )
+
+
 @declare("q_partitioned_cosine")
 def q_partitioned_cosine(spark, sf_dir):
     """Metric parity on the 100x serving tier (the reference's own
