@@ -344,6 +344,31 @@ def cmd_search_text(args) -> int:
     return 0
 
 
+def cmd_search_text_batch(args) -> int:
+    """Batch BM25: a parquet of probes (probe_id, terms array<string>)
+    ranked against the corpus in ONE job — the production shape of a
+    contamination-probe sweep (thousands of probes without a
+    driver-side loop)."""
+    from vamana_spark.operators import text as T
+
+    spark = _spark("vamana-search-text-batch")
+    docs = spark.read.parquet(args.input)
+    probes = spark.read.parquet(args.probes)
+    out = T.bm25_rank_batch(
+        docs, probes, k1=args.k1, b=args.b, top_n=args.top_n,
+        text_col=args.text_col, id_col=args.id_col,
+        probe_id_col=args.probe_id_col, terms_col=args.terms_col,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    res = spark.read.parquet(args.output)
+    print(json.dumps({
+        "probes": probes.count(),
+        "result_rows": res.count(),
+        "probes_with_hits": res.select("probe_id").distinct().count(),
+    }))
+    return 0
+
+
 def cmd_ivfpq(args) -> int:
     from vamana_spark.operators import quantization as qz
 
@@ -633,6 +658,19 @@ def main(argv=None) -> int:
     st.add_argument("--text-col", dest="text_col", default="text")
     st.add_argument("--id-col", dest="id_col", default="doc_id")
     st.set_defaults(fn=cmd_search_text)
+
+    stb = sub.add_parser("search-text-batch")
+    stb.add_argument("--input", required=True)
+    stb.add_argument("--probes", required=True)
+    stb.add_argument("--output", required=True)
+    stb.add_argument("--top-n", dest="top_n", type=int, default=20)
+    stb.add_argument("--k1", type=float, default=1.2)
+    stb.add_argument("--b", type=float, default=0.75)
+    stb.add_argument("--text-col", dest="text_col", default="text")
+    stb.add_argument("--id-col", dest="id_col", default="doc_id")
+    stb.add_argument("--probe-id-col", dest="probe_id_col", default="probe_id")
+    stb.add_argument("--terms-col", dest="terms_col", default="terms")
+    stb.set_defaults(fn=cmd_search_text_batch)
 
     iq = sub.add_parser("ivfpq")
     iq.add_argument("--input", required=True)
