@@ -293,6 +293,50 @@ def test_oversized_cells_split_on_skewed_corpus(spark):
     assert int(idx0.params.num_shards) == 4
 
 
+def test_add_delete_on_split_index(spark):
+    """Incremental maintenance must stay correct on an index whose
+    centers carry duplicate rows from the r8 skew split: added points
+    route against the expanded center matrix (ties may land copies in
+    sub-shards of one cell — dedupe owns that) and stay findable;
+    deletes rebuild only touched sub-shards."""
+    import numpy as np
+    import pandas as pd
+
+    from vamana_spark.index.partitioned import add_points, delete_points
+
+    rng = np.random.default_rng(11)
+    centers = rng.uniform(-1, 1, (3, 16)).astype(np.float32)
+    which = np.concatenate(
+        [np.zeros(2400, np.int64), np.full(300, 1, np.int64), np.full(300, 2, np.int64)]
+    )
+    X = centers[which] + rng.normal(0, 0.05, (3000, 16)).astype(np.float32)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(3000, dtype=np.int64), "embedding": list(X.astype(np.float32))}
+    )
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    params = VamanaParams(dim=16, alpha=1.2, R=16, L=32, ef_search=48, seed=42)
+    idx = PartitionedVamanaIndex.build(
+        spark, df.where(F.col("vec_id") < 2900), params, num_shards=3, overlap=2
+    )
+    assert int(idx.params.num_shards) > 3  # split fired on the 80% blob
+    idx2 = add_points(idx, df.where(F.col("vec_id") >= 2900))
+    assert int(idx2.params.n) == 3000
+    q = df.where(F.col("vec_id") >= 2990).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top1 = {
+        r.query_id: r.vec_id
+        for r in idx2.search(q, k=1).where(F.col("rank") == 1).collect()
+    }
+    assert all(top1[qid] == qid for qid in top1), top1  # self-findable
+    idx3 = delete_points(idx2, df.where(F.col("vec_id") % 100 == 0))
+    assert idx3.shards_df.where(F.col("vec_id") % 100 == 0).count() == 0
+    hits = idx3.search(q, k=3)
+    assert hits.join(
+        df.where(F.col("vec_id") % 100 == 0).select(F.col("vec_id")), "vec_id"
+    ).count() == 0  # deleted points never surface
+
+
 def test_pq_pack_codebook_strategies(pidx, embeddings, queries):
     """r8: PQ packs encode against ONE sample-trained global codebook
     by default (the per-shard k-means was 842 s of the 10M rung's pack
