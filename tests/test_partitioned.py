@@ -337,6 +337,44 @@ def test_add_delete_on_split_index(spark):
     ).count() == 0  # deleted points never surface
 
 
+def test_routing_concentration_separates_clustered_from_uniform(spark, pidx, embeddings, queries):
+    """r8 diagnostic: true-NN primary-shard concentration reads ~1 on a
+    blobby corpus (routing does the work) and spreads out on uniform
+    data — the number that picks the serving nprobe from the data
+    (measured 1.12 clustered vs 8.64 uniform at the 1M rung)."""
+    import numpy as np
+    import pandas as pd
+
+    from vamana_spark.index.diagnostics import routing_concentration
+
+    # clustered: 4 tight blobs, 4 shards -> every query's true 5-NN in 1 shard
+    rng = np.random.default_rng(3)
+    centers = rng.uniform(-1, 1, (4, 16)).astype(np.float32)
+    X = (
+        centers[np.arange(2000) % 4]
+        + rng.normal(0, 0.03, (2000, 16)).astype(np.float32)
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(2000, dtype=np.int64), "embedding": list(X)}),
+        "vec_id long, embedding array<float>",
+    )
+    params = VamanaParams(dim=16, alpha=1.2, R=16, L=32, ef_search=48, seed=42)
+    cidx = PartitionedVamanaIndex.build(spark, df, params, num_shards=4, overlap=2)
+    q = df.limit(25).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    conc = routing_concentration(cidx, exact.exact_knn(df, q, k=5))
+    avg_c = conc.agg(F.avg("n_primary_shards")).first()[0]
+    assert conc.count() == 25
+    assert avg_c <= 1.5, avg_c
+    # uniform testdata embeddings on the module pidx: neighbors scatter
+    conc_u = routing_concentration(
+        pidx, exact.exact_knn(embeddings, queries, k=10)
+    )
+    avg_u = conc_u.agg(F.avg("n_primary_shards")).first()[0]
+    assert avg_u > 1.8, avg_u  # 4 shards: uniform 10-NN span most of them
+
+
 def test_pq_pack_codebook_strategies(pidx, embeddings, queries):
     """r8: PQ packs encode against ONE sample-trained global codebook
     by default (the per-shard k-means was 842 s of the 10M rung's pack

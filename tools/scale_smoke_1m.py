@@ -266,24 +266,19 @@ def _partitioned_block(spark, emb, allq, sample, truth, out: dict) -> None:
 
     # center-sharding co-location: how many distinct PRIMARY shards
     # (nearest build center) hold a query's true 10-NN? Uniform data
-    # scatters them (~8-10 of 256); a clustered corpus should collapse
-    # them onto ~1 shard — the structural reason recall holds at a
-    # fraction of the probes.
-    import numpy as np
+    # scatters them (measured 8.64 at 256 shards); a clustered corpus
+    # collapses them onto ~1 (measured 1.12) — the structural reason
+    # recall holds at a fraction of the probes. Library operator, fully
+    # distributed (diagnostics.routing_concentration).
+    from vamana_spark.index.diagnostics import routing_concentration
 
-    nbr = (
-        truth.join(emb, "vec_id")
-        .select("query_id", "embedding")
-        .collect()
-    )  # |sample| * k rows (2.5k) — bounded diagnostic pull
-    C = pidx.centers.astype(np.float64)
-    per_q: dict = {}
-    for r in nbr:
-        x = np.asarray(r["embedding"], dtype=np.float64)
-        d = ((C - x) ** 2).sum(axis=1)
-        per_q.setdefault(r["query_id"], set()).add(int(d.argmin()))
     out["nn_primary_shards_avg"] = round(
-        sum(len(s) for s in per_q.values()) / max(len(per_q), 1), 2
+        float(
+            routing_concentration(pidx, truth)
+            .agg(F.avg("n_primary_shards"))
+            .first()[0]
+        ),
+        2,
     )
     print(json.dumps(
         {"nn_primary_shards_avg": out["nn_primary_shards_avg"]}

@@ -69,3 +69,71 @@ def degree_histogram(graph_df: DataFrame) -> DataFrame:
         .groupBy("out_degree")
         .agg(F.count("*").cast("long").alias("n_nodes"))
     )
+
+
+def routing_concentration(index, truth: DataFrame) -> DataFrame:
+    """Partitioned-tier routing diagnostic (r8): how many distinct
+    PRIMARY shards (nearest center) hold each query's true k-NN set?
+
+    This number is the structural reason nprobe<S serving works or
+    doesn't — measured at 1M/256 shards it reads **8.64** on uniform
+    data (neighbors scatter; you need nprobe≈S/4 for 0.97) and
+    **1.12** on a 256-blob clustered corpus (routing does ~all the
+    work; nprobe=8 of ~300 serves recall 1.0). Run it on a ground-truth
+    sample after building to pick the serving nprobe from the data
+    instead of the uniform-floor default.
+
+    ``truth``: (query_id, vec_id) rows — exact k-NN pairs (e.g.
+    ``exact.exact_knn_batch`` output). Returns one row per query,
+    ``(query_id, n_primary_shards)``; ``avg(n_primary_shards)`` is the
+    headline. Distributed: neighbor vectors come from the index's own
+    shard table via an equi-join (overlap copies collapse through the
+    min-distance primary assignment, computed per batch against the
+    broadcast center matrix); nothing is collected."""
+    import numpy as np
+    import pandas as pd
+
+    from vamana_spark import exact
+    from vamana_spark.index.vamana import _metric_transform
+
+    spark = index.spark
+    metric, mips_m = index.params.metric, index.params.mips_m
+    bc = spark.sparkContext.broadcast(index.centers.astype(np.float64))
+
+    def primary(batches):
+        C = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = _metric_transform(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float32),
+                metric,
+                mips_m,
+            ).astype(np.float64)
+            d = exact._dist_matrix(X, C, "l2sq")
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "primary_shard": d.argmin(axis=1).astype(np.int32),
+                }
+            )
+
+    # no dedup shuffle: overlap copies share the embedding, so they get
+    # the same primary assignment and collapse inside countDistinct;
+    # the corpus stays at rest (broadcast semi-join on the tiny truth
+    # sample BEFORE the per-batch argmin)
+    nbrs = truth.select("query_id", "vec_id")
+    assign = (
+        index.shards_df.select("vec_id", "embedding")
+        .join(F.broadcast(nbrs.select("vec_id").distinct()), "vec_id")
+        .mapInPandas(primary, schema="vec_id long, primary_shard int")
+    )
+    return (
+        nbrs.join(assign, "vec_id")
+        .groupBy("query_id")
+        .agg(
+            F.countDistinct("primary_shard")
+            .cast("int")
+            .alias("n_primary_shards")
+        )
+    )
