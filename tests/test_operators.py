@@ -817,6 +817,41 @@ def test_bm25_batch_equals_per_probe_single(spark):
         assert sorted(got.get(pid, [])) == want, (pid, got.get(pid), want)
 
 
+def test_bm25_batch_high_df_probe_stays_correct(spark):
+    """r9 skew shape (VERDICT r8 #6): a probe whose term matches EVERY
+    document (the stop-word-ish worst case that used to serialize its
+    entire (probe, doc) set into one task via repartition(probe_id))
+    must still return the exact per-probe top-n — the map-side partial
+    cut is lossless under the (bm25 desc, doc_id asc) tie-break, even
+    when the aggregate's partitions each hold many candidate rows for
+    the same probe."""
+    from vamana_spark.operators import text as T
+
+    # 400 docs, every one contains "the"; a handful also contain "rare"
+    docs = spark.createDataFrame(
+        [
+            (i, "the common filler " + ("rare " if i % 97 == 0 else "") + f"w{i}")
+            for i in range(400)
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(0, ["the"]), (1, ["rare"]), (2, ["the", "rare"])],
+        "probe_id long, terms array<string>",
+    )
+    got: dict = {}
+    for r in T.bm25_rank_batch(docs, probes, top_n=5).collect():
+        got.setdefault(r.probe_id, []).append((r.rank, r.doc_id, r.bm25))
+    for pid, terms in {0: ["the"], 1: ["rare"], 2: ["the", "rare"]}.items():
+        want = [
+            (i + 1, r.doc_id, r.bm25)
+            for i, r in enumerate(T.bm25_rank(docs, terms, top_n=5).collect())
+        ]
+        assert sorted(got[pid]) == want, (pid, got[pid], want)
+    # every probe returns exactly top_n rows (400 candidates cut to 5)
+    assert all(len(v) == 5 for v in got.values()), got
+
+
 def test_gopher_filter_rules_fire_individually(spark):
     from vamana_spark.operators.text import gopher_quality_filter
 

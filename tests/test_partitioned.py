@@ -241,7 +241,11 @@ def test_default_nprobe_rule(pidx):
     for S, want in ((1, 1), (2, 2), (4, 3), (8, 3), (16, 4), (32, 8), (256, 64)):
         fake = object.__new__(PartitionedVamanaIndex)
         fake.params = type("P", (), {"num_shards": S})()
+        fake.recommended_nprobe = None
         assert PartitionedVamanaIndex.default_nprobe.fget(fake) == want, S
+        # a calibrated value overrides the S/4 fallback, capped at S
+        fake.recommended_nprobe = 5
+        assert PartitionedVamanaIndex.default_nprobe.fget(fake) == min(S, 5), S
 
 
 def test_oversized_cells_split_on_skewed_corpus(spark):
@@ -487,8 +491,8 @@ def test_save_with_packs_serves_without_repacking(tmp_path, spark, pidx, queries
     pidx.save(path, packs=("flat", ("pq", 8, 32)))
     loaded = PartitionedVamanaIndex.load(spark, path)
     # the saved packs are discovered and used instead of re-packing
-    assert ("flat", 8, 256) in loaded._packed_paths
-    assert ("pq", 8, 32) in loaded._packed_paths
+    assert ("flat", 8, 256, False) in loaded._packed_paths
+    assert ("pq", 8, 32, False) in loaded._packed_paths
     a = sorted(
         (r.query_id, r.rank, r.vec_id) for r in pidx.search(queries, k=5).collect()
     )
@@ -722,3 +726,243 @@ def test_brute_kernels_match_reference():
         # kernel accumulates the ADC sums in float32 (dists are
         # approximate by contract); reference here is float64
         assert np.allclose(rd[rq == qi], Dadc[qi][want], atol=1e-3)
+
+
+# ----------------------------------------------------------- r9 calibration
+
+
+def _blob_corpus(spark, n_blobs, n_pts, sigma, dim=64, seed=7, which=None):
+    """Gaussian-blob fixture in the shape LLM-pipeline corpora have
+    (clusters, not uniform spread) — the corpus class where data-blind
+    PQ defaults measurably collapse (SCALE.md clustered rungs).
+    ``which`` optionally pins each point's blob (skewed mixes)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    C = rng.uniform(-1, 1, (n_blobs, dim)).astype(np.float32)
+    if which is None:
+        which = np.arange(n_pts) % n_blobs
+    X = (
+        C[np.asarray(which, dtype=np.int64)]
+        + rng.normal(0, sigma, (n_pts, dim)).astype(np.float32)
+    ).astype(np.float32)
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(n_pts, dtype=np.int64), "embedding": list(X)}
+        ),
+        "vec_id long, embedding array<float>",
+    )
+
+
+def _skewed_blob_corpus(spark, dim=16, seed=11, sigma=0.05):
+    """80% of the mass in one blob — the shape that fires the r8
+    oversized-cell split (same mix as test_add_delete_on_split_index)."""
+    import numpy as np
+
+    which = np.concatenate(
+        [
+            np.zeros(2400, np.int64),
+            np.full(300, 1, np.int64),
+            np.full(300, 2, np.int64),
+        ]
+    )
+    return _blob_corpus(
+        spark, n_blobs=3, n_pts=3000, sigma=sigma, dim=dim, seed=seed,
+        which=which,
+    )
+
+
+def test_pq_profile_auto_switch_on_blob_fixture(spark, pidx):
+    """r9 (VERDICT r8 what's-wrong #1): the PQ serving default must be
+    DATA-aware. On a dense blobby corpus the m=16 global-residual
+    codebook's ADC shortlist agreement measurably collapses below the
+    safety bar (the 1M clustered rung served 0.60 recall@10 with it),
+    so pq_profile must auto-raise m; on uniform data m=16 agrees ~1.0
+    and must be kept (code size matters — the uniform rung numbers must
+    not silently double)."""
+    params = VamanaParams(dim=64, alpha=1.2, R=24, L=48, ef_search=64, seed=42)
+    df = _blob_corpus(spark, n_blobs=8, n_pts=24000, sigma=0.05)
+    cidx = PartitionedVamanaIndex.build(
+        spark, df, params, num_shards=4, graph=False
+    )
+    prof = cidx.pq_profile(pq_ksub=256)
+    assert prof["candidates"]["16"] < 0.9, prof  # the collapse is real here
+    assert prof["pq_m"] == 32, prof            # ... and the switch fires
+    assert prof["per_shard_codebooks"] is False, prof
+    assert prof["adc_agreement"] >= 0.9, prof
+    # profile drives serving: the auto default packs m=32 blobs
+    import io
+
+    import numpy as np
+
+    blob = np.load(
+        io.BytesIO(cidx._packed_df("pq", prof["pq_m"], 256).first()["blob"])
+    )
+    assert blob["codes"].shape[1] == 32
+    cidx.unpersist_packed()
+    cidx.shards_df.unpersist()
+    # uniform corpus keeps the compact default
+    uprof = pidx.pq_profile(pq_ksub=256)
+    assert uprof["pq_m"] == 16, uprof
+    assert uprof["per_shard_codebooks"] is False, uprof
+    assert uprof["adc_agreement"] >= 0.9, uprof
+
+
+def test_calibrate_nprobe_clustered_vs_uniform(spark, pidx, embeddings, queries):
+    """r9 (VERDICT r8 next-round #2): the serving nprobe is measured
+    from the data — reachability of exact ground truth under the
+    index's own probe order — instead of assumed at S/4. A clustered
+    corpus calibrates to low single digits (routing does the work); the
+    uniform fixture stays at-or-above the old S/4-with-floor default.
+    Both must clear 0.9 recall when served at the calibrated value."""
+    params = VamanaParams(dim=64, alpha=1.2, R=24, L=48, ef_search=64, seed=42)
+    df = _blob_corpus(spark, n_blobs=8, n_pts=4000, sigma=0.02)
+    cidx = PartitionedVamanaIndex.build(
+        spark, df, params, num_shards=8, overlap=2
+    )
+    S = int(cidx.params.num_shards)
+    rec = cidx.calibrate_nprobe()
+    assert 1 <= rec <= max(4, S // 2), (rec, S)  # not the S-ish floor
+    assert cidx.default_nprobe == rec
+    q = df.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    truth = exact.exact_knn(df, q, k=10)
+    r = quality.avg_recall(cidx.search(q, k=10, nprobe=rec), truth, k=10)
+    assert r >= 0.9, (rec, r)
+    cidx.unpersist_packed()
+    cidx.shards_df.unpersist()
+    # uniform: calibration keeps a substantial probe fraction AND recall
+    urec = pidx.calibrate_nprobe()
+    uS = int(pidx.params.num_shards)
+    assert urec >= max(1, uS // 4), (urec, uS)
+    ur = quality.avg_recall(
+        pidx.search(queries, k=10, nprobe=urec),
+        exact.exact_knn(embeddings, queries, k=10),
+        k=10,
+    )
+    assert ur >= 0.9, (urec, ur)
+    pidx.recommended_nprobe = None  # module fixture: don't leak state
+
+
+def test_calibration_persists_through_save_load(tmp_path, spark, pidx, queries):
+    """pq_profile and recommended_nprobe ride _meta.json so a serving
+    restart skips both calibration passes; pack directories encode the
+    codebook strategy so a per-shard request never silently serves a
+    global pack (ADVICE r8)."""
+    import io
+
+    import numpy as np
+
+    prof = pidx.pq_profile(pq_ksub=256)
+    pidx.recommended_nprobe = 3
+    path = str(tmp_path / "pidx_cal")
+    pidx.save(path, packs=(("pq", 8, 16), ("pq", 8, 16, True)))
+    loaded = PartitionedVamanaIndex.load(spark, path)
+    assert loaded._pq_profile == prof
+    assert loaded.recommended_nprobe == 3
+    assert loaded.default_nprobe == 3
+    assert ("pq", 8, 16, False) in loaded._packed_paths
+    assert ("pq", 8, 16, True) in loaded._packed_paths
+    # the two strategies resolve to DIFFERENT packs after load
+    g = [
+        np.load(io.BytesIO(r.blob))
+        for r in loaded._packed_df("pq", 8, 16).collect()
+    ]
+    for z in g[1:]:
+        assert np.array_equal(z["cents"], g[0]["cents"])
+    ps = [
+        np.load(io.BytesIO(r.blob))
+        for r in loaded._packed_df("pq", 8, 16, per_shard_codebooks=True).collect()
+    ]
+    assert any(not np.array_equal(z["cents"], ps[0]["cents"]) for z in ps[1:])
+    loaded.unpersist_packed()
+    pidx.recommended_nprobe = None  # module fixture: don't leak state
+
+
+def test_add_points_spreads_across_subshards(spark):
+    """r9 (ADVICE r8): appended points must route on the UNIQUE cell
+    centers and hash into sub-shards — routing on the duplicated center
+    matrix tie-broke every append into a split cell's lowest-index
+    sub-shard, silently regrowing the exact skew the split guard
+    removed."""
+    import numpy as np
+
+    from vamana_spark.index.partitioned import _cell_layout, add_points
+
+    skew = _skewed_blob_corpus(spark)
+    params = VamanaParams(dim=16, alpha=1.2, R=16, L=32, ef_search=48, seed=42)
+    idx = PartitionedVamanaIndex.build(spark, skew, params, num_shards=3)
+    base, nsplit, _ = _cell_layout(idx.centers)
+    assert nsplit.max() > 1  # the split fired
+    # append 300 fresh points into the dominant blob (blob 0 of the
+    # same generator: n_blobs=1 reuses its first center)
+    app = _blob_corpus(
+        spark, n_blobs=1, n_pts=300, sigma=0.05, dim=16, seed=11
+    ).select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    idx2 = add_points(idx, app)
+    placed = (
+        idx2.shards_df.where(F.col("vec_id") >= 1_000_000)
+        .groupBy("shard")
+        .count()
+        .collect()
+    )
+    counts = {r["shard"]: r["count"] for r in placed}
+    # the appended mass lands across MULTIPLE sub-shards of the split
+    # cell (the bug concentrated it all in one), roughly evenly
+    split_cell = int(np.argmax(nsplit))
+    subs = set(range(int(base[split_cell]), int(base[split_cell] + nsplit[split_cell])))
+    hit_subs = subs & set(counts)
+    assert len(hit_subs) == len(subs), (counts, subs)
+    in_split = sum(counts[s] for s in hit_subs)
+    assert max(counts[s] for s in hit_subs) <= 0.7 * in_split, counts
+    idx2.shards_df.unpersist()
+    idx.shards_df.unpersist()
+
+
+def test_routing_concentration_in_subshard_units(spark):
+    """r9 (ADVICE r8): on a skew-split index the diagnostic must count
+    in the units nprobe spends — a split cell's near-tie sub-shards all
+    get probed, so a query whose true k-NN live in one split cell costs
+    nsplit probes, not 1."""
+    import numpy as np
+
+    from vamana_spark.index.diagnostics import routing_concentration
+    from vamana_spark.index.partitioned import _cell_layout
+
+    skew = _skewed_blob_corpus(spark)
+    params = VamanaParams(dim=16, alpha=1.2, R=16, L=32, ef_search=48, seed=42)
+    idx = PartitionedVamanaIndex.build(spark, skew, params, num_shards=3)
+    base, nsplit, _ = _cell_layout(idx.centers)
+    split_cell = int(np.argmax(nsplit))
+    assert nsplit[split_cell] > 1
+    # queries from the dominant blob: their true neighbors live in the
+    # split cell, so the sub-shard span must be ~nsplit, never 1
+    q = skew.where(F.col("vec_id") % 40 == 0).where(F.col("vec_id") < 2400).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    conc = routing_concentration(idx, exact.exact_knn(skew, q, k=10))
+    avg = conc.agg(F.avg("n_primary_shards")).first()[0]
+    assert avg >= 0.8 * float(nsplit[split_cell]), (avg, nsplit)
+    idx.shards_df.unpersist()
+
+
+def test_cell_layout_roundtrip():
+    """_cell_layout recovers (base, nsplit, cell_of_shard) from the
+    duplicated-center matrix exactly as build() laid it out."""
+    import numpy as np
+
+    from vamana_spark.index.partitioned import _cell_layout
+
+    rng = np.random.default_rng(5)
+    C0 = rng.standard_normal((5, 8)).astype(np.float32)
+    nsplit = np.array([1, 3, 1, 2, 1], dtype=np.int64)
+    C = np.repeat(C0, nsplit, axis=0)
+    base, ns, cell = _cell_layout(C)
+    assert list(ns) == list(nsplit)
+    assert list(base) == list(np.concatenate(([0], np.cumsum(nsplit)[:-1])))
+    assert list(cell) == [0, 1, 1, 1, 2, 3, 3, 4]
+    # pre-split index: identity layout
+    b2, n2, c2 = _cell_layout(C0)
+    assert list(n2) == [1] * 5 and list(c2) == list(range(5))

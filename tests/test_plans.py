@@ -108,10 +108,17 @@ def test_bm25_batch_shuffles_independent_of_probe_count(spark, sf_dir):
     n2 = len(re.findall(r"\(\d+\) Exchange\b", p2))
     n20 = len(re.findall(r"\(\d+\) Exchange\b", p20))
     assert n2 == n20, (n2, n20)
-    assert n20 <= 6, p20  # tf + probe fan-in + tiny vocab/df/distinct aggs
+    assert n20 <= 7, p20  # tf + score agg + window + tiny vocab/df aggs
     assert "WindowGroupLimit" in p20, p20  # rank<=n pushed into the window
     assert "BroadcastHashJoin" in p20, p20
     assert "CartesianProduct" not in p20, p20
+    # r9 skew guard: the per-(probe, doc) aggregate hashes on BOTH keys
+    # (no single-key clustering a stop-word-ish probe could serialize
+    # into one task), and a map-side partial top-n cut (MapInPandas)
+    # sits between the aggregate and the per-probe window so the window
+    # only ever ranks the per-batch survivors
+    assert re.search(r"hashpartitioning\(probe_id[^)]*doc_id", p20), p20
+    assert "MapInPandas" in p20, p20
 
 
 def test_groupby_has_partial_aggregation(spark, sf_dir):

@@ -72,16 +72,27 @@ def degree_histogram(graph_df: DataFrame) -> DataFrame:
 
 
 def routing_concentration(index, truth: DataFrame) -> DataFrame:
-    """Partitioned-tier routing diagnostic (r8): how many distinct
-    PRIMARY shards (nearest center) hold each query's true k-NN set?
+    """Partitioned-tier routing diagnostic (r8): how many PRIMARY
+    sub-shards (nearest-cell membership, counted in the same sub-shard
+    units ``_route``'s nprobe spends) hold each query's true k-NN set?
 
     This number is the structural reason nprobe<S serving works or
     doesn't — measured at 1M/256 shards it reads **8.64** on uniform
     data (neighbors scatter; you need nprobe≈S/4 for 0.97) and
     **1.12** on a 256-blob clustered corpus (routing does ~all the
     work; nprobe=8 of ~300 serves recall 1.0). Run it on a ground-truth
-    sample after building to pick the serving nprobe from the data
-    instead of the uniform-floor default.
+    sample after building — or call
+    ``PartitionedVamanaIndex.calibrate_nprobe`` directly, which turns
+    the same structure into a persisted serving default.
+
+    Split-cell semantics (r9, ADVICE r8): on a skew-split index the
+    duplicated center rows are near-ties, so probing a split cell means
+    probing ALL its sub-shards — a raw argmin over the duplicated rows
+    would count cells while nprobe spends sub-shards, understating the
+    probes needed. Points are therefore assigned to their primary CELL
+    (argmin over the unique cell centers) and each distinct cell a
+    query's k-NN set touches contributes its full split count, so
+    ``n_primary_shards`` stays in nprobe's units.
 
     ``truth``: (query_id, vec_id) rows — exact k-NN pairs (e.g.
     ``exact.exact_knn_batch`` output). Returns one row per query,
@@ -94,14 +105,18 @@ def routing_concentration(index, truth: DataFrame) -> DataFrame:
     import pandas as pd
 
     from vamana_spark import exact
+    from vamana_spark.index.partitioned import _cell_layout
     from vamana_spark.index.vamana import _metric_transform
 
     spark = index.spark
     metric, mips_m = index.params.metric, index.params.mips_m
-    bc = spark.sparkContext.broadcast(index.centers.astype(np.float64))
+    base, nsplit, _ = _cell_layout(index.centers)
+    bc = spark.sparkContext.broadcast(
+        (index.centers.astype(np.float64)[base], nsplit)
+    )
 
     def primary(batches):
-        C = bc.value
+        C, nsplit_v = bc.value
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -111,29 +126,34 @@ def routing_concentration(index, truth: DataFrame) -> DataFrame:
                 mips_m,
             ).astype(np.float64)
             d = exact._dist_matrix(X, C, "l2sq")
+            cell = d.argmin(axis=1)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
-                    "primary_shard": d.argmin(axis=1).astype(np.int32),
+                    "primary_cell": cell.astype(np.int32),
+                    "cell_subshards": nsplit_v[cell].astype(np.int32),
                 }
             )
 
     # no dedup shuffle: overlap copies share the embedding, so they get
-    # the same primary assignment and collapse inside countDistinct;
-    # the corpus stays at rest (broadcast semi-join on the tiny truth
-    # sample BEFORE the per-batch argmin)
+    # the same primary assignment and collapse inside the distinct-cell
+    # aggregation; the corpus stays at rest (broadcast semi-join on the
+    # tiny truth sample BEFORE the per-batch argmin)
     nbrs = truth.select("query_id", "vec_id")
     assign = (
         index.shards_df.select("vec_id", "embedding")
         .join(F.broadcast(nbrs.select("vec_id").distinct()), "vec_id")
-        .mapInPandas(primary, schema="vec_id long, primary_shard int")
+        .mapInPandas(
+            primary,
+            schema="vec_id long, primary_cell int, cell_subshards int",
+        )
     )
     return (
         nbrs.join(assign, "vec_id")
+        .select("query_id", "primary_cell", "cell_subshards")
+        .dropDuplicates(["query_id", "primary_cell"])
         .groupBy("query_id")
         .agg(
-            F.countDistinct("primary_shard")
-            .cast("int")
-            .alias("n_primary_shards")
+            F.sum("cell_subshards").cast("int").alias("n_primary_shards")
         )
     )
