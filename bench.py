@@ -285,7 +285,15 @@ def _query_mix(timings: dict, extra: dict) -> None:
         from vamana_spark.index.bsp import build_bsp
 
         bsp_params = VamanaParams(dim=64, alpha=1.2, R=32, L=64, ef_search=100, seed=42)
-        timed("build_index_bsp", lambda: build_bsp(spark, emb, bsp_params))
+        # reps=3 (r9, VERDICT r8 #8): the r8 4.9->6.2 s drift happened
+        # with bsp.py untouched — multi-second BSP builds still sit in
+        # the box's load-spike noise band, so take the same min-of-3
+        # the sub-second entries get
+        timed(
+            "build_index_bsp",
+            lambda: build_bsp(spark, emb, bsp_params),
+            reps=3,
+        )
 
         # --- batch ANN search (R10) + recall (R15)
         if idx is not None:

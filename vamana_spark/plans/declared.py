@@ -2377,13 +2377,19 @@ def q_media_frames(spark, sf_dir):
              ({_hex4_sql("md5(payload || '-f' || i)", 1)}) / 65535.0 * 2 - 1 AS u
       FROM m, (SELECT unnest(range(0, 16)) AS i)
     ),
+    nrm AS (
+      -- list_reduce is a left fold by definition: the squared terms
+      -- accumulate strictly in i order, matching the Python kernel's
+      -- sequential loop to the ulp (a window-frame SUM would leave the
+      -- aggregation order engine-defined — tree/segment aggregation is
+      -- permitted — and lean on round-6 to absorb the difference)
+      SELECT media_id,
+             list_reduce(list(u * u ORDER BY i), (acc, x) -> acc + x) AS s
+      FROM comp GROUP BY media_id
+    ),
     normed AS (
-      SELECT media_id, i,
-             u / greatest(sqrt(sum(u * u) OVER (
-                   PARTITION BY media_id ORDER BY i
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
-                 )), 1e-12) AS f
-      FROM comp
+      SELECT comp.media_id, i, u / greatest(sqrt(nrm.s), 1e-12) AS f
+      FROM comp JOIN nrm ON comp.media_id = nrm.media_id
     )
     SELECT media_id, CAST(i AS INTEGER) AS i,
            round(CAST(CAST(f AS REAL) AS DOUBLE), 6) AS feat
@@ -2398,9 +2404,11 @@ def q_media_features(spark, sf_dir):
     component — the array column itself is unhashable in the driver's
     canonicalizer (r1 aborted on it), and per-row scalars beat a
     string-formatted fingerprint (engine float→string rules differ).
-    The double pipeline is pinned on both sides (sequential norm sum /
-    ordered window frame, float32 storage cast replicated via
-    CAST(REAL)), so round-6 agrees to the ulp.
+    The double pipeline is pinned on both sides (the Python kernel's
+    sequential norm sum replayed as an explicitly ordered list_reduce
+    left fold — not a window SUM, whose aggregation order is
+    engine-defined; float32 storage cast replicated via CAST(REAL)),
+    so round-6 agrees to the ulp.
     """
     from vamana_spark.operators import multimodal
 
@@ -3944,17 +3952,17 @@ def q_dsir_sample(spark, sf_dir):
 
 # Queries whose implementation or oracle changed THIS round — their
 # most recent driver rows predate the change, so they are promoted to
-# the front alongside never-run queries. r8: q_media_features converted
-# rows-only -> hash-matched (md5-derived features + per-component
-# oracle — its r07 row is a no_oracle row for the old contract). The
-# r8 window has slack: 40 bound-threatened r05 rows + 3 never-run r7
-# queries + this conversion + the new r8 declarations fit within 50.
+# the front alongside never-run queries. r9 changes: bm25_rank_batch
+# grew the two-stage per-probe cut (same results, new plan),
+# q_partitioned_pq now serves from the hash-threshold codebook sample
+# + the pq_profile auto-calibrated defaults, and q_media_features'
+# oracle norm sum became an explicitly ordered list_reduce fold. The
+# r9 window: 45 bound-threatened r06 rows (tier 1, includes q_pq_knn —
+# the one declared oracle never driver-verified) + these 3 promotions
+# fit within 50 with slack.
 _CHANGED_THIS_ROUND = [
     "q_media_features",
-    # r8 residual global PQ codebook: the PQ pack q_partitioned_pq
-    # serves from is new code (the fixture pins the graph, not the
-    # pack); q_partitioned_pq_exact is already front-of-window as
-    # never-run
+    "q_bm25_batch",
     "q_partitioned_pq",
 ]
 
