@@ -966,3 +966,39 @@ def test_cell_layout_roundtrip():
     # pre-split index: identity layout
     b2, n2, c2 = _cell_layout(C0)
     assert list(n2) == [1] * 5 and list(c2) == list(range(5))
+
+
+def test_maintenance_honors_graph_crossover(spark, embeddings):
+    """r9: add_points/delete_points follow build()'s per-shard graph
+    auto rule — a graph-free IVF-flat index must stay graph-free
+    through maintenance (below the 4·ef·R crossover a graph is dead
+    weight, and the dense rebuild kernel would cost more than the
+    original build skipped), while graph=True still forces one."""
+    from vamana_spark.index.partitioned import add_points, delete_points
+
+    params = VamanaParams(dim=64, alpha=1.2, R=24, L=48, ef_search=64, seed=42)
+    idx = PartitionedVamanaIndex.build(
+        spark,
+        embeddings.where(F.col("vec_id") < 400),
+        params,
+        num_shards=4,
+    )
+    assert idx.shards_df.where(F.size("neighbors") > 0).count() == 0
+    grown = add_points(idx, embeddings.where(F.col("vec_id") >= 400))
+    assert grown.shards_df.where(F.size("neighbors") > 0).count() == 0
+    shrunk = delete_points(grown, embeddings.where(F.col("vec_id") % 3 == 0))
+    assert shrunk.shards_df.where(F.size("neighbors") > 0).count() == 0
+    # results still exact-equivalent: the brute kernel serves these sizes
+    q = embeddings.where(F.col("vec_id") % 50 == 1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    kept = embeddings.where(F.col("vec_id") % 3 != 0)
+    truth = exact.exact_knn(kept, q, k=5)
+    got = shrunk.search(q, k=5)
+    r = quality.avg_recall(got, truth, k=5)
+    assert r == 1.0, r
+    # forcing graphs through maintenance still works
+    forced = add_points(idx, embeddings.where(F.col("vec_id") >= 400), graph=True)
+    assert forced.shards_df.where(F.size("neighbors") > 0).count() > 0
+    for ix in (idx, grown, shrunk, forced):
+        ix.shards_df.unpersist()

@@ -33,6 +33,20 @@ Measures, at n=10M / dim=64 on local[32]:
 Uniform-random data (the no-cluster adversarial case, matching the
 rest of the ladder). NUM_SHARDS / OVERLAP / NPROBE env vars re-run
 other frontier points. Prints one JSON object.
+
+The CLUSTERED rung (r9 — VERDICT r8 #7: the configuration that
+exercises the skew guard, the pack-time PQ auto-calibration, and the
+calibrated-nprobe serving default TOGETHER, at the scale where the
+partitioned tier is the only option):
+
+    CLUSTERED=256 python tools/scale_smoke_10m.py
+
+k-blob Gaussian mixture (same generator recipe as the 1M clustered
+rung: centers uniform in [-1,1]^64, sigma 0.15, membership i % k so it
+interleaves with vec_id). With CLUSTERED set the smoke runs
+calibrate_nprobe() and pq_profile() after the build and serves at the
+CALIBRATED defaults — nprobe and pq_m are measured from the data, not
+passed in.
 """
 
 from __future__ import annotations
@@ -52,20 +66,32 @@ NQ_MOD = int(os.environ.get("NQ_MOD", "1000"))
 GT_MOD = 40_000   # query_id % 40000 == 0 -> 250 ground-truth queries
 
 
-def _gen(path: str) -> None:
+def _gen(path: str, blobs: int = 0) -> None:
+    """Uniform [-1,1]^64 by default; ``blobs`` > 0 writes a k-blob
+    Gaussian mixture instead (same recipe as the 1M clustered rung)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     os.makedirs(os.path.dirname(path), exist_ok=True)
     rng = np.random.default_rng(42)
+    centers = (
+        rng.uniform(-1, 1, (blobs, DIM)).astype(np.float32) if blobs else None
+    )
     schema = pa.schema(
         [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
     )
     chunk = 100_000
     with pq.ParquetWriter(path, schema) as w:
         for lo in range(0, N, chunk):
-            X = rng.uniform(-1, 1, (chunk, DIM)).astype(np.float32)
+            if blobs:
+                which = (np.arange(lo, lo + chunk) % blobs).astype(np.int64)
+                X = (
+                    centers[which]
+                    + rng.normal(0.0, 0.15, (chunk, DIM)).astype(np.float32)
+                ).astype(np.float32)
+            else:
+                X = rng.uniform(-1, 1, (chunk, DIM)).astype(np.float32)
             w.write_table(
                 pa.table(
                     {
@@ -108,10 +134,15 @@ def main() -> None:
     from vamana_spark import VamanaParams, exact, quality
     from vamana_spark.index.partitioned import PartitionedVamanaIndex
 
-    path = "/tmp/sf10m/embeddings.parquet"
+    blobs = int(os.environ.get("CLUSTERED", "0"))  # k-blob corpus rung
+    path = (
+        f"/tmp/sf10m_blob{blobs}/embeddings.parquet"
+        if blobs
+        else "/tmp/sf10m/embeddings.parquet"
+    )
     if not os.path.exists(path):
         t0 = time.perf_counter()
-        _gen(path)
+        _gen(path, blobs=blobs)
         print(json.dumps({"gen_sec": round(time.perf_counter() - t0, 1)}),
               flush=True)
 
@@ -141,7 +172,7 @@ def main() -> None:
 
     emb = spark.read.parquet(path).cache()
     emb.count()
-    out: dict = {"n": N, "dim": DIM}
+    out: dict = {"n": N, "dim": DIM, "blobs": blobs}
 
     allq = emb.where(F.col("vec_id") % NQ_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -175,12 +206,40 @@ def main() -> None:
     pidx._packed_df("flat")
     out["pack_sec"] = round(time.perf_counter() - t0, 2)
     print(json.dumps({"pack_sec": out["pack_sec"]}), flush=True)
-    per_shard_cb = bool(os.environ.get("PER_SHARD_CB"))  # pre-r8 codebooks
-    out["pq_per_shard_codebooks"] = per_shard_cb
+    per_shard_cb = (
+        True if os.environ.get("PER_SHARD_CB") else None  # None = profile
+    )
+    calibrate = blobs or os.environ.get("CALIBRATE")
+    if calibrate:
+        # r9: the full calibrated-defaults stack — measure the serving
+        # nprobe from ground-truth reachability and the PQ m from ADC
+        # shortlist agreement, both persisted index properties
+        t0 = time.perf_counter()
+        out["calibrated_nprobe"] = pidx.calibrate_nprobe()
+        out["calibrate_nprobe_sec"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        out["pq_profile"] = pidx.pq_profile()
+        out["pq_profile_sec"] = round(time.perf_counter() - t0, 2)
+        print(json.dumps({
+            "calibrated_nprobe": out["calibrated_nprobe"],
+            "calibrate_nprobe_sec": out["calibrate_nprobe_sec"],
+            "pq_profile": out["pq_profile"],
+            "pq_profile_sec": out["pq_profile_sec"],
+        }), flush=True)
+    prof = pidx.pq_profile()
+    out["pq_per_shard_codebooks"] = (
+        per_shard_cb if per_shard_cb is not None
+        else prof["per_shard_codebooks"]
+    )
     t0 = time.perf_counter()
-    pidx._packed_df("pq", pq_m=16, pq_ksub=256, per_shard_codebooks=per_shard_cb)
+    pidx._packed_df(
+        "pq", pq_m=int(prof["pq_m"]), pq_ksub=256,
+        per_shard_codebooks=bool(out["pq_per_shard_codebooks"]),
+    )
+    out["pq_m"] = int(prof["pq_m"])
     out["pq_pack_sec"] = round(time.perf_counter() - t0, 2)
-    print(json.dumps({"pq_pack_sec": out["pq_pack_sec"]}), flush=True)
+    print(json.dumps({"pq_pack_sec": out["pq_pack_sec"],
+                      "pq_m": out["pq_m"]}), flush=True)
     # flat serving reads only the packed blobs and PQ re-rank reads
     # shards_df: the raw emb cache (~5 GB at 10M) is dead weight past
     # this point — drop it before the query fan-out

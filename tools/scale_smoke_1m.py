@@ -14,6 +14,12 @@ that center-sharding co-locates each cluster's points):
     CLUSTERED=256 ONLY_PARTITIONED=1 NPROBE_SWEEP=64,32,16,8 \\
         python tools/scale_smoke_1m.py
 
+The MAINTENANCE rung (r9 — FreshDiskANN-style cycle: build 1M, add 5%,
+delete 5%, consolidate the pack; wall-times + touched-shard counts +
+serving-recall drift vs a fresh build on the same final membership):
+
+    MAINTENANCE=1 python tools/scale_smoke_1m.py
+
 Measures, at n=1M / dim=64 on local[32]:
   * sharded broadcast-tier build — default 480 shards x overlap 3 with
     R=64/L=128, the operating point the r6 sweep landed on (extending
@@ -115,6 +121,13 @@ def main() -> None:
     emb = spark.read.parquet(path).cache()
     emb.count()
     out: dict = {"n": N, "dim": DIM}
+
+    if os.environ.get("MAINTENANCE"):
+        # FreshDiskANN-style maintenance cycle rung (VERDICT r8 #4):
+        #     MAINTENANCE=1 python tools/scale_smoke_1m.py
+        _maintenance_rung(spark, emb, out)
+        print(json.dumps(out))
+        return
 
     if os.environ.get("ONLY_PARTITIONED"):
         # partitioned-tier-only rerun (e.g. PQ operating-point sweeps):
@@ -283,6 +296,139 @@ def _partitioned_block(spark, emb, allq, sample, truth, out: dict) -> None:
     print(json.dumps(
         {"nn_primary_shards_avg": out["nn_primary_shards_avg"]}
     ), flush=True)
+
+
+def _maintenance_rung(spark, emb, out: dict) -> None:
+    """FreshDiskANN-style maintenance cycle at 1M (VERDICT r8 #4):
+    build → add 5% fresh points → delete 5% of the originals →
+    consolidate (re-pack the serving artifact) — wall-time every step,
+    count the shards each delta touched, then compare serving recall at
+    the same nprobe against a FRESH build on the identical final
+    membership. The claim under test: maintenance costs scale with the
+    touched shards, and the maintained index serves within 0.01 recall
+    of a fresh build (the graph-free shards are exact within probed
+    shards, so the only drift channel is routing geometry — the fresh
+    build re-trains centers on the final membership, the maintained one
+    keeps the originals).
+
+    Uniform corpus, 256 shards × overlap 2 (the 1M partitioned
+    operating point): a uniform random 5% delta touches ~every shard —
+    recorded honestly; locality pays off exactly when deltas are
+    clustered, which the touched-shard accounting makes visible."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from vamana_spark import VamanaParams, exact, quality
+    from vamana_spark.index.partitioned import (
+        PartitionedVamanaIndex,
+        add_points,
+        delete_points,
+    )
+
+    S, OV = 256, 2
+    out["num_shards"], out["shard_overlap"] = S, OV
+    pparams = VamanaParams(dim=DIM, alpha=1.2, R=32, L=64, ef_search=100, seed=42)
+
+    t0 = time.perf_counter()
+    idx = PartitionedVamanaIndex.build(spark, emb, pparams, num_shards=S, overlap=OV)
+    idx.shards_df = idx.shards_df.cache()
+    idx.shards_df.count()
+    out["build_sec"] = round(time.perf_counter() - t0, 2)
+    print(json.dumps({"build_sec": out["build_sec"]}), flush=True)
+
+    # --- add 5%: fresh points, same distribution, new ids
+    n_add = N // 20
+    rng = np.random.default_rng(777)
+    Xa = rng.uniform(-1, 1, (n_add, DIM)).astype(np.float32)
+    add_df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(N, N + n_add, dtype=np.int64),
+                "embedding": list(Xa),
+            }
+        ),
+        "vec_id long, embedding array<float>",
+    ).cache()
+    add_df.count()
+    t0 = time.perf_counter()
+    idx2 = add_points(idx, add_df)
+    idx2.shards_df = idx2.shards_df.cache()
+    idx2.shards_df.count()
+    out["add_sec"] = round(time.perf_counter() - t0, 2)
+    out["add_touched_shards"] = (
+        idx2.shards_df.where(F.col("vec_id") >= N)
+        .select("shard").distinct().count()
+    )
+    print(json.dumps({
+        "add_sec": out["add_sec"],
+        "add_touched_shards": out["add_touched_shards"],
+    }), flush=True)
+
+    # --- delete 5% of the ORIGINAL points
+    doomed = emb.where(F.col("vec_id") % 20 == 7).select("vec_id")
+    t0 = time.perf_counter()
+    idx3 = delete_points(idx2, doomed)
+    idx3.shards_df = idx3.shards_df.cache()
+    idx3.shards_df.count()
+    out["delete_sec"] = round(time.perf_counter() - t0, 2)
+    print(json.dumps({"delete_sec": out["delete_sec"]}), flush=True)
+    idx.shards_df.unpersist()
+    idx2.shards_df.unpersist()
+
+    # --- consolidate: rebuild the serving artifact (the packed form a
+    # restart reads; maintenance invalidated the old pack)
+    t0 = time.perf_counter()
+    idx3._packed_df("flat")
+    out["consolidate_pack_sec"] = round(time.perf_counter() - t0, 2)
+    print(json.dumps(
+        {"consolidate_pack_sec": out["consolidate_pack_sec"]}
+    ), flush=True)
+
+    # --- fresh build on the identical final membership
+    final = emb.where(F.col("vec_id") % 20 != 7).unionByName(add_df).cache()
+    n_final = final.count()
+    out["n_final"] = n_final
+    t0 = time.perf_counter()
+    fresh = PartitionedVamanaIndex.build(
+        spark, final, pparams, num_shards=S, overlap=OV
+    )
+    fresh.shards_df = fresh.shards_df.cache()
+    fresh.shards_df.count()
+    fresh._packed_df("flat")
+    out["fresh_build_plus_pack_sec"] = round(time.perf_counter() - t0, 2)
+    print(json.dumps(
+        {"fresh_build_plus_pack_sec": out["fresh_build_plus_pack_sec"]}
+    ), flush=True)
+
+    # --- serving comparison at the same nprobe
+    allq = final.where(F.col("vec_id") % NQ_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).cache()
+    nq = allq.count()
+    sample = allq.where(F.col("query_id") % 4000 == 0)
+    truth = exact.exact_knn_batch(final, sample, k=10).cache()
+    truth.count()
+    nprobe = int(os.environ.get("NPROBE", "64"))
+    out["nprobe"] = nprobe
+    for name, ix in (("maintained", idx3), ("fresh", fresh)):
+        ix.search(allq.limit(8), k=10, nprobe=nprobe).count()  # warm
+        t0 = time.perf_counter()
+        ix.search(allq, k=10, nprobe=nprobe).count()
+        out[f"{name}_qps"] = round(nq / (time.perf_counter() - t0), 1)
+        out[f"{name}_recall_at_10"] = round(
+            quality.avg_recall(
+                ix.search(sample, k=10, nprobe=nprobe), truth, k=10
+            ),
+            4,
+        )
+        print(json.dumps({name: {
+            "qps": out[f"{name}_qps"],
+            "recall": out[f"{name}_recall_at_10"],
+        }}), flush=True)
+    out["recall_drift"] = round(
+        out["fresh_recall_at_10"] - out["maintained_recall_at_10"], 4
+    )
 
 
 if __name__ == "__main__":

@@ -71,6 +71,64 @@ def _cell_layout(centers: np.ndarray):
     return base, nsplit, cell_of_shard
 
 
+_SHARDS_SCHEMA = (
+    "shard int, vec_id long, local_ord int, "
+    "embedding array<float>, neighbors array<int>"
+)
+
+
+def _make_rebuild_kernel(params: VamanaParams, graph: Optional[bool]):
+    """Per-shard (re)build kernel shared by ``add_points`` and
+    ``delete_points`` — the same per-shard graph auto rule as
+    ``build``: with ``graph=None`` a shard gets a Vamana graph only
+    when its row count exceeds the 4·ef·R flat crossover (below it the
+    searchers take the exact brute kernel and a graph is dead weight —
+    an append to a graph-free IVF-flat index must not silently pay the
+    O(n²) dense kernel the original build skipped)."""
+    R, L, alpha, seed = params.R, params.L, params.alpha, params.seed
+    ef_search = params.ef_search
+    metric, mips_m = params.metric, params.mips_m
+
+    def build_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from vamana_spark.index import kernels as _k
+        from vamana_spark.index.vamana import (
+            DENSE_BUILD_MAX,
+            _metric_transform as _mt,
+        )
+
+        # grouped on the collision-free salt key; the true shard id
+        # rides on the rows (same spread fix as build())
+        shard = int(pdf["shard"].iloc[0])
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        P = _mt(
+            np.stack(pdf["embedding"].to_numpy()).astype(np.float32),
+            metric,
+            mips_m,
+        )
+        want_graph = (
+            graph if graph is not None else len(pdf) > 4 * ef_search * R
+        )
+        if not want_graph:
+            adj = [[]] * len(pdf)  # IVF-flat: no per-shard graph
+        elif P.shape[0] <= DENSE_BUILD_MAX:
+            g, _ = _k.build_vamana_dense(P, R, alpha, seed + shard)
+            adj = [[int(x) for x in row] for row in g]
+        else:
+            g, _ = _k.build_vamana(P, R, L, alpha, seed + shard)
+            adj = [[int(x) for x in row] for row in g]
+        return pd.DataFrame(
+            {
+                "shard": shard,
+                "vec_id": pdf["vec_id"].astype("int64"),
+                "local_ord": np.arange(len(pdf), dtype=np.int32),
+                "embedding": pdf["embedding"],
+                "neighbors": adj,
+            }
+        )
+
+    return build_shard
+
+
 def _make_shard_packer(
     mode: str,
     pq_m: int,
@@ -1537,6 +1595,7 @@ def add_points(
     new_df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    graph: Optional[bool] = None,
 ) -> PartitionedVamanaIndex:
     """Incremental maintenance: append new vectors by rebuilding ONLY the
     shards they route to.
@@ -1544,10 +1603,19 @@ def add_points(
     The reference's AddPoint after BuildIndex leaves new nodes unwired
     (SURVEY.md §1.4 — capacity check is the only guard); here the
     center-routed layout localizes the damage: untouched shards keep
-    their subgraphs byte-for-byte, touched shards re-run the (dense)
-    build kernel over old+new points. At 100 TB this is the difference
+    their subgraphs byte-for-byte, touched shards re-run the build
+    kernel over old+new points. At 100 TB this is the difference
     between re-indexing a petabyte and re-indexing the few shards a
     daily delta lands in.
+
+    ``graph`` follows ``build``'s per-shard auto rule (r9): ``None``
+    rebuilds a touched shard's graph only when its new row count
+    exceeds the 4·ef·R flat crossover — below it the searchers take the
+    exact brute kernel and a graph is dead weight, so a 5% append to a
+    graph-free IVF-flat index must not silently pay the O(n²) dense
+    kernel the original build deliberately skipped (measured at the 1M
+    maintenance rung: the dense rebuild costs more than the whole
+    graph-free build). ``True``/``False`` force, as in ``build``.
     """
     import pandas as pd
 
@@ -1628,42 +1696,12 @@ def add_points(
     )
     rebuild_input = old_touched.unionByName(assigned.select("shard", "vec_id", "embedding"))
 
-    R, L, alpha, seed = params.R, params.L, params.alpha, params.seed
-    out_schema = (
-        "shard int, vec_id long, local_ord int, "
-        "embedding array<float>, neighbors array<int>"
-    )
-
-    def build_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        from vamana_spark.index.vamana import _metric_transform as _mt
-
-        # grouped on the collision-free salt key; the true shard id
-        # rides on the rows (same spread fix as build())
-        shard = int(pdf["shard"].iloc[0])
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        P = _mt(
-            np.stack(pdf["embedding"].to_numpy()).astype(np.float32),
-            metric,
-            mips_m,
-        )
-        if P.shape[0] <= DENSE_BUILD_MAX:
-            graph, _ = _k.build_vamana_dense(P, R, alpha, seed + shard)
-        else:
-            graph, _ = _k.build_vamana(P, R, L, alpha, seed + shard)
-        return pd.DataFrame(
-            {
-                "shard": shard,
-                "vec_id": pdf["vec_id"].astype("int64"),
-                "local_ord": np.arange(len(pdf), dtype=np.int32),
-                "embedding": pdf["embedding"],
-                "neighbors": [[int(x) for x in g] for g in graph],
-            }
-        )
-
     rebuilt = (
         _salted_by_shard(spark, rebuild_input, params.num_shards)
         .groupBy("_gkey")
-        .applyInPandas(build_shard, schema=out_schema)
+        .applyInPandas(
+            _make_rebuild_kernel(params, graph), schema=_SHARDS_SCHEMA
+        )
     )
     untouched = index.shards_df.where(~F.col("shard").isin(touched))
     new_shards = untouched.unionByName(rebuilt)
@@ -1679,6 +1717,7 @@ def delete_points(
     index: PartitionedVamanaIndex,
     ids: DataFrame,
     id_col: str = "vec_id",
+    graph: Optional[bool] = None,
 ) -> PartitionedVamanaIndex:
     """Incremental maintenance, delete side: drop vectors by rebuilding
     ONLY the shards that held them (the partitioned-tier counterpart of
@@ -1686,19 +1725,14 @@ def delete_points(
 
     Each point routes to exactly one shard, so the damage is local by
     construction: untouched shards keep their subgraphs byte-for-byte;
-    a touched shard re-runs the (dense) build kernel over its survivors.
+    a touched shard re-runs the build kernel over its survivors.
     A shard deleted down to zero points simply disappears from the
     layout. Centers are unchanged — routing geometry does not depend on
-    membership.
+    membership. ``graph`` follows ``build``'s per-shard auto rule (see
+    ``add_points``).
     """
-    import pandas as pd
-
-    from vamana_spark.index import kernels as _k
-    from vamana_spark.index.vamana import DENSE_BUILD_MAX
-
     spark = index.spark
     params = index.params
-    metric, mips_m = params.metric, params.mips_m
     doomed = ids.select(F.col(id_col).cast("long").alias("vec_id")).distinct()
     present = index.shards_df.join(F.broadcast(doomed), "vec_id").select(
         "shard", "vec_id"
@@ -1715,42 +1749,12 @@ def delete_points(
         .select("shard", "vec_id", "embedding")
     )
 
-    R, L, alpha, seed = params.R, params.L, params.alpha, params.seed
-    out_schema = (
-        "shard int, vec_id long, local_ord int, "
-        "embedding array<float>, neighbors array<int>"
-    )
-
-    def build_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        from vamana_spark.index.vamana import _metric_transform as _mt
-
-        # grouped on the collision-free salt key; the true shard id
-        # rides on the rows (same spread fix as build())
-        shard = int(pdf["shard"].iloc[0])
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        P = _mt(
-            np.stack(pdf["embedding"].to_numpy()).astype(np.float32),
-            metric,
-            mips_m,
-        )
-        if P.shape[0] <= DENSE_BUILD_MAX:
-            graph, _ = _k.build_vamana_dense(P, R, alpha, seed + shard)
-        else:
-            graph, _ = _k.build_vamana(P, R, L, alpha, seed + shard)
-        return pd.DataFrame(
-            {
-                "shard": shard,
-                "vec_id": pdf["vec_id"].astype("int64"),
-                "local_ord": np.arange(len(pdf), dtype=np.int32),
-                "embedding": pdf["embedding"],
-                "neighbors": [[int(x) for x in g] for g in graph],
-            }
-        )
-
     rebuilt = (
         _salted_by_shard(spark, survivors, params.num_shards)
         .groupBy("_gkey")
-        .applyInPandas(build_shard, schema=out_schema)
+        .applyInPandas(
+            _make_rebuild_kernel(params, graph), schema=_SHARDS_SCHEMA
+        )
     )
     untouched = index.shards_df.where(~F.col("shard").isin(touched))
     new_shards = untouched.unionByName(rebuilt)
