@@ -234,6 +234,21 @@ def _partitioned_block(spark, emb, allq, sample, truth, out: dict) -> None:
     pidx.shards_df.count()
     pidx._packed_df("flat")
     out["partitioned_build_plus_pack_sec"] = round(time.perf_counter() - t0, 2)
+    if os.environ.get("CALIBRATE"):
+        # r9: measure the serving defaults from the data and serve at
+        # them — calibrated nprobe + profile-chosen pq_m
+        t0 = time.perf_counter()
+        out["calibrated_nprobe"] = pidx.calibrate_nprobe()
+        out["calibrate_nprobe_sec"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        out["pq_profile"] = pidx.pq_profile()
+        out["pq_profile_sec"] = round(time.perf_counter() - t0, 2)
+        print(json.dumps({
+            "calibrated_nprobe": out["calibrated_nprobe"],
+            "calibrate_nprobe_sec": out["calibrate_nprobe_sec"],
+            "pq_profile": out["pq_profile"],
+            "pq_profile_sec": out["pq_profile_sec"],
+        }), flush=True)
     out["default_nprobe"] = pidx.default_nprobe
 
     def measure(key, fn, nprobe, **kw):
@@ -258,12 +273,19 @@ def _partitioned_block(spark, emb, allq, sample, truth, out: dict) -> None:
 
     # NPROBE_SWEEP maps the probe-fraction frontier (the clustered rung
     # runs "64,32,16,8" to test SCALE.md's claim that clustered corpora
-    # reach uniform-rung recall at a fraction of the probes)
+    # reach uniform-rung recall at a fraction of the probes). Default:
+    # the index's own default_nprobe — the calibrated value when
+    # CALIBRATE ran, else the S/4 floor (=64 at S=256).
     nprobes = [
-        int(x) for x in os.environ.get("NPROBE_SWEEP", "64").split(",")
+        int(x)
+        for x in os.environ.get(
+            "NPROBE_SWEEP", str(pidx.default_nprobe)
+        ).split(",")
     ]
-    per_shard_cb = bool(os.environ.get("PER_SHARD_CB"))  # pre-r8 codebooks
-    out["pq_per_shard_codebooks"] = per_shard_cb
+    # None lets the pq_profile decide the codebook strategy (r9);
+    # PER_SHARD_CB=1 forces the pre-r8 per-shard fits
+    per_shard_cb = True if os.environ.get("PER_SHARD_CB") else None
+    out["pq_per_shard_codebooks"] = bool(per_shard_cb)
     for p in nprobes:
         measure("partitioned", pidx.search, nprobe=p)
     measure("partitioned_pq", pidx.search_pq, nprobe=nprobes[0],

@@ -657,7 +657,7 @@ class PartitionedVamanaIndex:
     def pq_profile(
         self,
         pq_ksub: int = 256,
-        target: float = 0.9,
+        target: float = 0.95,
         rerank: int = 100,
         k: int = 10,
         n_probe_queries: int = 128,
@@ -683,6 +683,16 @@ class PartitionedVamanaIndex:
         recommended as the adaptive fallback. Cost: a few driver-side
         k-means fits + one (n_probe_queries × sample) ADC pass — no
         cluster jobs beyond the memoized sample scan.
+
+        ``target`` is 0.95, deliberately ABOVE the serving bar: the
+        bounded sample is sparser than the full corpus, so its
+        neighbor margins are wider and agreement overestimates serving
+        recall at large n (measured at the clustered 1M rung: m=16
+        sample agreement 0.9008 but end-to-end serving 0.70 — while
+        uniform corpora hold ≥0.95 agreement AND ≥0.95 serving with
+        m=16, and the m=32 switch restores clustered serving to 0.99).
+        0.95 is the measured separator across the 1M clustered /
+        1M uniform / 24k-blob / 4k-blob fixtures.
 
         Returns (and memoizes; ``save``/``load`` persist) the profile:
         ``{"pq_m", "pq_ksub", "per_shard_codebooks", "adc_agreement",
