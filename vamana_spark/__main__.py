@@ -481,11 +481,15 @@ def cmd_pbuild(args) -> int:
         id_col=args.id_col, vec_col=args.vec_col, overlap=args.overlap,
         graph=graph,
     )
+    cal: dict = {}
+    if args.calibrate:
+        cal["recommended_nprobe"] = idx.calibrate_nprobe()
+        cal["pq_profile"] = idx.pq_profile()
     idx.save(args.output, packs=packs)
     print(json.dumps({"n": idx.params.n, "shards": idx.params.num_shards,
                       "overlap": idx.params.shard_overlap, "packs": args.pack,
                       "graph": "auto" if graph is None else graph,
-                      "health": idx.health_check()}))
+                      "health": idx.health_check(), **cal}))
     return 0
 
 
@@ -495,17 +499,21 @@ def cmd_psearch(args) -> int:
     spark = _spark("vamana-psearch")
     idx = PartitionedVamanaIndex.load(spark, args.index)
     q = spark.read.parquet(args.queries)
+    # --auto-nprobe serves at the index's persisted operating point
+    # (calibrated when `pbuild --calibrate` ran, else the S/4 floor);
+    # the bare default stays EXHAUSTIVE per the search contract
+    nprobe = idx.default_nprobe if args.auto_nprobe else args.nprobe
     if args.pq:
         out = idx.search_pq(
-            q, k=args.k, nprobe=args.nprobe,
+            q, k=args.k, nprobe=nprobe,
             pq_m=args.pq_m, pq_ksub=args.pq_ksub,
         )
     else:
-        out = idx.search(q, k=args.k, nprobe=args.nprobe)
+        out = idx.search(q, k=args.k, nprobe=nprobe)
     out.write.mode("overwrite").parquet(args.output)
     print(json.dumps({"queries": q.count(), "result_rows": out.count(),
                       "k": args.k, "pq": bool(args.pq),
-                      "nprobe": args.nprobe}))
+                      "nprobe": nprobe}))
     return 0
 
 
@@ -740,6 +748,13 @@ def main(argv=None) -> int:
         "--with-graph", dest="with_graph", action="store_true",
         help="force per-shard graphs everywhere (override the auto rule)",
     )
+    pb.add_argument(
+        "--calibrate", action="store_true",
+        help="measure and persist the serving defaults (r9): "
+             "calibrate_nprobe() from ground-truth probe reachability "
+             "and pq_profile() from ADC shortlist agreement — "
+             "psearch --auto-nprobe / --pq then serve at them",
+    )
     pb.set_defaults(fn=cmd_pbuild)
 
     ps = sub.add_parser("psearch")
@@ -748,8 +763,18 @@ def main(argv=None) -> int:
     ps.add_argument("--output", required=True)
     ps.add_argument("--k", type=int, default=10)
     ps.add_argument("--nprobe", type=int, default=None)
+    ps.add_argument(
+        "--auto-nprobe", dest="auto_nprobe", action="store_true",
+        help="serve at the index's persisted operating point "
+             "(calibrated when built with --calibrate, else the S/4 "
+             "floor); default without it is exhaustive",
+    )
     ps.add_argument("--pq", action="store_true")
-    ps.add_argument("--pq-m", dest="pq_m", type=int, default=8)
+    ps.add_argument(
+        "--pq-m", dest="pq_m", type=int, default=None,
+        help="PQ subspace count; default: the index's pq_profile "
+             "(data-measured m, per-shard fallback when unsafe)",
+    )
     ps.add_argument("--pq-ksub", dest="pq_ksub", type=int, default=256)
     ps.set_defaults(fn=cmd_psearch)
 
