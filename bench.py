@@ -334,7 +334,10 @@ def _query_mix(timings: dict, extra: dict) -> None:
                     spark, emb, pparams, num_shards=8
                 )
 
-            pidx = timed("partitioned_build", build_pidx, reps=1)
+            # reps=2: the first partitioned build in a mix pays one-time
+            # applyInPandas/codegen warm-up (measured 5.0 s first-in-
+            # session vs 1.0-1.3 s steady; r9 saw 2.2 s on one rep)
+            pidx = timed("partitioned_build", build_pidx, reps=2)
             if pidx is not None:
                 pidx.shards_df = pidx.shards_df.cache()
                 pidx.search(allq.limit(5), k=10).count()  # warm pack+workers
