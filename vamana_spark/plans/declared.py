@@ -2548,6 +2548,72 @@ def q_skewed_build(spark, sf_dir):
     )
 
 
+@declare("q_calibrated_serving")
+def q_calibrated_serving(spark, sf_dir):
+    """r9 serving calibration driver-gated: collapse the embedding
+    table into 4 declarative blobs (center = one of the first 4
+    vectors, point = center + 0.05·x), build partitioned with
+    num_shards=4 / overlap=2, then measure BOTH calibrations —
+    ``calibrate_nprobe`` (ground-truth probe reachability) and
+    ``pq_profile`` (pack-time ADC shortlist agreement) — and serve at
+    the calibrated defaults. ``ok`` folds in: (a) the calibrated
+    nprobe is a real operating point (1 ≤ rec ≤ S, and BELOW the
+    exhaustive S on this clustered corpus — routing must be doing the
+    work), (b) serving at ``default_nprobe`` (which now reads the
+    calibrated value) clears recall@10 ≥ 0.9 vs exact kNN, (c) the
+    profile is sane: chosen m divides dim, agreement ∈ (0, 1], and the
+    per-shard fallback only fires when no candidate cleared the bar.
+    Rows-only by nature (k-means build + measured calibration); the
+    bit-level invariants run in test_partitioned.py's calibration
+    tests."""
+    from vamana_spark import quality
+    from vamana_spark.index.partitioned import PartitionedVamanaIndex
+
+    e = _emb(spark, sf_dir)
+    cents = e.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("_c"), F.col("embedding").alias("_cv")
+    )
+    blobby = (
+        e.withColumn("_c", F.col("vec_id") % 4)
+        .join(F.broadcast(cents), "_c")
+        .select(
+            "vec_id",
+            F.zip_with(
+                "_cv", "embedding", lambda c, x: c + x * F.lit(0.05)
+            ).alias("embedding"),
+        )
+    )
+    params = VamanaParams(dim=64, alpha=1.2, R=32, L=64, ef_search=100, seed=42)
+    pidx = PartitionedVamanaIndex.build(
+        spark, blobby, params, num_shards=4, overlap=2
+    )
+    S = int(pidx.params.num_shards)
+    rec = pidx.calibrate_nprobe()
+    prof = pidx.pq_profile()
+    q = _fixed_queries(blobby, 25)
+    res = quality.recall_with_ok(
+        pidx.search(q, k=10, nprobe=pidx.default_nprobe),
+        exact.exact_knn(blobby, q, k=10),
+        k=10,
+        threshold=0.9,
+    )
+    prof_ok = (
+        64 % int(prof["pq_m"]) == 0
+        and 0.0 < float(prof["adc_agreement"]) <= 1.0
+        and (
+            not prof["per_shard_codebooks"]
+            or all(v < 0.95 for v in prof["candidates"].values())
+        )
+    )
+    return res.withColumn(
+        "ok",
+        F.col("ok")
+        & F.lit(1 <= rec <= S)
+        & F.lit(rec < S)
+        & F.lit(bool(prof_ok)),
+    ).withColumn("calibrated_nprobe", F.lit(int(rec)))
+
+
 @declare("q_partitioned_cosine")
 def q_partitioned_cosine(spark, sf_dir):
     """Metric parity on the 100x serving tier (the reference's own
