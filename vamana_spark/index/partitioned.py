@@ -698,6 +698,12 @@ class PartitionedVamanaIndex:
         ``{"pq_m", "pq_ksub", "per_shard_codebooks", "adc_agreement",
         "candidates": {m: agreement}}``. ``search_pq`` reads it when
         ``pq_m`` is not given."""
+        if self.params.metric == "ip":
+            # same constraint as search_pq: the MIPS->L2 augmentation
+            # adds a component, breaking both the subspace split and
+            # the raw-vector re-rank — a profile computed on augmented
+            # vectors would silently mis-slice the codebook
+            raise ValueError("pq_profile supports l2sq/l2/cosine, not ip")
         cached = getattr(self, "_pq_profile", None)
         if cached is not None and cached.get("pq_ksub") == int(pq_ksub):
             return cached
