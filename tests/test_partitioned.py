@@ -1002,3 +1002,80 @@ def test_maintenance_honors_graph_crossover(spark, embeddings):
     assert forced.shards_df.where(F.size("neighbors") > 0).count() > 0
     for ix in (idx, grown, shrunk, forced):
         ix.shards_df.unpersist()
+
+
+def test_resplit_oversized_after_heavy_append(spark):
+    """r9: the build-time skew guard fixes the split layout once;
+    add_points preserves it, so a cell that keeps receiving appends
+    outgrows its split count — resplit_oversized re-fires the guard on
+    MEASURED populations, rebuilding only the re-split cells' rows
+    while every other shard keeps its subgraph byte-for-byte (just
+    renumbered). Serving stays exact-equivalent."""
+    import numpy as np
+
+    from vamana_spark.index.partitioned import (
+        _cell_layout,
+        add_points,
+        resplit_oversized,
+    )
+
+    # balanced 3-blob corpus -> no split at build time
+    df = _blob_corpus(spark, n_blobs=3, n_pts=1500, sigma=0.05, dim=16, seed=11)
+    params = VamanaParams(dim=16, alpha=1.2, R=16, L=32, ef_search=48, seed=42)
+    idx = PartitionedVamanaIndex.build(spark, df, params, num_shards=3)
+    idx.shards_df = idx.shards_df.cache()
+    base0, nsplit0, _ = _cell_layout(idx.centers)
+    assert nsplit0.max() == 1  # balanced: guard did not fire
+
+    # heavy append into blob 0 only: 4x the cell's original mass
+    app = _blob_corpus(
+        spark, n_blobs=1, n_pts=2000, sigma=0.05, dim=16, seed=11
+    ).select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    grown = add_points(idx, app)
+    grown.shards_df = grown.shards_df.cache()
+    sizes = {r["shard"]: r["count"] for r in grown.shards_df.groupBy("shard").count().collect()}
+    n_total = int(grown.params.n)
+    assert max(sizes.values()) > 2.0 * n_total / 3  # skew regrew
+
+    before = {
+        (r.shard, r.vec_id): tuple(r.neighbors)
+        for r in grown.shards_df.select("shard", "vec_id", "neighbors").collect()
+    }
+    split = resplit_oversized(grown, max_shard_factor=2.0)
+    assert split is not grown
+    S_new = int(split.params.num_shards)
+    assert S_new > 3
+    base1, nsplit1, cell1 = _cell_layout(split.centers)
+    assert list(base1[:1]) == [0] and nsplit1.max() > 1
+    # bound holds on measured sizes
+    new_sizes = {r["shard"]: r["count"] for r in split.shards_df.groupBy("shard").count().collect()}
+    assert max(new_sizes.values()) <= 2.0 * n_total / S_new * 1.6, new_sizes
+    # coverage: every point exactly once (overlap=1)
+    assert split.shards_df.count() == n_total
+    assert split.shards_df.select("vec_id").distinct().count() == n_total
+    # untouched cells: subgraphs byte-for-byte, only renumbered
+    unchanged_cells = [c for c in range(len(nsplit0)) if nsplit1[c] == 1]
+    assert unchanged_cells
+    after = {
+        (r.shard, r.vec_id): tuple(r.neighbors)
+        for r in split.shards_df.select("shard", "vec_id", "neighbors").collect()
+    }
+    for c in unchanged_cells:
+        old_shard, new_shard = int(base0[c]), int(base1[c])
+        old_rows = {v: nb for (s, v), nb in before.items() if s == old_shard}
+        new_rows = {v: nb for (s, v), nb in after.items() if s == new_shard}
+        assert old_rows == new_rows, c
+    # serving equivalence: exhaustive search matches exact kNN
+    full = df.unionByName(app)
+    q = full.where(F.col("vec_id") % 200 == 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    r = quality.avg_recall(
+        split.search(q, k=10), exact.exact_knn(full, q, k=10), k=10
+    )
+    assert r == 1.0, r
+    # idempotent: nothing oversized now -> no-op
+    again = resplit_oversized(split, max_shard_factor=2.0)
+    assert again is split
+    for ix in (idx, grown, split):
+        ix.shards_df.unpersist()

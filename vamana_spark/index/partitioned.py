@@ -1729,6 +1729,130 @@ def add_points(
     return PartitionedVamanaIndex(spark, new_params, new_shards, C)
 
 
+def resplit_oversized(
+    index: PartitionedVamanaIndex,
+    max_shard_factor: float = 2.0,
+    graph: Optional[bool] = None,
+) -> PartitionedVamanaIndex:
+    """Maintenance-time skew consolidation (r9): re-fire the build's
+    oversized-cell split on MEASURED shard populations.
+
+    The build-time skew guard (``build``'s ``max_shard_factor``) fixes
+    the split layout once, from a population SAMPLE; ``add_points``
+    preserves that layout, so a cell that keeps receiving appends — the
+    normal shape of a growing clustered corpus — outgrows its split
+    count and its sub-shard kernels/scan tasks become exactly the
+    stragglers the guard exists to bound. This operator measures actual
+    shard sizes (one tiny groupBy-count — exact, not sampled), grows
+    the split count of any cell whose population exceeds
+    ``max_shard_factor ×`` the fair share, and rebuilds ONLY the
+    re-split cells' rows: every other shard keeps its subgraph
+    byte-for-byte and is merely renumbered to its new positional id
+    (a metadata projection — no kernel, no vector movement). Split
+    counts only grow (never shrink) so repeated calls converge and
+    undersized cells aren't churned. Routing is unchanged in geometry:
+    new sub-shards repeat the parent center, the same degradation-to-
+    near-ties the build-time guard uses.
+
+    Returns a new index (packs invalidated — re-pack / re-calibrate for
+    serving). No-op (same object) when nothing is oversized.
+    """
+    spark = index.spark
+    params = index.params
+    C = index.centers
+    base, nsplit, cell_of_shard = _cell_layout(C)
+    n_cells = int(base.shape[0])
+    if n_cells == 0:
+        return index
+
+    sizes = {
+        int(r["shard"]): int(r["count"])
+        for r in index.shards_df.groupBy("shard").count().collect()
+    }
+    S_old = int(C.shape[0])
+    pop = np.zeros(n_cells, dtype=np.int64)
+    for s, c in enumerate(cell_of_shard):
+        pop[c] += sizes.get(int(s), 0)
+    total = int(pop.sum())
+    if total == 0:
+        return index
+    # same cap rule as build: fair share is per-SHARD, so a cell may
+    # hold up to factor × total/S_old rows per sub-shard before growing
+    cap = float(max_shard_factor) * total / max(S_old, 1)
+    want = np.maximum(nsplit, np.ceil(pop / cap).astype(np.int64))
+    if np.array_equal(want, nsplit):
+        return index
+
+    changed = np.flatnonzero(want != nsplit)
+    new_base = np.concatenate(([0], np.cumsum(want)[:-1])).astype(np.int64)
+    C_new = np.repeat(C[base], want, axis=0).astype(np.float32)
+
+    # old shard id -> (cell, level); unchanged cells keep their levels,
+    # so their new shard id is a pure offset remap
+    changed_set = set(int(c) for c in changed)
+    remap = {}
+    for s in range(S_old):
+        c = int(cell_of_shard[s])
+        if c not in changed_set:
+            remap[s] = int(new_base[c] + (s - base[c]))
+    keep = index.shards_df.where(
+        F.col("shard").isin([int(s) for s in remap])
+    )
+    remap_expr = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(int(k)) for k in remap]),
+            F.array(*[F.lit(int(v)) for v in remap.values()]),
+        ),
+        F.col("shard"),
+    )
+    kept = keep.select(
+        remap_expr.cast("int").alias("shard"),
+        "vec_id", "local_ord", "embedding", "neighbors",
+    )
+
+    # re-split cells: reassign members by the SAME deterministic vec_id
+    # hash at the new split count, then rebuild those shards only
+    doomed_shards = [int(s) for s in range(S_old) if s not in remap]
+    members = index.shards_df.where(
+        F.col("shard").isin(doomed_shards)
+    ).select("shard", "vec_id", "embedding")
+    old_cell_of_shard = spark.sparkContext.broadcast(
+        cell_of_shard.astype(np.int64)
+    )
+    bnew = spark.sparkContext.broadcast((new_base, want))
+
+    def reassign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cell_v = old_cell_of_shard.value
+        nb, nw = bnew.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cells = cell_v[pdf["shard"].to_numpy(dtype=np.int64)]
+            vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            sub = _subshard_of(vid, nw[cells])
+            out = pdf[["vec_id", "embedding"]].copy()
+            out["shard"] = (nb[cells] + sub).astype(np.int32)
+            yield out
+
+    reassigned = members.mapInPandas(
+        reassign, schema="vec_id long, embedding array<float>, shard int"
+    )
+    import dataclasses
+
+    new_params = dataclasses.replace(params)
+    new_params.num_shards = int(want.sum())
+    rebuilt = (
+        _salted_by_shard(spark, reassigned, new_params.num_shards)
+        .groupBy("_gkey")
+        .applyInPandas(
+            _make_rebuild_kernel(new_params, graph), schema=_SHARDS_SCHEMA
+        )
+    )
+    return PartitionedVamanaIndex(
+        spark, new_params, kept.unionByName(rebuilt), C_new
+    )
+
+
 def delete_points(
     index: PartitionedVamanaIndex,
     ids: DataFrame,
