@@ -493,6 +493,30 @@ def cmd_pbuild(args) -> int:
     return 0
 
 
+def cmd_resplit(args) -> int:
+    from vamana_spark.index.partitioned import (
+        PartitionedVamanaIndex,
+        resplit_oversized,
+    )
+
+    packs = _parse_packs(args.pack)
+    spark = _spark("vamana-resplit")
+    idx = PartitionedVamanaIndex.load(spark, args.index)
+    out = resplit_oversized(idx, max_shard_factor=args.factor)
+    changed = out is not idx
+    if changed and args.calibrate:
+        out.calibrate_nprobe()
+        out.pq_profile()
+    out.save(args.output, packs=packs)
+    print(json.dumps({
+        "resplit": changed,
+        "shards_before": int(idx.params.num_shards),
+        "shards_after": int(out.params.num_shards),
+        "health": out.health_check(),
+    }))
+    return 0
+
+
 def cmd_psearch(args) -> int:
     from vamana_spark.index.partitioned import PartitionedVamanaIndex
 
@@ -756,6 +780,25 @@ def main(argv=None) -> int:
              "psearch --auto-nprobe / --pq then serve at them",
     )
     pb.set_defaults(fn=cmd_pbuild)
+
+    rsp = sub.add_parser("resplit")
+    rsp.add_argument("--index", required=True)
+    rsp.add_argument("--output", required=True)
+    rsp.add_argument(
+        "--factor", type=float, default=2.0,
+        help="max shard population as a multiple of the fair share "
+             "before a cell is re-split (same rule as the build guard)",
+    )
+    rsp.add_argument(
+        "--pack", action="append", default=[],
+        help="re-persist serving packs with the re-split index "
+             "(maintenance invalidates old packs)",
+    )
+    rsp.add_argument(
+        "--calibrate", action="store_true",
+        help="re-measure serving defaults after the re-split",
+    )
+    rsp.set_defaults(fn=cmd_resplit)
 
     ps = sub.add_parser("psearch")
     ps.add_argument("--index", required=True)
