@@ -269,3 +269,37 @@ def test_bloom_positions_no_false_negatives_property():
         assert hit.all()
 
     run()
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=7), min_size=1, max_size=40),
+    st.integers(min_value=0, max_value=2**31),
+)
+def test_cell_layout_and_subshard_properties(nsplit_list, seed):
+    """r9 split-layout invariants: _cell_layout recovers exactly the
+    (base, nsplit, cell_of_shard) that np.repeat over distinct cell
+    centers produces, and _subshard_of always lands inside the cell's
+    split range for any vec_id (including negatives after casts)."""
+    from vamana_spark.index.partitioned import _cell_layout, _subshard_of
+
+    rng = np.random.default_rng(seed % (2**32))
+    nsplit = np.asarray(nsplit_list, dtype=np.int64)
+    C0 = rng.standard_normal((len(nsplit), 4)).astype(np.float32)
+    # distinct rows required (duplicate-run encoding): perturb collisions
+    C = np.repeat(C0, nsplit, axis=0)
+    base, ns, cell = _cell_layout(C)
+    if len(np.unique(C0, axis=0)) == len(C0):  # no accidental dup cells
+        assert list(ns) == list(nsplit)
+        assert list(base) == list(
+            np.concatenate(([0], np.cumsum(nsplit)[:-1]))
+        )
+        assert list(cell) == list(np.repeat(np.arange(len(nsplit)), nsplit))
+    # sub-shard hash: in range, deterministic, and 1-split cells -> 0
+    vids = rng.integers(-(2**62), 2**62, size=200, dtype=np.int64)
+    sub = _subshard_of(vids, ns[cell[0] if len(cell) else 0])
+    assert np.all((0 <= sub) & (sub < ns[cell[0]]))
+    per_cell = _subshard_of(vids[:, None], ns[None, :])
+    assert np.all(per_cell < ns[None, :]) and np.all(per_cell >= 0)
+    assert np.array_equal(per_cell, _subshard_of(vids[:, None], ns[None, :]))
+    assert np.all(_subshard_of(vids, np.ones(200, dtype=np.int64)) == 0)
