@@ -1632,6 +1632,17 @@ def add_points(
     kernel the original build deliberately skipped (measured at the 1M
     maintenance rung: the dense rebuild costs more than the whole
     graph-free build). ``True``/``False`` force, as in ``build``.
+
+    Known maintenance limits, by design: (a) a cell that keeps
+    receiving appends can outgrow its split count — run
+    :func:`resplit_oversized` periodically to re-fire the skew guard
+    on measured populations; (b) routing GEOMETRY is fixed at build
+    (centers never retrain), so appends from a distribution far from
+    every center degrade nprobe<S recall — detect with
+    ``diagnostics.routing_concentration`` / re-run
+    ``calibrate_nprobe`` after large appends, and rebuild when the
+    calibrated nprobe drifts toward S (routing has stopped earning
+    its cost).
     """
     import pandas as pd
 
