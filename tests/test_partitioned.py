@@ -1079,3 +1079,41 @@ def test_resplit_oversized_after_heavy_append(spark):
     assert again is split
     for ix in (idx, grown, split):
         ix.shards_df.unpersist()
+
+
+def test_resplit_preserves_overlap_layout(spark):
+    """resplit under overlap=2: a point's copy in a NON-resplit cell
+    stays where it was (renumbered only); its copy in the re-split cell
+    re-hashes into a sub-shard. Coverage stays exactly overlap copies
+    per point and exhaustive search stays exact."""
+    from vamana_spark.index.partitioned import add_points, resplit_oversized
+
+    df = _blob_corpus(spark, n_blobs=3, n_pts=1500, sigma=0.05, dim=16, seed=11)
+    params = VamanaParams(dim=16, alpha=1.2, R=16, L=32, ef_search=48, seed=42)
+    idx = PartitionedVamanaIndex.build(
+        spark, df, params, num_shards=3, overlap=2
+    )
+    app = _blob_corpus(
+        spark, n_blobs=1, n_pts=2000, sigma=0.05, dim=16, seed=11
+    ).select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    grown = add_points(idx, app)
+    # overlap copies dilute the per-cell share (each point counts in 2
+    # cells), so the trigger factor is lower than the overlap-1 test's
+    split = resplit_oversized(grown, max_shard_factor=1.3)
+    assert int(split.params.num_shards) > int(grown.params.num_shards)
+    n = int(split.params.n)
+    # every point appears exactly `overlap` times (one row per cell copy)
+    assert split.shards_df.count() == 2 * n
+    assert split.shards_df.select("vec_id").distinct().count() == n
+    per_point = split.shards_df.groupBy("vec_id").count()
+    assert per_point.where(F.col("count") != 2).count() == 0
+    full = df.unionByName(app)
+    q = full.where(F.col("vec_id") % 200 == 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    r = quality.avg_recall(
+        split.search(q, k=10), exact.exact_knn(full, q, k=10), k=10
+    )
+    assert r == 1.0, r
+    for ix in (idx, grown, split):
+        ix.shards_df.unpersist()
