@@ -125,7 +125,14 @@ def main() -> None:
     if os.environ.get("MAINTENANCE"):
         # FreshDiskANN-style maintenance cycle rung (VERDICT r8 #4):
         #     MAINTENANCE=1 python tools/scale_smoke_1m.py
-        _maintenance_rung(spark, emb, out)
+        # Clustered variant (r9 — the LOCALIZED-delta shape where
+        # shard-local maintenance actually pays, plus a measured
+        # resplit_oversized consolidation):
+        #     MAINTENANCE=1 CLUSTERED=256 python tools/scale_smoke_1m.py
+        if blobs:
+            _clustered_maintenance_rung(spark, emb, out, blobs)
+        else:
+            _maintenance_rung(spark, emb, out)
         print(json.dumps(out))
         return
 
@@ -451,6 +458,134 @@ def _maintenance_rung(spark, emb, out: dict) -> None:
     out["recall_drift"] = round(
         out["fresh_recall_at_10"] - out["maintained_recall_at_10"], 4
     )
+
+
+def _clustered_maintenance_rung(spark, emb, out: dict, blobs: int) -> None:
+    """Clustered maintenance cycle (r9): the delta shape production
+    corpora actually have — appends land in a FEW blobs, so shard-local
+    maintenance touches a few shards instead of all of them (the
+    uniform rung's honest worst case), and a sustained single-blob
+    append eventually outgrows its cell's split count, which
+    ``resplit_oversized`` consolidates on measured populations.
+
+    Cycle: graph-free clustered build → append 10% of n INTO ONE BLOB
+    (center-localized, the worst-case hot cell) → measure wall +
+    touched shards → resplit_oversized → measure wall + the restored
+    per-shard bound → calibrate and serve, recall vs exact GT on the
+    grown corpus."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from vamana_spark import VamanaParams, exact, quality
+    from vamana_spark.index.partitioned import (
+        PartitionedVamanaIndex,
+        _cell_layout,
+        add_points,
+        resplit_oversized,
+    )
+
+    S, OV = 256, 2
+    out["num_shards"], out["shard_overlap"] = S, OV
+    pparams = VamanaParams(dim=DIM, alpha=1.2, R=32, L=64, ef_search=100, seed=42)
+    t0 = time.perf_counter()
+    idx = PartitionedVamanaIndex.build(
+        spark, emb, pparams, num_shards=S, overlap=OV, graph=False
+    )
+    idx.shards_df = idx.shards_df.cache()
+    idx.shards_df.count()
+    out["build_sec"] = round(time.perf_counter() - t0, 2)
+    print(json.dumps({"build_sec": out["build_sec"]}), flush=True)
+
+    # 10% of n appended into blob 0 alone (same generator recipe:
+    # centers are the seed-42 uniform draws)
+    n_add = N // 10
+    rng = np.random.default_rng(42)
+    centers = rng.uniform(-1, 1, (blobs, DIM)).astype(np.float32)
+    arng = np.random.default_rng(777)
+    Xa = (
+        centers[0][None, :]
+        + arng.normal(0.0, 0.15, (n_add, DIM)).astype(np.float32)
+    ).astype(np.float32)
+    add_df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(N, N + n_add, dtype=np.int64),
+                "embedding": list(Xa),
+            }
+        ),
+        "vec_id long, embedding array<float>",
+    ).cache()
+    add_df.count()
+    # graph=False mirrors the build: the auto rule is crossover-based,
+    # so the hot shard (now ~100k rows) would otherwise pay a
+    # single-task beam-graph kernel the graph-free serving never walks
+    t0 = time.perf_counter()
+    grown = add_points(idx, add_df, graph=False)
+    grown.shards_df = grown.shards_df.cache()
+    grown.shards_df.count()
+    out["add_sec"] = round(time.perf_counter() - t0, 2)
+    out["add_touched_shards"] = (
+        grown.shards_df.where(F.col("vec_id") >= N)
+        .select("shard").distinct().count()
+    )
+    sizes = grown.shards_df.groupBy("shard").count()
+    out["max_shard_before_resplit"] = int(sizes.agg(F.max("count")).first()[0])
+    print(json.dumps({
+        "add_sec": out["add_sec"],
+        "add_touched_shards": out["add_touched_shards"],
+        "max_shard_before_resplit": out["max_shard_before_resplit"],
+    }), flush=True)
+    idx.shards_df.unpersist()
+
+    t0 = time.perf_counter()
+    split = resplit_oversized(grown, max_shard_factor=2.0, graph=False)
+    split.shards_df = split.shards_df.cache()
+    split.shards_df.count()
+    out["resplit_sec"] = round(time.perf_counter() - t0, 2)
+    out["resplit_fired"] = split is not grown
+    out["shards_after_resplit"] = int(split.params.num_shards)
+    sizes2 = split.shards_df.groupBy("shard").count()
+    out["max_shard_after_resplit"] = int(sizes2.agg(F.max("count")).first()[0])
+    base, nsplit, _ = _cell_layout(split.centers)
+    out["max_cell_split"] = int(nsplit.max())
+    print(json.dumps({
+        "resplit_sec": out["resplit_sec"],
+        "resplit_fired": out["resplit_fired"],
+        "shards_after_resplit": out["shards_after_resplit"],
+        "max_shard_before": out["max_shard_before_resplit"],
+        "max_shard_after": out["max_shard_after_resplit"],
+        "max_cell_split": out["max_cell_split"],
+    }), flush=True)
+    grown.shards_df.unpersist()
+
+    # serve at freshly calibrated defaults on the grown corpus
+    out["calibrated_nprobe"] = split.calibrate_nprobe()
+    full = emb.unionByName(add_df)
+    allq = full.where(F.col("vec_id") % NQ_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).cache()
+    nq = allq.count()
+    sample = allq.where(F.col("query_id") % 4000 == 0)
+    truth = exact.exact_knn_batch(full, sample, k=10).cache()
+    truth.count()
+    nprobe = split.default_nprobe
+    out["nprobe"] = nprobe
+    split.search(allq.limit(8), k=10, nprobe=nprobe).count()
+    t0 = time.perf_counter()
+    split.search(allq, k=10, nprobe=nprobe).count()
+    out["qps"] = round(nq / (time.perf_counter() - t0), 1)
+    out["recall_at_10"] = round(
+        quality.avg_recall(
+            split.search(sample, k=10, nprobe=nprobe), truth, k=10
+        ),
+        4,
+    )
+    print(json.dumps({
+        "calibrated_nprobe": out["calibrated_nprobe"],
+        "qps": out["qps"],
+        "recall_at_10": out["recall_at_10"],
+    }), flush=True)
 
 
 if __name__ == "__main__":
