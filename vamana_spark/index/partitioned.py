@@ -1819,26 +1819,32 @@ def resplit_oversized(
         c = int(cell_of_shard[s])
         if c not in changed_set:
             remap[s] = int(new_base[c] + (s - base[c]))
-    keep = index.shards_df.where(
-        F.col("shard").isin([int(s) for s in remap])
-    )
-    remap_expr = F.element_at(
-        F.map_from_arrays(
-            F.array(*[F.lit(int(k)) for k in remap]),
-            F.array(*[F.lit(int(v)) for v in remap.values()]),
+    # renumber via a broadcast-joined mapping TABLE, not a literal map
+    # expression — at production shard counts (10^5+) an S-literal
+    # expression bloats the plan; a tiny broadcast join is O(1) plan
+    # size and the semi-join doubles as the keep-filter
+    remap_df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "shard": np.fromiter(remap.keys(), dtype=np.int32),
+                "_new_shard": np.fromiter(remap.values(), dtype=np.int32),
+            }
         ),
-        F.col("shard"),
+        "shard int, _new_shard int",
     )
-    kept = keep.select(
-        remap_expr.cast("int").alias("shard"),
-        "vec_id", "local_ord", "embedding", "neighbors",
+    kept = (
+        index.shards_df.join(F.broadcast(remap_df), "shard")
+        .select(
+            F.col("_new_shard").alias("shard"),
+            "vec_id", "local_ord", "embedding", "neighbors",
+        )
     )
 
     # re-split cells: reassign members by the SAME deterministic vec_id
     # hash at the new split count, then rebuild those shards only
-    doomed_shards = [int(s) for s in range(S_old) if s not in remap]
-    members = index.shards_df.where(
-        F.col("shard").isin(doomed_shards)
+    # (anti-join against the same broadcast mapping = NOT renumbered)
+    members = index.shards_df.join(
+        F.broadcast(remap_df.select("shard")), "shard", "left_anti"
     ).select("shard", "vec_id", "embedding")
     old_cell_of_shard = spark.sparkContext.broadcast(
         cell_of_shard.astype(np.int64)
