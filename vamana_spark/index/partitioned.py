@@ -284,15 +284,28 @@ def _salted_by_shard(spark, df: DataFrame, num_shards: int) -> DataFrame:
     """``df`` + a ``_gkey`` column mapping each 0..num_shards-1 shard id
     to a collision-free group key for the session's shuffle-partition
     count, so ``groupBy("_gkey").applyInPandas`` runs one CPU-heavy
-    shard kernel per task (see ``_collision_free_group_keys``)."""
+    shard kernel per task (see ``_collision_free_group_keys``).
+
+    The mapping rides a tiny broadcast-joined TABLE, not an S-literal
+    array expression (r9): at production shard counts (10^5+ at the
+    1B-vector extrapolation of the ladder) a literal array evaluated
+    per row bloats the plan and codegen; the broadcast join is O(1)
+    plan size at any S. When num_shards exceeds the shuffle-partition
+    count, ``_collision_free_group_keys`` short-circuits to identity
+    (collisions are unavoidable and harmless there), so the driver
+    never pays a big collect either."""
     n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     salt = _collision_free_group_keys(spark, num_shards, n_buckets)
-    return df.withColumn(
-        "_gkey",
-        F.element_at(
-            F.array(*[F.lit(int(s)) for s in salt]), F.col("shard") + 1
+    mapping = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "shard": np.arange(num_shards, dtype=np.int32),
+                "_gkey": np.asarray(salt, dtype=np.int32),
+            }
         ),
+        "shard int, _gkey int",
     )
+    return df.join(F.broadcast(mapping), "shard")
 
 
 def _ef_for_shard(ef: int, k: int, n: int) -> int:
