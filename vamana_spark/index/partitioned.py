@@ -1736,13 +1736,18 @@ def add_points(
     assigned = pts.mapInPandas(
         assign, schema="vec_id long, embedding array<float>, shard int"
     )
-    touched = [r["shard"] for r in assigned.select("shard").distinct().collect()]
-    if not touched:
+    # touched-shard set as a broadcast semi/anti join, not a collected
+    # literal list (r9): at production shard counts a wide delta
+    # touches 10^5+ shards and an isin() literal list bloats the plan;
+    # the distinct-shard table is at most S rows either way
+    touched_df = assigned.select("shard").distinct().cache()
+    if touched_df.limit(1).count() == 0:
+        touched_df.unpersist()
         return index
 
-    old_touched = index.shards_df.where(F.col("shard").isin(touched)).select(
-        "shard", "vec_id", "embedding"
-    )
+    old_touched = index.shards_df.join(
+        F.broadcast(touched_df), "shard"
+    ).select("shard", "vec_id", "embedding")
     rebuild_input = old_touched.unionByName(assigned.select("shard", "vec_id", "embedding"))
 
     rebuilt = (
@@ -1752,7 +1757,9 @@ def add_points(
             _make_rebuild_kernel(params, graph), schema=_SHARDS_SCHEMA
         )
     )
-    untouched = index.shards_df.where(~F.col("shard").isin(touched))
+    untouched = index.shards_df.join(
+        F.broadcast(touched_df), "shard", "left_anti"
+    )
     new_shards = untouched.unionByName(rebuilt)
 
     import dataclasses
@@ -1924,10 +1931,12 @@ def delete_points(
     n_gone = present.select("vec_id").distinct().count()
     if n_gone == 0:
         return index
-    touched = [r["shard"] for r in present.select("shard").distinct().collect()]
+    # touched-shard set as a broadcast semi/anti join — same plan-size
+    # rationale as add_points (no isin literal list, no driver collect)
+    touched_df = present.select("shard").distinct()
 
     survivors = (
-        index.shards_df.where(F.col("shard").isin(touched))
+        index.shards_df.join(F.broadcast(touched_df), "shard")
         .join(F.broadcast(doomed), "vec_id", "left_anti")
         .select("shard", "vec_id", "embedding")
     )
@@ -1939,7 +1948,9 @@ def delete_points(
             _make_rebuild_kernel(params, graph), schema=_SHARDS_SCHEMA
         )
     )
-    untouched = index.shards_df.where(~F.col("shard").isin(touched))
+    untouched = index.shards_df.join(
+        F.broadcast(touched_df), "shard", "left_anti"
+    )
     new_shards = untouched.unionByName(rebuilt)
 
     import dataclasses
