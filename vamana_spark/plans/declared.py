@@ -2548,6 +2548,69 @@ def q_skewed_build(spark, sf_dir):
     )
 
 
+@declare("q_resplit_consolidation")
+def q_resplit_consolidation(spark, sf_dir):
+    """r9 maintenance-time skew consolidation driver-gated: build the
+    same declaratively-skewed corpus as q_skewed_build but with the
+    BUILD-time guard disabled (max_shard_factor=None), so the oversized
+    cell survives into the index — the state a sustained hot-cell
+    append leaves behind — then run ``resplit_oversized`` and assert it
+    restores the bound. ``ok`` folds in: (a) the resplit fired
+    (num_shards grew), (b) the realized max shard ≤ 2.6× the fair
+    share (sample-noise slack over the 2.0 factor, same bar as
+    q_skewed_build), (c) coverage: every point indexed exactly once
+    per overlap-distinct cell, (d) exhaustive-search recall ≥ 0.9 vs
+    exact kNN on the same skewed table — byte-preserved untouched
+    shards and re-hashed hot-cell members both serve. Rows-only by
+    nature (k-means build); the byte-for-byte renumbering invariant
+    runs in test_partitioned.py::test_resplit_oversized_after_heavy_append."""
+    from vamana_spark import quality
+    from vamana_spark.index.partitioned import (
+        PartitionedVamanaIndex,
+        resplit_oversized,
+    )
+
+    e = _emb(spark, sf_dir)
+    skewed = e.select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 4 != 0,
+            F.transform("embedding", lambda x: x * F.lit(0.02)),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    params = VamanaParams(dim=64, alpha=1.2, R=32, L=64, ef_search=100, seed=42)
+    # overlap=1: copies dilute per-cell population shares (each point
+    # counts in 2 cells), which at this tiny scale lands the hot cell
+    # exactly on the 2.0x boundary — the single-assignment layout is
+    # the clean isolation of the resplit rule itself
+    pidx = PartitionedVamanaIndex.build(
+        spark, skewed, params, num_shards=4, overlap=1, max_shard_factor=None
+    )
+    split = resplit_oversized(pidx, max_shard_factor=2.0)
+    S = int(split.params.num_shards)
+    n = int(split.params.n)
+    mx = split.shards_df.groupBy("shard").count().agg(F.max("count")).first()[0]
+    covered = (
+        split.shards_df.select("vec_id").distinct().count() == n
+        and split.shards_df.count() == n
+    )
+    fair = 2.0 * n / S
+    q = _fixed_queries(skewed, 25)
+    res = quality.recall_with_ok(
+        split.search(q, k=10), exact.exact_knn(skewed, q, k=10), k=10,
+        threshold=0.9,
+    )
+    return res.withColumn(
+        "ok",
+        F.col("ok")
+        & F.lit(S > int(pidx.params.num_shards))
+        & F.lit(bool(covered))
+        & F.lit(float(mx) <= 1.3 * fair),
+    ).withColumn("shards_after", F.lit(S))
+
+
 @declare("q_calibrated_serving")
 def q_calibrated_serving(spark, sf_dir):
     """r9 serving calibration driver-gated: collapse the embedding
