@@ -4096,8 +4096,10 @@ _CHANGED_THIS_ROUND = [
 ]
 
 # Queries DECLARED this round whose first driver row may wait until
-# next round when the window is full (see rotation_order). r8: none —
-# the window has slack, every new query enters as never-run.
+# next round when the window is full (see rotation_order). r9: none —
+# the 45 bound-threatened r06 rows + 3 changed + the 2 new
+# declarations (q_calibrated_serving, q_resplit_consolidation) fill
+# the window exactly; both new queries enter as never-run.
 _DEFER_THIS_ROUND: list = []
 
 
