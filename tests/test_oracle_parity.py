@@ -85,7 +85,18 @@ def test_rows_only_runs(name, spark):
     # recording the row count — an array/map column crashes its pandas
     # sort (r1: q_media_features aborted the whole gate). Mimic that.
     pdf = _QUERIES[name](spark, SF_DIR).toPandas()
-    assert len(_canon(pdf)) >= 0
+    assert len(_canon(pdf)) > 0, f"{name}: rows-only query returned 0 rows"
+    # Rows-only queries exist precisely because the DuckDB oracle can't
+    # see their invariant (recall gate, split-fired, coverage, …) — so
+    # every one MUST carry an ``ok`` column and it MUST hold (the r9
+    # verdict's signal hole: ok=False rows used to flow through this
+    # gate green, and a query with no ok column had no gate at all).
+    assert "ok" in pdf.columns, f"{name}: rows-only query lacks an ok column"
+    bad = pdf.loc[~pdf["ok"].astype(bool)]
+    assert bad.empty, (
+        f"{name}: ok invariant failed on {len(bad)}/{len(pdf)} rows; "
+        f"first: {bad.head(3).to_dict('records')}"
+    )
 
 
 def test_no_vacuous_oracles(ddb):
