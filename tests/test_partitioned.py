@@ -547,8 +547,33 @@ def test_ip_metric_matches_exact_top1(spark, embeddings, queries):
     assert common
     for key in list(common)[:50]:
         assert abs(a[key] - t[key]) < 1e-2, (key, a[key], t[key])
-    with pytest.raises(ValueError):
-        pidx.search_pq(queries, k=5)
+    pidx.unpersist_packed()
+
+
+def test_ip_pq_serving_recall(spark, embeddings, queries):
+    """PQ serving under metric='ip' (r10; the reference's declared TODO,
+    vamana.h:695 / readme.md:76): residuals quantized in the
+    MIPS-augmented space the flat pack already uses, zero-padded to the
+    subspace alignment, exact -dot re-rank. Gates: recall@10 >= 0.9 vs
+    exact ip kNN, pq_profile accepts ip, and the re-ranked distances
+    match the exact oracle's -<q,x> convention."""
+    params = VamanaParams(
+        dim=64, alpha=1.2, R=24, L=48, ef_search=64, seed=42, metric="ip"
+    )
+    pidx = PartitionedVamanaIndex.build(spark, embeddings, params, num_shards=4)
+    prof = pidx.pq_profile()  # must not raise; augmented width is padded
+    assert 64 % int(prof["pq_m"]) == 0
+    assert 0.0 < float(prof["adc_agreement"]) <= 1.0
+    truth = exact.exact_knn(embeddings, queries, k=10, metric="ip")
+    approx = pidx.search_pq(queries, k=10)
+    r = quality.avg_recall(approx, truth, k=10)
+    assert r >= 0.9, f"ip PQ recall@10 = {r}"
+    a = {(x.query_id, x.vec_id): x.dist for x in approx.collect()}
+    t = {(x.query_id, x.vec_id): x.dist for x in truth.collect()}
+    common = set(a) & set(t)
+    assert common
+    for key in list(common)[:50]:
+        assert abs(a[key] - t[key]) < 1e-2, (key, a[key], t[key])
     pidx.unpersist_packed()
 
 

@@ -50,6 +50,22 @@ def _subshard_of(vec_ids: np.ndarray, nsplit: np.ndarray) -> np.ndarray:
     return h.astype(np.int64) % nsplit
 
 
+def _pad_cols(X: np.ndarray, m: int) -> np.ndarray:
+    """Zero-pad columns to a multiple of ``m`` (no-op when aligned).
+
+    The MIPS->L2 augmentation makes ip-metric vectors dim+1 wide, which
+    no useful ``m`` divides; padding realigns the PQ subspace split.
+    Zero columns are exactly representable by k-means centroids (every
+    centroid carries 0 there), so the padding contributes zero
+    quantization error — only the augmented component itself is
+    quantized, like any other dimension (r10; reference TODO
+    vamana.h:695 / readme.md:76)."""
+    pad = (-X.shape[1]) % int(m)
+    if pad == 0:
+        return X
+    return np.hstack([X, np.zeros((X.shape[0], pad), dtype=X.dtype)])
+
+
 def _cell_layout(centers: np.ndarray):
     """Recover the (base, nsplit, cell_of_shard) split layout from the
     center matrix itself: oversized-cell splitting repeats a parent
@@ -197,20 +213,20 @@ def _make_shard_packer(
         if mode == "pq":
             from vamana_spark.operators.quantization import _kmeans
 
-            n, dim = P.shape
-            dsub = dim // pq_m
+            n = P.shape[0]
             center = None
             if global_cents is not None:
                 cents = np.asarray(global_cents, dtype=np.float32)
                 center = np.asarray(centers[shard], dtype=np.float64)
-                X = P.astype(np.float64) - center[None, :]
+                X = _pad_cols(P.astype(np.float64) - center[None, :], pq_m)
             else:
-                X = P.astype(np.float64)
+                X = _pad_cols(P.astype(np.float64), pq_m)
                 ksub = min(pq_ksub, n)
+                dsub_t = X.shape[1] // pq_m
                 cents = np.stack(
                     [
                         _kmeans(
-                            X[:, j * dsub : (j + 1) * dsub],
+                            X[:, j * dsub_t : (j + 1) * dsub_t],
                             ksub,
                             seed + 31 * shard + j,
                             10,
@@ -218,6 +234,7 @@ def _make_shard_packer(
                         for j in range(pq_m)
                     ]
                 ).astype(np.float32)
+            dsub = X.shape[1] // pq_m
             codes = np.empty((n, pq_m), dtype=np.uint8)
             for j in range(pq_m):
                 sub = X[:, j * dsub : (j + 1) * dsub]
@@ -656,7 +673,7 @@ class PartitionedVamanaIndex:
         ``_pq_sample`` (hash-threshold, unbiased, map-only)."""
         from vamana_spark.operators.quantization import _kmeans
 
-        X = self._pq_sample()
+        X = _pad_cols(self._pq_sample(), pq_m)  # ip: dim+1 -> multiple of m
         dsub = X.shape[1] // pq_m
         ksub = min(pq_ksub, X.shape[0])
         seed = int(self.params.seed)
@@ -714,14 +731,22 @@ class PartitionedVamanaIndex:
         ``{"pq_m", "pq_ksub", "per_shard_codebooks", "adc_agreement",
         "candidates": {m: agreement}}``. ``search_pq`` reads it when
         ``pq_m`` is not given."""
-        if self.params.metric == "ip":
-            # same constraint as search_pq: the MIPS->L2 augmentation
-            # adds a component, breaking both the subspace split and
-            # the raw-vector re-rank — a profile computed on augmented
-            # vectors would silently mis-slice the codebook
-            raise ValueError("pq_profile supports l2sq/l2/cosine, not ip")
+        # memo validity keys on EVERY setting the measurement depends on
+        # (ADVICE r9: pq_ksub alone silently returned a profile computed
+        # under different target/rerank/k/query-count settings); the
+        # settings persist inside the profile so save/load roundtrips
+        # carry the same validity check.
+        settings = {
+            "pq_ksub": int(pq_ksub),
+            "target": float(target),
+            "rerank": int(rerank),
+            "k": int(k),
+            "n_probe_queries": int(n_probe_queries),
+        }
         cached = getattr(self, "_pq_profile", None)
-        if cached is not None and cached.get("pq_ksub") == int(pq_ksub):
+        if cached is not None and all(
+            cached.get(key) == val for key, val in settings.items()
+        ):
             return cached
         from vamana_spark.operators.quantization import _kmeans
 
@@ -756,17 +781,21 @@ class PartitionedVamanaIndex:
         results: dict = {}
         chosen, chosen_agree = cands[-1], 0.0
         for m in cands:
-            dsub = dim // m
+            # ip: the sample is dim+1 wide (MIPS augmentation) — pad to
+            # the candidate's alignment, exactly as the packer will
+            Xm = _pad_cols(X, m)
+            Qm = Xm[qsel]
+            dsub = Xm.shape[1] // m
             cents = np.stack(
                 [
-                    _kmeans(X[:, j * dsub : (j + 1) * dsub], ksub, seed + j, 15)
+                    _kmeans(Xm[:, j * dsub : (j + 1) * dsub], ksub, seed + j, 15)
                     for j in range(m)
                 ]
             )
             # encode sample + ADC distances for the probe queries
             adc = np.zeros((len(qsel), n))
             for j in range(m):
-                sub = X[:, j * dsub : (j + 1) * dsub]
+                sub = Xm[:, j * dsub : (j + 1) * dsub]
                 Cj = cents[j]
                 d = (
                     (sub * sub).sum(1)[:, None]
@@ -774,7 +803,7 @@ class PartitionedVamanaIndex:
                     - 2.0 * (sub @ Cj.T)
                 )
                 codes_j = d.argmin(axis=1)
-                qsub = Q[:, j * dsub : (j + 1) * dsub]
+                qsub = Qm[:, j * dsub : (j + 1) * dsub]
                 lut = (
                     (qsub * qsub).sum(1)[:, None]
                     + (Cj * Cj).sum(1)[None, :]
@@ -794,7 +823,7 @@ class PartitionedVamanaIndex:
                 break
         prof = {
             "pq_m": int(chosen),
-            "pq_ksub": int(pq_ksub),
+            **settings,
             # none of the global-residual candidates clears the bar →
             # recommend the shard-adaptive quantizers (per-shard
             # k-means exploits narrow cell marginals the shared
@@ -1380,11 +1409,12 @@ class PartitionedVamanaIndex:
         """
         from vamana_spark.functions.vector import pairwise_distance
 
-        if self.params.metric == "ip":
-            # the MIPS->L2 augmentation adds a component (dim+1), which
-            # breaks the PQ subspace split and the raw-vector re-rank;
-            # serve ip through search() (flat pack handles it)
-            raise ValueError("search_pq supports l2sq/l2/cosine, not ip")
+        # ip (r10; the reference's declared TODO, vamana.h:695 /
+        # readme.md:76): codes quantize the residuals in the same
+        # MIPS-augmented space the flat pack stores, zero-padded to the
+        # subspace alignment (see _pad_cols) — ADC ordering in that
+        # space IS descending inner product, and the exact re-rank
+        # scores raw vectors with the ip metric directly.
         if pq_m is None:
             # default m is DATA-aware (r9): a dimension-only default
             # (16 at dim=64) measurably collapses to 0.60 recall@10 on
@@ -1443,6 +1473,14 @@ class PartitionedVamanaIndex:
                 # residual pack (r8 global codebook): the LUT walk runs
                 # in the center-shifted space; ||q-x|| == ||(q-c)-(x-c)||
                 Q = Q - z["center"].astype(np.float64)[None, :]
+            # ip packs are padded to the subspace alignment (the MIPS
+            # augmentation is dim+1 wide); pad the routed queries to the
+            # codebook's width — a no-op for l2/cosine
+            need = cents.shape[0] * cents.shape[2]
+            if Q.shape[1] < need:
+                Q = np.hstack(
+                    [Q, np.zeros((Q.shape[0], need - Q.shape[1]), dtype=Q.dtype)]
+                )
             qids = right["query_id"].to_numpy(dtype=np.int64)
             n_sh = codes.shape[0]
             # zero-width adjacency = IVF-flat shard: brute is the only path

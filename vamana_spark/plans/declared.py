@@ -521,6 +521,42 @@ def q_ip_graph_recall(spark, sf_dir):
     return quality.recall_with_ok(approx, truth, k=10)
 
 
+@declare("q_ip_pq")
+def q_ip_pq(spark, sf_dir):
+    """PQ serving under metric='ip' (r10; the reference's declared TODO,
+    vamana.h:695 / readme.md:76, now live on the beyond-RAM tier):
+    residuals quantized in the MIPS-augmented space the flat pack uses,
+    zero-padded to the PQ subspace alignment, exact -dot re-rank.
+    Rows-only (k-means + randomized graph); ``ok`` embeds recall@10 >=
+    0.9 vs exact ip kNN plus pq_profile sanity (m divides dim,
+    agreement in (0, 1])."""
+    from vamana_spark import quality
+    from vamana_spark.index.partitioned import PartitionedVamanaIndex
+
+    key = (spark.sparkContext.applicationId, sf_dir, "ip_pq")
+    if key not in _PIDX_CACHE:
+        params = VamanaParams(
+            dim=64, alpha=1.2, R=32, L=64, ef_search=100, seed=42, metric="ip"
+        )
+        _PIDX_CACHE[key] = PartitionedVamanaIndex.build(
+            spark, _emb(spark, sf_dir), params, num_shards=4
+        )
+    pidx = _PIDX_CACHE[key]
+    e = _emb(spark, sf_dir)
+    q = _fixed_queries(e, 25)
+    prof = pidx.pq_profile()
+    prof_ok = (
+        64 % int(prof["pq_m"]) == 0
+        and 0.0 < float(prof["adc_agreement"]) <= 1.0
+    )
+    return quality.recall_with_ok(
+        pidx.search_pq(q, k=10),
+        exact.exact_knn(e, q, k=10, metric="ip"),
+        k=10,
+        threshold=0.9,
+    ).withColumn("ok", F.col("ok") & F.lit(bool(prof_ok)))
+
+
 @declare(
     "q_ivf_topk",
     f"""
@@ -3938,49 +3974,58 @@ def q_cut_spans(spark, sf_dir):
     return dedup.cut_duplicate_spans(_docs(spark, sf_dir), k=5, min_docs=2)
 
 
-@declare("q_semantic_dedup")
+@declare(
+    "q_semantic_dedup",
+    f"""
+    WITH aug AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(embedding, x -> x * CAST(1.5 AS FLOAT))
+      FROM embeddings WHERE vec_id % 7 = 0
+    ),
+    c AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             (1.0 - ({_COS_AB_SQL})) AS sim
+      FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    )
+    SELECT a_id, b_id, round(sim, 4) AS cosine_sim
+    FROM c WHERE round(sim, 4) >= 0.9
+    ORDER BY a_id, b_id
+    """,
+)
 def q_semantic_dedup(spark, sf_dir):
-    """SemDeDup-style semantic dedup (cluster-blocked cosine) over the
-    embeddings table augmented with planted exact duplicates (every 7th
-    vector re-inserted scaled x1.5 under id+100000 — unit-normalizes to
-    an identical point, so it MUST drop). Rows-only gate; the embedded
-    ok column re-verifies every drop's (row, dup_of) cosine JVM-side at
-    >= threshold AND that all planted copies were dropped."""
-    from vamana_spark.functions.vector import cosine_distance
+    """SemDeDup-style semantic dedup (cluster-blocked cosine, Abbas et
+    al. 2023) over the embeddings table augmented with planted exact
+    duplicates (every 7th vector re-inserted scaled x1.5 under
+    id+100000 — unit-normalizes to an identical point, so it MUST
+    drop). r10: emitted as the exact-cosine-VERIFIED pair projection
+    (dup_of, dropped_id, sim) hash-matched against the full-pairs
+    DuckDB oracle — the q_minhash_pairs recipe; the k-means blocking
+    stays engine-internal. Equality holds on this corpus because (a)
+    the sf0.01 embeddings contain no natural pair at cosine >= 0.9
+    (the oracle itself proves it: only planted pairs come back), and
+    (b) exact copies normalize to identical unit vectors, which k-means
+    co-locates by construction — so every oracle pair is also a
+    blocked pair, and each duplicate group has exactly 2 members, so
+    the greedy one-pair-per-dropped-row output IS the full pair set."""
     from vamana_spark.operators import dedup as DD
 
-    thr = 0.9
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
     copies = e.where(F.col("vec_id") % 7 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
     )
     aug = e.unionByName(copies)
-    res = DD.semantic_dedup(aug, threshold=thr, num_clusters=8, seed=42)
-    n_planted = copies.count()
-    n_planted_dropped = res.where(
-        (F.col("vec_id") >= 100000) & ~F.col("keep")
-    ).count()
-    v = aug.select(F.col("vec_id"), F.col("embedding").alias("_v"))
-    d = aug.select(
-        F.col("vec_id").alias("dup_of"), F.col("embedding").alias("_dv")
-    )
-    jvm_sim = F.lit(1.0) - cosine_distance("_v", "_dv")
+    res = DD.semantic_dedup(aug, threshold=0.9, num_clusters=8, seed=42)
     return (
-        res.join(v, "vec_id")
-        .join(d, "dup_of", "left")
+        res.where(~F.col("keep"))
         .select(
-            "vec_id",
-            "cluster_id",
-            "keep",
-            "dup_of",
-            F.round("max_sim", 4).alias("max_sim"),
-            (
-                (F.col("keep") & F.col("dup_of").isNull())
-                | (~F.col("keep") & (jvm_sim >= thr - 1e-9))
-            ).alias("ok"),
+            F.col("dup_of").alias("a_id"),
+            F.col("vec_id").alias("b_id"),
+            F.round("max_sim", 4).alias("cosine_sim"),
         )
-        .withColumn("ok", F.col("ok") & F.lit(n_planted_dropped == n_planted))
+        .orderBy("a_id", "b_id")
     )
 
 
@@ -4126,26 +4171,24 @@ def q_dsir_sample(spark, sf_dir):
 
 # Queries whose implementation or oracle changed THIS round — their
 # most recent driver rows predate the change, so they are promoted to
-# the front alongside never-run queries. r9 changes: bm25_rank_batch
-# grew the two-stage per-probe cut (same results, new plan),
-# q_partitioned_pq now serves from the hash-threshold codebook sample
-# + the pq_profile auto-calibrated defaults, and q_media_features'
-# oracle norm sum became an explicitly ordered list_reduce fold. The
-# r9 window: 45 bound-threatened r06 rows (tier 1, includes q_pq_knn —
-# the one declared oracle never driver-verified) + these 3 promotions
-# fit within 50 with slack.
+# the front alongside never-run queries. r10 changes: q_semantic_dedup
+# converted from rows-only to a hash-strict full-pairs oracle (the
+# verified-pair projection; VERDICT r9 item 7 requires its hash-green
+# row THIS round). The r10 window has exactly one slack slot: 49
+# bound-threatened r07 rows (tier 1) + this promotion = 50.
 _CHANGED_THIS_ROUND = [
-    "q_media_features",
-    "q_bm25_batch",
-    "q_partitioned_pq",
+    "q_semantic_dedup",
 ]
 
-# Queries DECLARED this round whose first driver row may wait until
-# next round when the window is full (see rotation_order). r9: none —
-# the 45 bound-threatened r06 rows + 3 changed + the 2 new
-# declarations (q_calibrated_serving, q_resplit_consolidation) fill
-# the window exactly; both new queries enter as never-run.
-_DEFER_THIS_ROUND: list = []
+# Queries DECLARED or modified this round whose first/refreshed driver
+# row waits until r11 because the window is full (see above — one
+# slack slot, taken by the mandated q_semantic_dedup conversion):
+# q_ip_pq is NEW (ip-metric PQ serving); q_ann_search / q_ann_filtered
+# / q_ivfpq_knn grew enforced ``ok`` invariant columns (rows-only —
+# their real correctness signal is the local parity suite's ok gate,
+# which runs on ALL rows-only queries every round regardless of window
+# membership; their r11 slot coincides with the r08 cohort anyway).
+_DEFER_THIS_ROUND: list = ["q_ip_pq"]
 
 
 def _latest_driver_rounds() -> dict:
