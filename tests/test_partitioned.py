@@ -1142,3 +1142,160 @@ def test_resplit_preserves_overlap_layout(spark):
     assert r == 1.0, r
     for ix in (idx, grown, split):
         ix.shards_df.unpersist()
+
+
+# ------------------------------------------------------ r10 maintenance+cal
+
+
+def test_maintenance_carries_calibration(spark):
+    """r10 (VERDICT r9 missing #2): a maintained index must serve at a
+    CALIBRATED operating point without manual steps when the input was
+    calibrated — add/delete/resplit auto-recalibrate (policy: input
+    calibrated -> re-measure; uncalibrated -> stay uncalibrated;
+    recalibrate=True/False force)."""
+    from vamana_spark.index.partitioned import (
+        add_points,
+        delete_points,
+        resplit_oversized,
+    )
+
+    df = _blob_corpus(spark, n_blobs=8, n_pts=4000, sigma=0.02)
+    params = VamanaParams(dim=64, alpha=1.2, R=24, L=48, ef_search=64, seed=42)
+    idx = PartitionedVamanaIndex.build(spark, df, params, num_shards=8, overlap=2)
+    idx.shards_df = idx.shards_df.cache()
+    S = int(idx.params.num_shards)
+
+    # uncalibrated input -> maintenance stays uncalibrated (auto policy)
+    app = _blob_corpus(spark, n_blobs=8, n_pts=400, sigma=0.02, seed=9).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    plain = add_points(idx, app)
+    assert plain.recommended_nprobe is None
+
+    rec0 = idx.calibrate_nprobe()
+    assert rec0 < S  # clustered: routing does the work
+
+    # calibrated input -> append auto-recalibrates; serving at the
+    # carried default clears recall with zero manual steps
+    grown = add_points(idx, app)
+    assert grown.recommended_nprobe is not None
+    assert grown.default_nprobe < S  # not the exhaustive/S-floor shape
+    full = df.unionByName(app)
+    q = full.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    r = quality.avg_recall(
+        grown.search(q, k=10, nprobe=grown.default_nprobe),
+        exact.exact_knn(full, q, k=10),
+        k=10,
+    )
+    assert r >= 0.9, (grown.default_nprobe, r)
+
+    # delete side carries too; recalibrate=False opts out
+    shrunk = delete_points(grown, full.where(F.col("vec_id") % 10 == 0))
+    assert shrunk.recommended_nprobe is not None
+    opt_out = delete_points(grown, full.where(F.col("vec_id") % 10 == 0),
+                            recalibrate=False)
+    assert opt_out.recommended_nprobe is None
+
+    # resplit: no-op on balanced data returns the SAME object with its
+    # calibration intact; recalibrate=True forces a fresh measurement
+    # even on an uncalibrated input
+    same = resplit_oversized(grown, max_shard_factor=4.0)
+    assert same is grown and same.recommended_nprobe is not None
+    forced = add_points(plain, app.select(
+        (F.col("vec_id") + 5_000_000).alias("vec_id"), "embedding"
+    ), recalibrate=True)
+    assert forced.recommended_nprobe is not None
+    for ix in (idx, grown, shrunk, plain):
+        ix.shards_df.unpersist()
+
+
+def test_resplit_fixed_point_idempotent(spark):
+    """r10 (ADVICE r9): the resplit cap iterates to the fixed point of
+    its own growth, so a second resplit on UNCHANGED data is a no-op —
+    the old S_old-normalized rule re-fired after its own growth
+    (pops [940,20,20,20] split 1->2 then 2->3 with no data change) and
+    periodic maintenance kept rewriting the hot cell."""
+    from vamana_spark.index.partitioned import resplit_oversized
+
+    # ~94% of the mass in blob 0 — the advice's shape
+    import numpy as np
+
+    which = np.concatenate(
+        [np.zeros(940, np.int64), np.full(20, 1, np.int64),
+         np.full(20, 2, np.int64), np.full(20, 3, np.int64)]
+    )
+    df = _blob_corpus(spark, n_blobs=4, n_pts=1000, sigma=0.03, dim=16,
+                      seed=11, which=which)
+    params = VamanaParams(dim=16, alpha=1.2, R=16, L=32, ef_search=48, seed=42)
+    idx = PartitionedVamanaIndex.build(
+        spark, df, params, num_shards=4, max_shard_factor=None
+    )
+    idx.shards_df = idx.shards_df.cache()
+    split = resplit_oversized(idx, max_shard_factor=2.0)
+    assert split is not idx
+    split.shards_df = split.shards_df.cache()
+    again = resplit_oversized(split, max_shard_factor=2.0)
+    assert again is split, (
+        int(split.params.num_shards),
+        int(again.params.num_shards),
+    )
+    for ix in (idx, split):
+        ix.shards_df.unpersist()
+
+
+def test_dedupe_centers_and_tie_stable_routing(spark):
+    """r10 (ADVICE r9): (a) _dedupe_centers makes distinct-cell k-means
+    duplicates unambiguous before the split repeat, so _cell_layout
+    can't misread two cells as one split cell; (b) when split-cell
+    duplicate centers DO exist, _route orders exact ties identically to
+    calibrate_nprobe's stable argsort, so a calibrated nprobe cutting
+    inside a tie run serves exactly the measured probe prefix."""
+    import numpy as np
+
+    from vamana_spark.index.partitioned import (
+        _cell_layout,
+        _dedupe_centers,
+    )
+
+    # (a) unit: duplicate rows become pairwise distinct; layout = identity
+    C = np.array([[1.0, 2.0], [1.0, 2.0], [3.0, 4.0]], dtype=np.float32)
+    D = _dedupe_centers(C)
+    assert np.unique(D, axis=0).shape[0] == 3
+    assert np.allclose(D, C, atol=1e-3)
+    base, nsplit, _ = _cell_layout(D)
+    assert list(nsplit) == [1, 1, 1]
+
+    # (b) behavioral: a split index (duplicated centers) routed at an
+    # nprobe cutting inside the tie run must probe the stable-argsort
+    # prefix — sub-shards of the split cell in ascending shard order
+    from vamana_spark import exact as _exact
+    from vamana_spark.index.vamana import _metric_transform
+
+    df = _skewed_blob_corpus(spark)
+    params = VamanaParams(dim=16, alpha=1.2, R=16, L=32, ef_search=48, seed=42)
+    idx = PartitionedVamanaIndex.build(spark, df, params, num_shards=3)
+    _, nsplit2, _ = _cell_layout(idx.centers)
+    assert nsplit2.max() > 1  # the skew guard fired: duplicate centers live
+    q = df.limit(8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    take = 2
+    routed = (
+        idx._route(q, take, "query_id", "query_vec")
+        .groupBy("query_id")
+        .agg(F.sort_array(F.collect_list("shard")).alias("probes"))
+        .toPandas()
+        .set_index("query_id")["probes"]
+    )
+    qpdf = q.toPandas()
+    Qt = _metric_transform(
+        np.stack(qpdf["query_vec"].to_numpy()).astype(np.float32),
+        params.metric, params.mips_m, query=True,
+    ).astype(np.float64)
+    d = _exact._dist_matrix(Qt, idx.centers.astype(np.float64), "l2sq")
+    want = np.argsort(d, axis=1, kind="stable")[:, :take]
+    for i, qid in enumerate(qpdf["query_id"]):
+        assert sorted(routed[qid]) == sorted(int(x) for x in want[i]), qid
+    idx.shards_df.unpersist()

@@ -160,3 +160,60 @@ def test_cli_dedup_incremental(spark, tmp_path, capsys):
     assert out["output_rows"] == 10
     kept = {r.doc_id for r in spark.read.parquet(dst).collect()}
     assert kept == {100 + i for i in range(10)}
+
+
+def test_cli_pbuild_calibrate_persists_profile_pack(spark, tmp_path, capsys):
+    """ADVICE r9: `pbuild --calibrate --pack pq:M:KSUB` must persist the
+    pack the PROFILE chooses (m, strategy) at the spec's KSUB — not the
+    literal CLI combo — so a serving restart's default `psearch --pq`
+    (which follows the profile) finds the saved pack instead of
+    silently re-training/re-packing. Also: the 'pq:M:KSUB:pershard'
+    spec form parses, so a per-shard recommendation is expressible."""
+    import json
+
+    import numpy as np
+    import pandas as pd
+
+    from vamana_spark.__main__ import _parse_packs, main
+    from vamana_spark.index.partitioned import PartitionedVamanaIndex
+
+    assert _parse_packs(["pq:8:64:pershard"]) == (("pq", 8, 64, True),)
+
+    rng = np.random.default_rng(3)
+    src = str(tmp_path / "pb_src")
+    out = str(tmp_path / "pb_idx")
+    spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(600, dtype=np.int64),
+                "embedding": list(
+                    rng.standard_normal((600, 16)).astype(np.float32)
+                ),
+            }
+        ),
+        "vec_id long, embedding array<float>",
+    ).write.parquet(src)
+    rc = main([
+        "pbuild", "--input", src, "--output", out, "--shards", "3",
+        "--R", "8", "--L", "16", "--ef-search", "16",
+        "--calibrate", "--pack", "pq:16:64",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    prof = rep["pq_profile"]
+    # the persisted pack is the profile's (m, strategy) at the spec's ksub
+    with open(out + "/_meta.json") as f:
+        meta = json.load(f)
+    assert ["pq", int(prof["pq_m"]), 64, bool(prof["per_shard_codebooks"])] in [
+        list(p) for p in meta["packs"]
+    ]
+    # a restart's default-profile request resolves to the SAVED pack
+    loaded = PartitionedVamanaIndex.load(spark, out)
+    lprof = loaded.pq_profile(pq_ksub=64)
+    key = ("pq", int(lprof["pq_m"]), 64, bool(lprof["per_shard_codebooks"]))
+    assert key in loaded._packed_paths, (key, list(loaded._packed_paths))
+    q = spark.read.parquet(src).limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    assert loaded.search_pq(q, k=3, pq_ksub=64).count() == 15
+    loaded.unpersist_packed()

