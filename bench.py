@@ -249,9 +249,20 @@ def _query_mix(timings: dict, extra: dict) -> None:
         ).cache()
         allq.count()
 
-        # --- index build (R8): the reference's headline cost
+        # --- index build (R8): the reference's headline cost.
+        # warm=True (r10, VERDICT r9 #3): build_index is the FIRST job
+        # of the session, so its reps paid one-time JVM/codegen warm-up
+        # that every other multi-job entry amortizes — measured decay at
+        # sf0.1: rep0 1.71 s, then 0.33-0.42 s steady. The cold first
+        # run still lands in extra.cold_sec; the headline number is the
+        # steady state a long-running build service actually sees (the
+        # same policy the sketch-heavy pipeline entries already get).
         params = VamanaParams(dim=64, alpha=1.2, R=32, L=64, ef_search=100, seed=42)
-        idx = timed("build_index", lambda: VamanaIndex.build(spark, emb, params))
+        idx = timed(
+            "build_index",
+            lambda: VamanaIndex.build(spark, emb, params),
+            warm=True,
+        )
         # per-phase split of build_index (VERDICT r5 #8): time the dense
         # build kernel alone on the same rows, driver-side — the rest of
         # the build_index wall is Spark fixed cost (job/stage scheduling,
