@@ -295,7 +295,156 @@ def main() -> None:
             key, pidx.search_pq, nprobe=nprobe,
             per_shard_codebooks=per_shard_cb, **kw,
         )
+
+    if os.environ.get("MAINTENANCE"):
+        _maintenance_rung(spark, emb, pidx, out, blobs)
     print(json.dumps(out))
+
+
+def _maintenance_rung(spark, emb, pidx, out: dict, blobs: int) -> None:
+    """r10 (VERDICT r9 missing #3): the full 10M lifecycle —
+    build (already done by the caller) → 10% HOT-BLOB append (every new
+    point lands in blob 0, the production shape of a growing clustered
+    corpus) → resplit_oversized → recalibrate (automatic now: the input
+    index is calibrated, so add/resplit carry it) → serve — compared
+    against a FRESH build+calibrate on the same 11M corpus.
+
+        CLUSTERED=256 MAINTENANCE=1 python tools/scale_smoke_10m.py
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from vamana_spark import VamanaParams, exact, quality
+    from vamana_spark.index.partitioned import (
+        PartitionedVamanaIndex,
+        resplit_oversized,
+    )
+    from vamana_spark.index.partitioned import add_points as padd
+
+    n_app = N // 10
+    app_path = f"/tmp/sf10m_blob{blobs}_append/embeddings.parquet"
+    if not os.path.exists(app_path):
+        os.makedirs(os.path.dirname(app_path), exist_ok=True)
+        rng = np.random.default_rng(43)
+        # SAME center recipe as _gen (seed 42's first uniform draw):
+        # the hot blob is blob 0 of the existing mixture
+        c0 = np.random.default_rng(42).uniform(-1, 1, (max(blobs, 1), DIM))[
+            0
+        ].astype(np.float32)
+        schema = pa.schema(
+            [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
+        )
+        chunk = 100_000
+        with pq.ParquetWriter(app_path, schema) as w:
+            for lo in range(0, n_app, chunk):
+                X = (
+                    c0[None, :]
+                    + rng.normal(0.0, 0.15, (chunk, DIM)).astype(np.float32)
+                ).astype(np.float32)
+                w.write_table(
+                    pa.table(
+                        {
+                            "vec_id": pa.array(
+                                range(N + lo, N + lo + chunk), type=pa.int64()
+                            ),
+                            "embedding": pa.array(
+                                list(X), type=pa.list_(pa.float32())
+                            ),
+                        },
+                        schema=schema,
+                    )
+                )
+    app = spark.read.parquet(app_path)
+    mnt: dict = {"n_appended": n_app}
+    # graph mode mirrors the build (same rationale as the 1M rung): the
+    # auto rule is crossover-based and would build beam graphs in the
+    # swollen hot shards that graph-free serving never walks
+    gmode = True if out["graph"] else False
+
+    # --- append (auto-recalibrates: the input index is calibrated)
+    t0 = time.perf_counter()
+    grown = padd(pidx, app, graph=gmode)
+    mnt["add_sec"] = round(time.perf_counter() - t0, 2)
+    mnt["add_recalibrated_nprobe"] = grown.recommended_nprobe
+    mnt["add_touched_shards"] = (
+        grown.shards_df.where(F.col("vec_id") >= N)
+        .select("shard").distinct().count()
+    )
+    mnt["shards_after_add"] = int(grown.params.num_shards)
+    print(json.dumps({"maintenance_add": mnt}), flush=True)
+    pidx.shards_df.unpersist()
+    pidx.unpersist_packed()
+
+    # --- resplit the hot cell (auto-recalibrates too)
+    t0 = time.perf_counter()
+    split = resplit_oversized(grown, max_shard_factor=2.0, graph=gmode)
+    mnt["resplit_sec"] = round(time.perf_counter() - t0, 2)
+    mnt["resplit_fired"] = split is not grown
+    mnt["shards_after_resplit"] = int(split.params.num_shards)
+    mnt["resplit_recalibrated_nprobe"] = split.recommended_nprobe
+    if split is not grown:
+        grown.shards_df.unpersist()
+    print(json.dumps({"maintenance_resplit": {
+        k: mnt[k] for k in ("resplit_sec", "resplit_fired",
+                            "shards_after_resplit",
+                            "resplit_recalibrated_nprobe")
+    }}), flush=True)
+
+    # --- serve the maintained index at its carried defaults
+    full = emb.unionByName(app).cache()
+    n_full = full.count()
+    allq = full.where(F.col("vec_id") % NQ_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).cache()
+    nq = allq.count()
+    sample = allq.where(F.col("query_id") % GT_MOD == 0)
+    t0 = time.perf_counter()
+    truth = exact.exact_knn_batch(full, sample, k=10).cache()
+    truth.count()
+    mnt["exact_gt_full_sec"] = round(time.perf_counter() - t0, 2)
+
+    def serve(tag, ix):
+        npr = ix.default_nprobe
+        ix.search(allq.limit(8), k=10, nprobe=npr).count()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            ix.search(allq, k=10, nprobe=npr).count()
+            best = min(best, time.perf_counter() - t0)
+        mnt[f"{tag}_nprobe"] = npr
+        mnt[f"{tag}_qps"] = round(nq / best, 1)
+        mnt[f"{tag}_recall_at_10"] = round(
+            quality.avg_recall(ix.search(sample, k=10, nprobe=npr), truth, k=10),
+            4,
+        )
+        print(json.dumps({tag: {
+            "nprobe": npr, "qps": mnt[f"{tag}_qps"],
+            "recall": mnt[f"{tag}_recall_at_10"],
+        }}), flush=True)
+
+    serve("maintained", split)
+
+    # --- fresh-build comparison point on the same 11M corpus
+    pparams = VamanaParams(dim=DIM, alpha=1.2, R=32, L=64, ef_search=100, seed=42)
+    t0 = time.perf_counter()
+    fresh = PartitionedVamanaIndex.build(
+        spark, full, pparams,
+        num_shards=int(out["num_shards"]), overlap=int(out["shard_overlap"]),
+        graph=bool(out["graph"]),  # same mode as the caller's build
+    )
+    fresh.shards_df = fresh.shards_df.cache()
+    fresh.shards_df.count()
+    mnt["fresh_build_sec"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    mnt["fresh_calibrated_nprobe"] = fresh.calibrate_nprobe()
+    mnt["fresh_calibrate_sec"] = round(time.perf_counter() - t0, 2)
+    serve("fresh", fresh)
+    mnt["recall_drift_maintained_minus_fresh"] = round(
+        mnt["maintained_recall_at_10"] - mnt["fresh_recall_at_10"], 4
+    )
+    out["maintenance"] = mnt
 
 
 if __name__ == "__main__":
