@@ -118,6 +118,12 @@ _SHARDS_SCHEMA = (
     "embedding array<float>, neighbors array<int>"
 )
 
+# search_pq re-rank: broadcast the ADC shortlist side of the
+# vectors-at-rest join when it holds at most this many rows (~16 B/row
+# -> ~64 MB). Past it, fall back to the shuffle join. Module-level so
+# scale experiments can A/B it.
+_RERANK_BCAST_ROWS = 4_000_000
+
 
 def _make_rebuild_kernel(params: VamanaParams, graph: Optional[bool]):
     """Per-shard (re)build kernel shared by ``add_points`` and
@@ -1554,21 +1560,35 @@ class PartitionedVamanaIndex:
             .drop("_r")
         )
         # exact re-rank: equi-joins only; vectors read back for the
-        # shortlist rows alone (AQE broadcasts the small side). The
-        # shortlist joins the UN-deduplicated shard rows — overlap
-        # copies are dropped AFTER the join, on |Q|*kprime*overlap
-        # rows, because dropDuplicates on shards_df itself would
-        # shuffle the ENTIRE corpus per search call (the base table
-        # must stay at rest; only shortlist-matched rows move).
+        # shortlist rows alone. The shortlist joins the UN-deduplicated
+        # shard rows — overlap copies are dropped AFTER the join, on
+        # |Q|*kprime*overlap rows, because dropDuplicates on shards_df
+        # itself would shuffle the ENTIRE corpus per search call (the
+        # base table must stay at rest; only shortlist-matched rows
+        # move). r10 (VERDICT r9 #6): the shortlist side is EXPLICITLY
+        # broadcast when bounded — its exact size is nq*kprime rows of
+        # (query_id, vec_id), known before execution, but past ~10 MB
+        # AQE stopped broadcasting it and the join fell back to
+        # sort-merge, shuffling the full corpus per call (measured at
+        # the clustered 10M rung: 20M shard rows ≈ 5 GB re-sorted per
+        # batch — the whole flat-vs-PQ serving gap). The corpus scan
+        # stays map-side; one count() against the caller's (typically
+        # cached) query batch prices the decision.
         p = self.shards_df.select("vec_id", F.col("embedding").alias("_pv"))
         q = queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(query_vec_col).alias("_qv"),
         )
-        cand = shortlist.drop("dist").join(p, "vec_id")
+        nq = queries.count()
+        # ~16 B/row -> cap the broadcast at ~64 MB of shortlist rows
+        bcast = nq * kprime <= _RERANK_BCAST_ROWS
+        if bcast:
+            cand = p.join(F.broadcast(shortlist.drop("dist")), "vec_id")
+        else:
+            cand = shortlist.drop("dist").join(p, "vec_id")
         if self._overlap() > 1:  # one vector row per (query, point)
             cand = cand.dropDuplicates(["query_id", "vec_id"])
-        exactd = cand.join(q, "query_id").select(
+        exactd = cand.join(F.broadcast(q) if bcast else q, "query_id").select(
             "query_id",
             "vec_id",
             pairwise_distance(
