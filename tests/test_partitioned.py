@@ -1070,26 +1070,42 @@ def test_resplit_oversized_after_heavy_append(spark):
     assert split is not grown
     S_new = int(split.params.num_shards)
     assert S_new > 3
-    base1, nsplit1, cell1 = _cell_layout(split.centers)
-    assert list(base1[:1]) == [0] and nsplit1.max() > 1
+    # r10: the re-split cell gets DISTINCT k-means sub-centers (trained
+    # on its members — routing regains geometry inside the hot region),
+    # so the old center row disappears and the new rows are unique
+    # unless the over-cap hash backstop fired. The hot cell's parent
+    # center must be gone; the untouched cells' centers must survive
+    # byte-for-byte.
+    new_center_bytes = {
+        split.centers[s].tobytes(): s for s in range(S_new)
+    }
+    hot_cell = int(
+        np.argmax([sizes.get(int(base0[c]), 0) for c in range(len(nsplit0))])
+    )
+    assert grown.centers[int(base0[hot_cell])].tobytes() not in new_center_bytes
     # bound holds on measured sizes
     new_sizes = {r["shard"]: r["count"] for r in split.shards_df.groupBy("shard").count().collect()}
     assert max(new_sizes.values()) <= 2.0 * n_total / S_new * 1.6, new_sizes
     # coverage: every point exactly once (overlap=1)
     assert split.shards_df.count() == n_total
     assert split.shards_df.select("vec_id").distinct().count() == n_total
-    # untouched cells: subgraphs byte-for-byte, only renumbered
-    unchanged_cells = [c for c in range(len(nsplit0)) if nsplit1[c] == 1]
-    assert unchanged_cells
+    # untouched cells: subgraphs byte-for-byte, only renumbered (find
+    # them by their surviving center bytes — positional ids changed)
+    unchanged = [
+        (int(base0[c]), new_center_bytes[grown.centers[int(base0[c])].tobytes()])
+        for c in range(len(nsplit0))
+        if c != hot_cell
+        and grown.centers[int(base0[c])].tobytes() in new_center_bytes
+    ]
+    assert len(unchanged) == len(nsplit0) - 1  # every non-hot cell kept
     after = {
         (r.shard, r.vec_id): tuple(r.neighbors)
         for r in split.shards_df.select("shard", "vec_id", "neighbors").collect()
     }
-    for c in unchanged_cells:
-        old_shard, new_shard = int(base0[c]), int(base1[c])
+    for old_shard, new_shard in unchanged:
         old_rows = {v: nb for (s, v), nb in before.items() if s == old_shard}
         new_rows = {v: nb for (s, v), nb in after.items() if s == new_shard}
-        assert old_rows == new_rows, c
+        assert old_rows == new_rows, (old_shard, new_shard)
     # serving equivalence: exhaustive search matches exact kNN
     full = df.unionByName(app)
     q = full.where(F.col("vec_id") % 200 == 3).select(

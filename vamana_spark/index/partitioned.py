@@ -1925,12 +1925,24 @@ def resplit_oversized(
     byte-for-byte and is merely renumbered to its new positional id
     (a metadata projection — no kernel, no vector movement). Split
     counts only grow (never shrink) so repeated calls converge and
-    undersized cells aren't churned. Routing is unchanged in geometry:
-    new sub-shards repeat the parent center, the same degradation-to-
-    near-ties the build-time guard uses.
+    undersized cells aren't churned.
 
-    Returns a new index (packs invalidated — re-pack / re-calibrate for
-    serving). No-op (same object) when nothing is oversized.
+    r10 routing geometry: re-split cells get DISTINCT k-means
+    sub-centers trained on their own members (the full membership is
+    on hand here, unlike at build where only a thin sample exists).
+    The r9 recipe — repeat the parent center per sub-shard — collapsed
+    at the 10M hot-append rung: a 1M-point cell split ~270 ways left a
+    blob query with no geometry inside the former cell (every sub-shard
+    ties exactly), forcing calibration to nprobe=29 for 0.89 recall.
+    With trained sub-centers the hot region routes like any other part
+    of the index. An even vec_id-hash split remains as the OVER-CAP
+    backstop on the measured sub-cell populations, so the straggler
+    bound stays exact and unchanged data stays a no-op.
+
+    Returns a new index (packs invalidated; when the input index was
+    calibrated the result auto-recalibrates — see
+    ``_carry_calibration``). No-op (same object) when nothing is
+    oversized.
     """
     spark = index.spark
     params = index.params
@@ -1971,12 +1983,160 @@ def resplit_oversized(
         return index
 
     changed = np.flatnonzero(want != nsplit)
-    new_base = np.concatenate(([0], np.cumsum(want)[:-1])).astype(np.int64)
-    C_new = np.repeat(C[base], want, axis=0).astype(np.float32)
-
-    # old shard id -> (cell, level); unchanged cells keep their levels,
-    # so their new shard id is a pure offset remap
     changed_set = set(int(c) for c in changed)
+
+    from vamana_spark.index.vamana import _metric_transform
+    from vamana_spark.operators.quantization import _kmeans
+
+    metric, mips_m = params.metric, params.mips_m
+    seed = int(params.seed)
+
+    # ---- r10: GEOMETRIC sub-centers for the re-split cells -----------
+    # The r9 resplit repeated the parent center per sub-shard (the
+    # build guard's recipe) — fine for 2-3-way build-time splits, but
+    # measured at the 10M hot-append rung a 1M-point cell re-split into
+    # ~270 IDENTICAL-center sub-shards: a blob query then has no
+    # routing geometry inside the former cell (all sub-shards tie
+    # exactly) and must scan the whole tie run — calibration was forced
+    # to nprobe=29 and still served 0.89 recall. At resplit time the
+    # cell's full membership is on hand (unlike at build, where only a
+    # ~32-rows/shard sample exists), so train want[c] DISTINCT k-means
+    # sub-centers on a member sample instead: routing regains geometry
+    # inside the hot region and blob queries go back to single-digit
+    # probes. An even vec_id-hash split remains as the OVER-CAP
+    # BACKSTOP on the measured sub-cell populations (k-means does not
+    # guarantee balance), so the straggler bound stays exact and a
+    # second call on unchanged data is still a no-op.
+    changed_shards = np.array(
+        [s for s in range(S_old) if int(cell_of_shard[s]) in changed_set],
+        dtype=np.int32,
+    )
+    chs_df = spark.createDataFrame(
+        pd.DataFrame({"shard": changed_shards}), "shard int"
+    )
+    members = index.shards_df.join(F.broadcast(chs_df), "shard").select(
+        "shard", "vec_id", "embedding"
+    )
+
+    # deterministic hash-ordered member sample, ~64 rows per sub-center
+    # (mass-proportional across cells; bounded driver collect)
+    k_by_cell = {int(c): int(want[c]) for c in changed}
+    k_total = int(sum(k_by_cell.values()))
+    cap_rows = min(500_000, max(64 * k_total, 4096))
+    n_changed_rows = int(sum(sizes.get(int(s), 0) for s in changed_shards))
+    h = F.pmod(F.xxhash64(F.col("vec_id") + F.lit(seed)), F.lit(1 << 30))
+    smp = members.select("shard", "vec_id", "embedding", h.alias("_h"))
+    if n_changed_rows > cap_rows:
+        smp = smp.where(F.col("_h") < int(min(1.0, 1.3 * cap_rows / n_changed_rows) * (1 << 30)))
+    rows = smp.orderBy("_h", "vec_id", "shard").limit(cap_rows).toPandas()
+    Xs = _metric_transform(
+        np.stack(rows["embedding"].to_numpy()).astype(np.float32),
+        metric, mips_m,
+    ).astype(np.float64)
+    smp_cells = cell_of_shard[rows["shard"].to_numpy(dtype=np.int64)]
+    sub_centers: dict = {}
+    sub_offset: dict = {}
+    off = 0
+    for c in sorted(changed_set):
+        Xc = Xs[smp_cells == c]
+        kc = max(1, min(k_by_cell[c], Xc.shape[0]))
+        k_by_cell[c] = kc  # degenerate tiny cells can't exceed sample
+        sub_centers[c] = _kmeans(Xc, kc, seed + 7 * c + 1, 10).astype(
+            np.float32
+        )
+        sub_offset[c] = off
+        off += kc
+    k_total = off
+
+    # pass 1: nearest-sub-center assignment (cached — it feeds the
+    # measured-population backstop AND the final shard map)
+    b_geo = spark.sparkContext.broadcast(
+        (cell_of_shard.astype(np.int64), sub_centers, sub_offset)
+    )
+
+    def assign_geo(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from vamana_spark.index.vamana import _metric_transform as _mt
+
+        cell_v, subC, offs = b_geo.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = _mt(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float32),
+                metric, mips_m,
+            ).astype(np.float64)
+            cells = cell_v[pdf["shard"].to_numpy(dtype=np.int64)]
+            sub = np.empty(len(pdf), dtype=np.int64)
+            for c in np.unique(cells):
+                m = cells == c
+                d = exact._dist_matrix(X[m], subC[int(c)].astype(np.float64), "l2sq")
+                sub[m] = offs[int(c)] + d.argmin(axis=1)
+            out = pdf[["vec_id", "embedding"]].copy()
+            out["subcell"] = sub.astype(np.int32)
+            yield out
+
+    assigned = members.mapInPandas(
+        assign_geo, schema="vec_id long, embedding array<float>, subcell int"
+    ).persist()
+    sub_sizes = np.zeros(k_total, dtype=np.int64)
+    for r in assigned.groupBy("subcell").count().collect():
+        sub_sizes[int(r["subcell"])] = int(r["count"])
+
+    # over-cap hash backstop, iterated jointly with the resulting S
+    # (same fixed-point argument as `want` above)
+    S_unchanged = S_old - int(changed_shards.shape[0])
+    nsplit_sub = np.ones(k_total, dtype=np.int64)
+    for _ in range(100):
+        cap = float(max_shard_factor) * total / max(
+            S_unchanged + int(nsplit_sub.sum()), 1
+        )
+        nxt = np.maximum(nsplit_sub, np.ceil(sub_sizes / cap).astype(np.int64))
+        if np.array_equal(nxt, nsplit_sub):
+            break
+        nsplit_sub = nxt
+
+    # ---- final layout: cells in original order ------------------------
+    # unchanged cells keep their rows byte-for-byte; changed cell c
+    # contributes its kc sub-centers, each repeated nsplit_sub times
+    # (the backstop's duplicated-center runs, same as the build guard)
+    dimT = C.shape[1]
+    cell_rows: list = []
+    final_count = np.zeros(n_cells, dtype=np.int64)
+    # sub-center rows must not collide byte-wise with any OTHER final
+    # cell's representative (the _cell_layout contract); unchanged rows
+    # stay untouched, new reps get the ULP bump on collision
+    seen = set()
+    for c in range(n_cells):
+        if c not in changed_set:
+            for s in range(int(base[c]), int(base[c]) + int(nsplit[c])):
+                seen.add(C[s].tobytes())
+    for c in sorted(changed_set):
+        Cc = sub_centers[c].copy()
+        for i in range(Cc.shape[0]):
+            guard = 0
+            while Cc[i].tobytes() in seen and guard < 4096:
+                Cc[i, 0] = np.nextafter(
+                    Cc[i, 0], np.float32(np.inf), dtype=np.float32
+                )
+                guard += 1
+            seen.add(Cc[i].tobytes())
+        sub_centers[c] = Cc
+    for c in range(n_cells):
+        if c in changed_set:
+            o = sub_offset[c]
+            kc = k_by_cell[c]
+            reps = nsplit_sub[o : o + kc]
+            cell_rows.append(np.repeat(sub_centers[c], reps, axis=0))
+            final_count[c] = int(reps.sum())
+        else:
+            cell_rows.append(C[base[c] : base[c] + nsplit[c]])
+            final_count[c] = int(nsplit[c])
+    C_new = np.vstack(cell_rows).astype(np.float32).reshape(-1, dimT)
+    new_base = np.concatenate(([0], np.cumsum(final_count)[:-1])).astype(
+        np.int64
+    )
+
+    # old shard id -> new positional id for unchanged cells (levels kept)
     remap = {}
     for s in range(S_old):
         c = int(cell_of_shard[s])
@@ -1985,7 +2145,7 @@ def resplit_oversized(
     # renumber via a broadcast-joined mapping TABLE, not a literal map
     # expression — at production shard counts (10^5+) an S-literal
     # expression bloats the plan; a tiny broadcast join is O(1) plan
-    # size and the semi-join doubles as the keep-filter
+    # size and the join doubles as the keep-filter
     remap_df = spark.createDataFrame(
         pd.DataFrame(
             {
@@ -2003,37 +2163,36 @@ def resplit_oversized(
         )
     )
 
-    # re-split cells: reassign members by the SAME deterministic vec_id
-    # hash at the new split count, then rebuild those shards only
-    # (anti-join against the same broadcast mapping = NOT renumbered)
-    members = index.shards_df.join(
-        F.broadcast(remap_df.select("shard")), "shard", "left_anti"
-    ).select("shard", "vec_id", "embedding")
-    old_cell_of_shard = spark.sparkContext.broadcast(
-        cell_of_shard.astype(np.int64)
-    )
-    bnew = spark.sparkContext.broadcast((new_base, want))
+    # pass 2: subcell -> final shard id (+ the backstop's vec_id hash
+    # level inside over-cap sub-cells)
+    sub_first = np.zeros(k_total, dtype=np.int64)
+    for c in sorted(changed_set):
+        o, kc = sub_offset[c], k_by_cell[c]
+        run = new_base[c] + np.concatenate(
+            ([0], np.cumsum(nsplit_sub[o : o + kc])[:-1])
+        )
+        sub_first[o : o + kc] = run
+    b_fin = spark.sparkContext.broadcast((sub_first, nsplit_sub))
 
-    def reassign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cell_v = old_cell_of_shard.value
-        nb, nw = bnew.value
+    def finalize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        first_v, nsp_v = b_fin.value
         for pdf in batches:
             if pdf.empty:
                 continue
-            cells = cell_v[pdf["shard"].to_numpy(dtype=np.int64)]
+            sc = pdf["subcell"].to_numpy(dtype=np.int64)
             vid = pdf["vec_id"].to_numpy(dtype=np.int64)
-            sub = _subshard_of(vid, nw[cells])
+            lvl = _subshard_of(vid, nsp_v[sc])
             out = pdf[["vec_id", "embedding"]].copy()
-            out["shard"] = (nb[cells] + sub).astype(np.int32)
+            out["shard"] = (first_v[sc] + lvl).astype(np.int32)
             yield out
 
-    reassigned = members.mapInPandas(
-        reassign, schema="vec_id long, embedding array<float>, shard int"
+    reassigned = assigned.mapInPandas(
+        finalize, schema="vec_id long, embedding array<float>, shard int"
     )
     import dataclasses
 
     new_params = dataclasses.replace(params)
-    new_params.num_shards = int(want.sum())
+    new_params.num_shards = int(S_unchanged + int(nsplit_sub.sum()))
     rebuilt = (
         _salted_by_shard(spark, reassigned, new_params.num_shards)
         .groupBy("_gkey")
