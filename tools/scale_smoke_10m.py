@@ -226,20 +226,21 @@ def main() -> None:
             "pq_profile": out["pq_profile"],
             "pq_profile_sec": out["pq_profile_sec"],
         }), flush=True)
-    prof = pidx.pq_profile()
-    out["pq_per_shard_codebooks"] = (
-        per_shard_cb if per_shard_cb is not None
-        else prof["per_shard_codebooks"]
-    )
-    t0 = time.perf_counter()
-    pidx._packed_df(
-        "pq", pq_m=int(prof["pq_m"]), pq_ksub=256,
-        per_shard_codebooks=bool(out["pq_per_shard_codebooks"]),
-    )
-    out["pq_m"] = int(prof["pq_m"])
-    out["pq_pack_sec"] = round(time.perf_counter() - t0, 2)
-    print(json.dumps({"pq_pack_sec": out["pq_pack_sec"],
-                      "pq_m": out["pq_m"]}), flush=True)
+    if not os.environ.get("SKIP_PQ"):
+        prof = pidx.pq_profile()
+        out["pq_per_shard_codebooks"] = (
+            per_shard_cb if per_shard_cb is not None
+            else prof["per_shard_codebooks"]
+        )
+        t0 = time.perf_counter()
+        pidx._packed_df(
+            "pq", pq_m=int(prof["pq_m"]), pq_ksub=256,
+            per_shard_codebooks=bool(out["pq_per_shard_codebooks"]),
+        )
+        out["pq_m"] = int(prof["pq_m"])
+        out["pq_pack_sec"] = round(time.perf_counter() - t0, 2)
+        print(json.dumps({"pq_pack_sec": out["pq_pack_sec"],
+                          "pq_m": out["pq_m"]}), flush=True)
     # flat serving reads only the packed blobs and PQ re-rank reads
     # shards_df: the raw emb cache (~5 GB at 10M) is dead weight past
     # this point — drop it before the query fan-out
@@ -288,13 +289,14 @@ def main() -> None:
         for x in os.environ.get("PQ_RERANK", "").split(",")
         if x.strip()
     ] or [None]
-    for rr in reranks:
-        key = "partitioned_pq" if rr is None else f"partitioned_pq_rr{rr}"
-        kw = {} if rr is None else {"rerank": rr}
-        measure(
-            key, pidx.search_pq, nprobe=nprobe,
-            per_shard_codebooks=per_shard_cb, **kw,
-        )
+    if not os.environ.get("SKIP_PQ"):
+        for rr in reranks:
+            key = "partitioned_pq" if rr is None else f"partitioned_pq_rr{rr}"
+            kw = {} if rr is None else {"rerank": rr}
+            measure(
+                key, pidx.search_pq, nprobe=nprobe,
+                per_shard_codebooks=per_shard_cb, **kw,
+            )
 
     if os.environ.get("MAINTENANCE"):
         _maintenance_rung(spark, emb, pidx, out, blobs)
@@ -363,6 +365,11 @@ def _maintenance_rung(spark, emb, pidx, out: dict, blobs: int) -> None:
     # swollen hot shards that graph-free serving never walks
     gmode = True if out["graph"] else False
 
+    # the serving packs (~15 GB persisted flat+pq at 10M) are dead
+    # weight past this point; run 2 filled /tmp's shuffle space with
+    # them still held while the maintained index materialized
+    pidx.unpersist_packed()
+
     # --- append (auto-recalibrates: the input index is calibrated)
     t0 = time.perf_counter()
     grown = padd(pidx, app, graph=gmode)
@@ -375,7 +382,6 @@ def _maintenance_rung(spark, emb, pidx, out: dict, blobs: int) -> None:
     mnt["shards_after_add"] = int(grown.params.num_shards)
     print(json.dumps({"maintenance_add": mnt}), flush=True)
     pidx.shards_df.unpersist()
-    pidx.unpersist_packed()
 
     # --- resplit the hot cell (auto-recalibrates too)
     t0 = time.perf_counter()
@@ -425,6 +431,7 @@ def _maintenance_rung(spark, emb, pidx, out: dict, blobs: int) -> None:
         }}), flush=True)
 
     serve("maintained", split)
+    split.unpersist_packed()  # the fresh build needs the disk
 
     # --- fresh-build comparison point on the same 11M corpus
     pparams = VamanaParams(dim=DIM, alpha=1.2, R=32, L=64, ef_search=100, seed=42)
