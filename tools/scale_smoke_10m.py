@@ -103,6 +103,18 @@ def _gen(path: str, blobs: int = 0) -> None:
             )
 
 
+def _jvm_gc(spark) -> None:
+    """Nudge both GCs so the ContextCleaner releases shuffle files of
+    dereferenced lineage (local-mode disk is the scarce resource)."""
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
+
 def _metrics_probe(spark):
     """Cumulative (disk-spill, memory-spill, shuffle-write) bytes across
     all completed stages, via the UI REST API — call twice and diff to
@@ -382,6 +394,11 @@ def _maintenance_rung(spark, emb, pidx, out: dict, blobs: int) -> None:
     mnt["shards_after_add"] = int(grown.params.num_shards)
     print(json.dumps({"maintenance_add": mnt}), flush=True)
     pidx.shards_df.unpersist()
+    # cut lineage so the ContextCleaner can release the phase's shuffle
+    # files — runs 2/3 filled the disk with shuffles pinned by cached
+    # DataFrames' lineage accumulated across build→add→resplit→fresh
+    grown.shards_df = grown.shards_df.localCheckpoint()
+    _jvm_gc(spark)
 
     # --- resplit the hot cell (auto-recalibrates too)
     t0 = time.perf_counter()
@@ -392,6 +409,8 @@ def _maintenance_rung(spark, emb, pidx, out: dict, blobs: int) -> None:
     mnt["resplit_recalibrated_nprobe"] = split.recommended_nprobe
     if split is not grown:
         grown.shards_df.unpersist()
+        split.shards_df = split.shards_df.localCheckpoint()
+        _jvm_gc(spark)
     print(json.dumps({"maintenance_resplit": {
         k: mnt[k] for k in ("resplit_sec", "resplit_fired",
                             "shards_after_resplit",
@@ -432,6 +451,7 @@ def _maintenance_rung(spark, emb, pidx, out: dict, blobs: int) -> None:
 
     serve("maintained", split)
     split.unpersist_packed()  # the fresh build needs the disk
+    _jvm_gc(spark)
 
     # --- fresh-build comparison point on the same 11M corpus
     pparams = VamanaParams(dim=DIM, alpha=1.2, R=32, L=64, ef_search=100, seed=42)
@@ -441,9 +461,10 @@ def _maintenance_rung(spark, emb, pidx, out: dict, blobs: int) -> None:
         num_shards=int(out["num_shards"]), overlap=int(out["shard_overlap"]),
         graph=bool(out["graph"]),  # same mode as the caller's build
     )
-    fresh.shards_df = fresh.shards_df.cache()
+    fresh.shards_df = fresh.shards_df.localCheckpoint()
     fresh.shards_df.count()
     mnt["fresh_build_sec"] = round(time.perf_counter() - t0, 2)
+    _jvm_gc(spark)
     t0 = time.perf_counter()
     mnt["fresh_calibrated_nprobe"] = fresh.calibrate_nprobe()
     mnt["fresh_calibrate_sec"] = round(time.perf_counter() - t0, 2)
