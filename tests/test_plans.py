@@ -408,6 +408,15 @@ def test_search_pq_rerank_keeps_corpus_at_rest(spark, sf_dir):
     # keys [vec_id] alone; post-fix every dedupe aggregate keys on
     # (query_id, vec_id).
     assert not re.search(r"HashAggregate.*[Kk]eys=\[vec_id[#\d]*\]\s*$", p, re.M), p
+    # r10 (VERDICT r9 #6): the vectors-at-rest re-rank join must
+    # BROADCAST the bounded shortlist side. Relying on AQE held at
+    # bench scale but broke at 10M (the 1M-row shortlist crossed the
+    # threshold and the join fell back to sort-merge, re-shuffling the
+    # 20M-row shard table per search call — the whole flat-vs-PQ gap).
+    # The explicit hint shows up as BroadcastHashJoin on the vec_id
+    # equi-join; a SortMergeJoin on vec_id is the regression signature.
+    assert "BroadcastHashJoin" in p, p
+    assert not re.search(r"SortMergeJoin.*vec_id", p), p
 
 
 def test_temperature_mixture_corpus_never_shuffles(spark, sf_dir):
