@@ -574,6 +574,12 @@ def test_ip_pq_serving_recall(spark, embeddings, queries):
     assert common
     for key in list(common)[:50]:
         assert abs(a[key] - t[key]) < 1e-2, (key, a[key], t[key])
+    # the per-shard-codebook strategy pads identically (dsub derives
+    # from the padded width inside the pack kernel)
+    r_ps = quality.avg_recall(
+        pidx.search_pq(queries, k=10, per_shard_codebooks=True), truth, k=10
+    )
+    assert r_ps >= 0.9, f"ip PQ per-shard recall@10 = {r_ps}"
     pidx.unpersist_packed()
 
 
@@ -1259,6 +1265,43 @@ def test_resplit_fixed_point_idempotent(spark):
     )
     for ix in (idx, split):
         ix.shards_df.unpersist()
+
+
+def test_resplit_index_save_load_serves_identically(tmp_path, spark):
+    """A geometric-resplit index (r10: trained sub-center rows in the
+    center matrix) must roundtrip through save/load and serve
+    bit-identical results — the C_new assembly is novel layout code."""
+    from vamana_spark.index.partitioned import resplit_oversized
+
+    df = _skewed_blob_corpus(spark)
+    params = VamanaParams(dim=16, alpha=1.2, R=16, L=32, ef_search=48, seed=42)
+    idx = PartitionedVamanaIndex.build(
+        spark, df, params, num_shards=3, max_shard_factor=None
+    )
+    idx.shards_df = idx.shards_df.cache()
+    split = resplit_oversized(idx, max_shard_factor=2.0)
+    assert split is not idx
+    path = str(tmp_path / "resplit_idx")
+    split.save(path)
+    loaded = PartitionedVamanaIndex.load(spark, path)
+    import numpy as np
+
+    assert np.array_equal(loaded.centers, split.centers)
+    q = df.where(F.col("vec_id") % 300 == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = sorted(
+        (r.query_id, r.rank, r.vec_id)
+        for r in split.search(q, k=5, nprobe=2).collect()
+    )
+    b = sorted(
+        (r.query_id, r.rank, r.vec_id)
+        for r in loaded.search(q, k=5, nprobe=2).collect()
+    )
+    assert a == b
+    idx.shards_df.unpersist()
+    split.unpersist_packed()
+    loaded.unpersist_packed()
 
 
 def test_dedupe_centers_and_tie_stable_routing(spark):
