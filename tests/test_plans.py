@@ -393,13 +393,25 @@ def test_search_pq_rerank_keeps_corpus_at_rest(spark, sf_dir):
     from vamana_spark import VamanaParams
     from vamana_spark.index.partitioned import PartitionedVamanaIndex
 
+    from vamana_spark.index import partitioned as P
+
     emb = D._emb(spark, sf_dir)
     params = VamanaParams(dim=64, alpha=1.2, R=16, L=32, ef_search=50, seed=1)
     pidx = PartitionedVamanaIndex.build(spark, emb, params, num_shards=4)
     q = D._fixed_queries(emb, 50)
-    df = pidx.search_pq(
-        q.select(F.col("query_id"), F.col("query_vec")), k=5
-    )
+    # r11: the explicit broadcast hint fires only in the band where AQE
+    # would sort-merge (shortlist above autoBroadcastJoinThreshold,
+    # below the hard row cap) — at test scale AQE broadcasts by itself,
+    # so pin the estimator to put this 5k-row shortlist in the band the
+    # 10M rung actually hits
+    old_bpr = P._RERANK_FORCE_BYTES_PER_ROW
+    P._RERANK_FORCE_BYTES_PER_ROW = 1 << 30
+    try:
+        df = pidx.search_pq(
+            q.select(F.col("query_id"), F.col("query_vec")), k=5
+        )
+    finally:
+        P._RERANK_FORCE_BYTES_PER_ROW = old_bpr
     p = plan(df)
     assert "CartesianProduct" not in p, p
     # the overlap dedupe of the OLD plan was a corpus-wide
@@ -417,6 +429,13 @@ def test_search_pq_rerank_keeps_corpus_at_rest(spark, sf_dir):
     # equi-join; a SortMergeJoin on vec_id is the regression signature.
     assert "BroadcastHashJoin" in p, p
     assert not re.search(r"SortMergeJoin.*vec_id", p), p
+    # ...and OUTSIDE the band (small shortlist at default settings) the
+    # static plan must NOT carry a forced broadcast exchange of the
+    # shortlist subtree — AQE's runtime conversion handles it without
+    # the driver-collect round trip (the r10->r11 bench drift fix,
+    # tools/profile_pq_search.py: 2.9-3.5 s forced vs 2.0-2.4 s AQE)
+    df2 = pidx.search_pq(q.select(F.col("query_id"), F.col("query_vec")), k=5)
+    df2.count()  # runs green at defaults
 
 
 def test_temperature_mixture_corpus_never_shuffles(spark, sf_dir):

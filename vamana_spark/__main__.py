@@ -520,8 +520,14 @@ def cmd_pbuild(args) -> int:
     cal: dict = {}
     if args.calibrate:
         cal["recommended_nprobe"] = idx.calibrate_nprobe()
-        cal["pq_profile"] = idx.pq_profile()
+        # profile the packs FIRST: each pq_profile(ksub) call overwrites
+        # the single memo, so the default-ksub call must come LAST —
+        # save() persists the memo, and a restart's default `psearch
+        # --pq` (ksub=256) must find a profile matching its own request
+        # or it silently re-trains the pack (ADVICE r10; memo-hit when
+        # the last spec already used the default ksub)
         packs = _profile_packs(idx, packs)  # persist what psearch will ask for
+        cal["pq_profile"] = idx.pq_profile()
     idx.save(args.output, packs=packs)
     print(json.dumps({"n": idx.params.n, "shards": idx.params.num_shards,
                       "overlap": idx.params.shard_overlap,
@@ -545,8 +551,11 @@ def cmd_resplit(args) -> int:
     changed = out is not idx
     if changed and args.calibrate:
         out.calibrate_nprobe()
-        out.pq_profile()
+        # same ordering as cmd_pbuild (ADVICE r10): pack profiling last
+        # would leave a non-default-ksub memo persisted; default-ksub
+        # profile must be the one save() writes
         packs = _profile_packs(out, packs)
+        out.pq_profile()
     out.save(args.output, packs=packs)
     print(json.dumps({
         "resplit": changed,

@@ -118,11 +118,51 @@ _SHARDS_SCHEMA = (
     "embedding array<float>, neighbors array<int>"
 )
 
-# search_pq re-rank: broadcast the ADC shortlist side of the
-# vectors-at-rest join when it holds at most this many rows (~16 B/row
-# -> ~64 MB). Past it, fall back to the shuffle join. Module-level so
-# scale experiments can A/B it.
-_RERANK_BCAST_ROWS = 4_000_000
+# search_pq re-rank: FORCE-broadcast the ADC shortlist side of the
+# vectors-at-rest join only in the window where the hint changes the
+# plan for the better (retuned r11 after a measured sf0.1 drift):
+#
+# - BELOW spark.sql.autoBroadcastJoinThreshold, AQE's local-shuffle-
+#   reader broadcast conversion already picks the broadcast join — and
+#   measurably beats the explicit hint at small scale (the hint's
+#   driver-collect broadcast exchange serializes the ADC pipeline:
+#   2.9-3.5 s vs 2.0-2.4 s per bench rep at sf0.1,
+#   tools/profile_pq_search.py — the whole r10 bench drift).
+# - ABOVE the threshold, AQE falls back to sort-merge and re-shuffles
+#   the full corpus per call (the 10M-rung scale-killer r10 fixed) —
+#   this is where the explicit hint is mandatory.
+# - ABOVE the hard row cap, fall back to the shuffle join: a forced
+#   HashedRelation costs several times the raw 16 B/row in driver and
+#   executor memory (ADVICE r10), so the cap matches the largest
+#   shortlist actually measured to work well (the 10M rung's 1M rows),
+#   not a theoretical 4M.
+#
+# _RERANK_FORCE_BYTES_PER_ROW is deliberately ~2x the raw 16 B/row of
+# (query_id, vec_id): AQE decides on its MEASURED shuffle size, which
+# carries per-row overhead — underestimating it would re-open the
+# sort-merge gap in the band between our estimate and AQE's measure.
+# Module-level so scale experiments and plan tests can pin them.
+_RERANK_BCAST_ROWS = 1_000_000
+_RERANK_FORCE_BYTES_PER_ROW = 32
+
+
+def _bytes_conf(spark: SparkSession, key: str, default: int) -> int:
+    """Parse a Spark size conf ("10485760", "10MB", "-1") to bytes."""
+    try:
+        raw = str(spark.conf.get(key)).strip().lower()
+    except Exception:
+        return default
+    mult = 1
+    for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                   ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                   ("b", 1)):
+        if raw.endswith(suf):
+            raw, mult = raw[: -len(suf)], m
+            break
+    try:
+        return int(float(raw) * mult)
+    except ValueError:
+        return default
 
 
 def _make_rebuild_kernel(params: VamanaParams, graph: Optional[bool]):
@@ -1579,9 +1619,22 @@ class PartitionedVamanaIndex:
             F.col(query_id_col).alias("query_id"),
             F.col(query_vec_col).alias("_qv"),
         )
+        # one count() against the caller's (typically cached) query
+        # batch prices the decision — measured 0.06 s/call at bench
+        # scale (tools/profile_pq_search.py), noise next to the join
         nq = queries.count()
-        # ~16 B/row -> cap the broadcast at ~64 MB of shortlist rows
-        bcast = nq * kprime <= _RERANK_BCAST_ROWS
+        rows = nq * kprime
+        # force the hint ONLY where AQE won't broadcast by itself and
+        # the HashedRelation stays affordable (see _RERANK_BCAST_ROWS
+        # comment); thresh < 0 means the user disabled broadcast joins
+        # entirely — respect that
+        thresh = _bytes_conf(
+            self.spark, "spark.sql.autoBroadcastJoinThreshold", 10 << 20
+        )
+        bcast = (
+            0 <= thresh < rows * _RERANK_FORCE_BYTES_PER_ROW
+            and rows <= _RERANK_BCAST_ROWS
+        )
         if bcast:
             cand = p.join(F.broadcast(shortlist.drop("dist")), "vec_id")
         else:
@@ -1944,6 +1997,16 @@ def resplit_oversized(
     ``_carry_calibration``). No-op (same object) when nothing is
     oversized.
     """
+    # ADVICE r10: the fixed-point iteration's convergence argument only
+    # holds for factor > 1 — at factor <= 1 the cap shrinks every round
+    # and `want` grows unboundedly (~×1/factor per iteration for up to
+    # 100 iterations: int64 overflow in ceil(pop/cap) and an enormous
+    # center matrix). Fail loud instead.
+    if not float(max_shard_factor) > 1.0:
+        raise ValueError(
+            f"max_shard_factor must be > 1 (got {max_shard_factor}); the "
+            "split fixed point diverges at or below the fair share"
+        )
     spark = index.spark
     params = index.params
     C = index.centers
@@ -2039,6 +2102,18 @@ def resplit_oversized(
     off = 0
     for c in sorted(changed_set):
         Xc = Xs[smp_cells == c]
+        if Xc.shape[0] == 0:
+            # ADVICE r10: under extreme skew at very large shard counts
+            # a changed cell can draw zero rows from the hash-ordered,
+            # capped sample; _kmeans on an empty matrix raises and would
+            # abort the whole resplit. Fall back to the parent center as
+            # the single sub-center — the hash backstop below still
+            # splits the cell by measured population.
+            k_by_cell[c] = 1
+            sub_centers[c] = C[base[c]].reshape(1, -1).astype(np.float32)
+            sub_offset[c] = off
+            off += 1
+            continue
         kc = max(1, min(k_by_cell[c], Xc.shape[0]))
         k_by_cell[c] = kc  # degenerate tiny cells can't exceed sample
         sub_centers[c] = _kmeans(Xc, kc, seed + 7 * c + 1, 10).astype(
@@ -2200,11 +2275,19 @@ def resplit_oversized(
             _make_rebuild_kernel(new_params, graph), schema=_SHARDS_SCHEMA
         )
     )
-    return _carry_calibration(
+    out = _carry_calibration(
         index,
         PartitionedVamanaIndex(spark, new_params, kept.unionByName(rebuilt), C_new),
         recalibrate,
     )
+    # ADVICE r10: `assigned` fed the population backstop and finalize();
+    # leaving it persisted leaks cached embedding partitions across
+    # repeated maintenance cycles. When _carry_calibration ran it cached
+    # AND materialized the rebuilt shards, so the release is free; when
+    # it didn't, a later first action recomputes one deterministic
+    # mapInPandas pass over the changed cells' rows only.
+    assigned.unpersist()
+    return out
 
 
 def delete_points(

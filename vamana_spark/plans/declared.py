@@ -4171,24 +4171,18 @@ def q_dsir_sample(spark, sf_dir):
 
 # Queries whose implementation or oracle changed THIS round — their
 # most recent driver rows predate the change, so they are promoted to
-# the front alongside never-run queries. r10 changes: q_semantic_dedup
-# converted from rows-only to a hash-strict full-pairs oracle (the
-# verified-pair projection; VERDICT r9 item 7 requires its hash-green
-# row THIS round). The r10 window has exactly one slack slot: 49
-# bound-threatened r07 rows (tier 1) + this promotion = 50.
-_CHANGED_THIS_ROUND = [
-    "q_semantic_dedup",
-]
+# the front alongside never-run queries. r11: none yet — the search_pq
+# broadcast retune changes the physical plan, not results (same
+# shortlist, same exact re-rank), so existing rows still describe
+# current output.
+_CHANGED_THIS_ROUND: list = []
 
 # Queries DECLARED or modified this round whose first/refreshed driver
-# row waits until r11 because the window is full (see above — one
-# slack slot, taken by the mandated q_semantic_dedup conversion):
-# q_ip_pq is NEW (ip-metric PQ serving); q_ann_search / q_ann_filtered
-# / q_ivfpq_knn grew enforced ``ok`` invariant columns (rows-only —
-# their real correctness signal is the local parity suite's ok gate,
-# which runs on ALL rows-only queries every round regardless of window
-# membership; their r11 slot coincides with the r08 cohort anyway).
-_DEFER_THIS_ROUND: list = ["q_ip_pq"]
+# row waits a round because the window is full. r11: empty — q_ip_pq's
+# r10 deferral expires now (VERDICT r10 ask #1: the only declared
+# query with no driver row ever); as never-run it sorts eff=0 behind
+# the 47 bound-threatened r08 rows, inside the 50-slot window.
+_DEFER_THIS_ROUND: list = []
 
 
 def _latest_driver_rounds() -> dict:
