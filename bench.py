@@ -362,10 +362,19 @@ def _query_mix(timings: dict, extra: dict) -> None:
                         n_big / timings["partitioned_search"], 2
                     )
                 pidx.search_pq(allq.limit(5), k=10).count()  # warm pq pack
+                # warm=True (r11): the 5-query pack warm above does not
+                # warm the FULL-LOAD plan — the first big-batch rep pays
+                # ~1 s of whole-stage codegen + exchange setup that the
+                # 2nd/3rd reps don't (profiled 3.4 -> 2.7 -> 2.3 s,
+                # tools/profile_pq_search.py), the same one-time cost
+                # pq_knn/minhash already report under extra.cold_sec. A
+                # serving deployment amortizes it; the cold number stays
+                # visible in extra.cold_sec.partitioned_pq_search.
                 timed(
                     "partitioned_pq_search",
                     lambda: pidx.search_pq(big, k=10).count(),
                     reps=2,
+                    warm=True,
                 )
                 if timings.get("partitioned_pq_search"):
                     extra["partitioned_pq_qps_sustained"] = round(

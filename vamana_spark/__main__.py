@@ -451,8 +451,8 @@ def _parse_packs(specs) -> tuple:
         try:
             if len(parts) == 1 and parts[0] == "flat":
                 packs.append("flat")
-            elif len(parts) == 3 and parts[0] == "pq":
-                packs.append(("pq", int(parts[1]), int(parts[2])))
+            elif len(parts) == 3 and parts[0] in ("pq", "opq"):
+                packs.append((parts[0], int(parts[1]), int(parts[2])))
             elif (
                 len(parts) == 4 and parts[0] == "pq" and parts[3] == "pershard"
             ):
@@ -464,8 +464,8 @@ def _parse_packs(specs) -> tuple:
                 raise ValueError
         except ValueError:
             raise SystemExit(
-                f"--pack {spec!r}: expected 'flat', 'pq:M:KSUB' or "
-                "'pq:M:KSUB:pershard' (e.g. --pack pq:8:256)"
+                f"--pack {spec!r}: expected 'flat', 'pq:M:KSUB', "
+                "'pq:M:KSUB:pershard' or 'opq:M:KSUB' (e.g. --pack pq:8:256)"
             )
     return tuple(packs)
 
@@ -481,14 +481,21 @@ def _profile_packs(idx, packs) -> tuple:
     exactly the pack ``psearch --pq`` will ask for."""
     out = []
     for p in packs:
-        if isinstance(p, str) or p[0] != "pq":
+        if isinstance(p, str) or p[0] not in ("pq", "opq"):
             out.append(p)
             continue
         ksub = int(p[2])
         prof = idx.pq_profile(pq_ksub=ksub)
-        out.append(
-            ("pq", int(prof["pq_m"]), ksub, bool(prof["per_shard_codebooks"]))
-        )
+        if prof.get("opq"):
+            # r11: the profile's measured pick may be the learned
+            # rotation at the same m — persist the pack psearch's
+            # profile-following default will actually request
+            out.append(("opq", int(prof["pq_m"]), ksub))
+        else:
+            out.append(
+                ("pq", int(prof["pq_m"]), ksub,
+                 bool(prof["per_shard_codebooks"]))
+            )
     # a profile rewrite can collapse two specs onto one pack
     seen, dedup = set(), []
     for p in out:
@@ -806,11 +813,12 @@ def main(argv=None) -> int:
     pb.add_argument("--overlap", type=int, default=1)
     pb.add_argument(
         "--pack", action="append", default=[],
-        help="also persist a search-ready pack: 'flat', 'pq:M:KSUB' or "
-             "'pq:M:KSUB:pershard' (repeatable); psearch then serves "
-             "without re-packing. With --calibrate, pq specs keep their "
-             "KSUB but take the profile's measured m and codebook "
-             "strategy — the pack a default psearch --pq will request",
+        help="also persist a search-ready pack: 'flat', 'pq:M:KSUB', "
+             "'pq:M:KSUB:pershard' or 'opq:M:KSUB' (repeatable); psearch "
+             "then serves without re-packing. With --calibrate, pq specs "
+             "keep their KSUB but take the profile's measured m, rotation "
+             "and codebook strategy — the pack a default psearch --pq "
+             "will request",
     )
     pb.add_argument(
         "--no-graph", dest="no_graph", action="store_true",

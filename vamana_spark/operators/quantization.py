@@ -764,27 +764,24 @@ class OPQModel:
     codebook: PQCodebook
 
 
-def opq_train(
-    df: DataFrame,
-    dim: int,
-    m: int = 8,
-    ksub: int = 256,
-    sample: int = 20000,
-    seed: int = 42,
+def _opq_fit(
+    X: np.ndarray,
+    m: int,
+    ksub: int,
+    seed: int,
     iters: int = 10,
     opq_iters: int = 8,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> OPQModel:
-    """Alternating minimization on a deterministic driver-side sample
-    (same sampling contract as ``pq_train``): fix R, train per-subspace
-    codebooks on X@R; fix the codebooks' reconstruction Y, solve
+) -> tuple:
+    """Array-based OPQ alternating-minimization core shared by
+    ``opq_train`` (standalone operator) and the partitioned tier's
+    ``_opq_rotation`` (r11): fix R, train per-subspace codebooks on
+    X@R; fix the codebooks' reconstruction Y, solve
     ``min_R ||X R - Y||_F  s.t. R^T R = I`` in closed form via SVD of
-    X^T Y (orthogonal Procrustes). The model is driver-sized: R is
-    dim^2 doubles, the codebook m*ksub*dsub."""
+    X^T Y (orthogonal Procrustes). Returns ``(R, cents)`` with R
+    (dim, dim) float64 and cents (m, ksub_eff, dsub) float64."""
+    X = np.asarray(X, dtype=np.float64)
+    dim = X.shape[1]
     assert dim % m == 0, f"dim {dim} not divisible by m {m}"
-    rows = df.select(id_col, vec_col).orderBy(id_col).limit(sample).toPandas()
-    X = np.stack(rows[vec_col].to_numpy()).astype(np.float64)
     dsub = dim // m
     ksub_eff = min(ksub, X.shape[0])
 
@@ -823,8 +820,34 @@ def opq_train(
         U, _s, Vt = np.linalg.svd(X.T @ Y)
         R = U @ Vt
         cents = train_cents(X @ R, max(iters // 2, 3))
+    return R, cents
+
+
+def opq_train(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 256,
+    sample: int = 20000,
+    seed: int = 42,
+    iters: int = 10,
+    opq_iters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> OPQModel:
+    """Alternating minimization on a deterministic driver-side sample
+    (same sampling contract as ``pq_train``) — see ``_opq_fit`` for
+    the math. The model is driver-sized: R is dim^2 doubles, the
+    codebook m*ksub*dsub."""
+    assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(sample).toPandas()
+    X = np.stack(rows[vec_col].to_numpy()).astype(np.float64)
+    R, cents = _opq_fit(X, m, ksub, seed, iters, opq_iters)
     return OPQModel(
-        R=R, codebook=PQCodebook(centroids=cents, dim=dim, m=m, ksub=ksub_eff)
+        R=R,
+        codebook=PQCodebook(
+            centroids=cents, dim=dim, m=m, ksub=int(cents.shape[1])
+        ),
     )
 
 
