@@ -1237,6 +1237,49 @@ def test_maintenance_carries_calibration(spark):
         ix.shards_df.unpersist()
 
 
+def test_maintenance_carries_calibration_target(tmp_path, spark):
+    """r11 (VERDICT r10 next-round #6): the calibration TARGET is part
+    of the operating point — an operator who calibrated at 0.99 must
+    stay at 0.99 through maintenance (the 11M rung served 0.899 only
+    because the maintained index silently fell back to the default
+    target), and the target must survive save/load. An explicit
+    ``target_recall=`` on the maintenance call overrides per-pass."""
+    from vamana_spark.index.partitioned import add_points
+
+    df = _blob_corpus(spark, n_blobs=8, n_pts=4000, sigma=0.02)
+    params = VamanaParams(dim=64, alpha=1.2, R=24, L=48, ef_search=64, seed=42)
+    idx = PartitionedVamanaIndex.build(spark, df, params, num_shards=8, overlap=2)
+    idx.shards_df = idx.shards_df.cache()
+
+    rec_default = idx.calibrate_nprobe()  # default 0.95 target
+    rec_hi = idx.calibrate_nprobe(target_recall=0.999, safety=2.0)
+    assert idx.calibration_target == 0.999 and idx.calibration_safety == 2.0
+    assert rec_hi >= rec_default  # a stricter target never probes less
+
+    # save/load round-trips the operating point
+    path = str(tmp_path / "cal_idx")
+    idx.save(path)
+    loaded = PartitionedVamanaIndex.load(spark, path)
+    assert loaded.calibration_target == 0.999
+    assert loaded.calibration_safety == 2.0
+    assert loaded.recommended_nprobe == idx.recommended_nprobe
+
+    # maintenance re-measures at the CARRIED 0.999 target...
+    app = _blob_corpus(spark, n_blobs=8, n_pts=400, sigma=0.02, seed=9).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    grown = add_points(idx, app)
+    assert grown.calibration_target == 0.999, grown.calibration_target
+    assert grown.recommended_nprobe >= rec_default
+    # ...and an explicit per-pass override wins
+    relaxed = add_points(idx, app, target_recall=0.9)
+    assert relaxed.calibration_target == 0.9
+    assert relaxed.recommended_nprobe <= grown.recommended_nprobe
+    for ix in (idx, grown, relaxed):
+        ix.shards_df.unpersist()
+    loaded.shards_df.unpersist()
+
+
 def test_resplit_fixed_point_idempotent(spark):
     """r10 (ADVICE r9): the resplit cap iterates to the fixed point of
     its own growth, so a second resplit on UNCHANGED data is a no-op —

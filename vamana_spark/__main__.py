@@ -526,7 +526,12 @@ def cmd_pbuild(args) -> int:
     )
     cal: dict = {}
     if args.calibrate:
-        cal["recommended_nprobe"] = idx.calibrate_nprobe()
+        kw = (
+            {"target_recall": float(args.target_recall)}
+            if args.target_recall is not None
+            else {}
+        )
+        cal["recommended_nprobe"] = idx.calibrate_nprobe(**kw)
         # profile the packs FIRST: each pq_profile(ksub) call overwrites
         # the single memo, so the default-ksub call must come LAST —
         # save() persists the memo, and a restart's default `psearch
@@ -557,7 +562,15 @@ def cmd_resplit(args) -> int:
     out = resplit_oversized(idx, max_shard_factor=args.factor)
     changed = out is not idx
     if changed and args.calibrate:
-        out.calibrate_nprobe()
+        # resplit_oversized already auto-carries the input's operating
+        # point (r11); only re-measure here when the operator overrides
+        # the target or the input was never calibrated — a bare
+        # re-measure would silently RESET a carried 0.98 target to the
+        # default
+        if args.target_recall is not None:
+            out.calibrate_nprobe(target_recall=float(args.target_recall))
+        elif out.recommended_nprobe is None:
+            out.calibrate_nprobe()
         # same ordering as cmd_pbuild (ADVICE r10): pack profiling last
         # would leave a non-default-ksub memo persisted; default-ksub
         # profile must be the one save() writes
@@ -839,6 +852,11 @@ def main(argv=None) -> int:
              "and pq_profile() from ADC shortlist agreement — "
              "psearch --auto-nprobe / --pq then serve at them",
     )
+    pb.add_argument(
+        "--target-recall", dest="target_recall", type=float, default=None,
+        help="calibration target for --calibrate (persists with the "
+             "index; maintenance re-measures at the SAME target)",
+    )
     pb.set_defaults(fn=cmd_pbuild)
 
     rsp = sub.add_parser("resplit")
@@ -857,6 +875,11 @@ def main(argv=None) -> int:
     rsp.add_argument(
         "--calibrate", action="store_true",
         help="re-measure serving defaults after the re-split",
+    )
+    rsp.add_argument(
+        "--target-recall", dest="target_recall", type=float, default=None,
+        help="override the carried calibration target for this "
+             "maintenance pass (default: the index's persisted target)",
     )
     rsp.set_defaults(fn=cmd_resplit)
 

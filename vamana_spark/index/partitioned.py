@@ -468,6 +468,11 @@ class PartitionedVamanaIndex:
         self._pq_sample_cache = None
         self._pq_profile: Optional[dict] = None
         self.recommended_nprobe: Optional[int] = None
+        # r11: the calibration OPERATING POINT persists alongside the
+        # recommendation so maintenance re-measures at the operator's
+        # chosen target, not the default
+        self.calibration_target: Optional[float] = None
+        self.calibration_safety: Optional[float] = None
 
     # ------------------------------------------------------------------ build
 
@@ -1325,7 +1330,18 @@ class PartitionedVamanaIndex:
         Measured separation (SCALE.md clustered 1M rung): a 256-blob
         corpus calibrates to single digits while uniform data keeps
         ≈S/4 — the 8× probe-cost gap ``routing_concentration`` predicts
-        structurally."""
+        structurally.
+
+        r11 (VERDICT r10 next-round #6): the operating point
+        (``target_recall``, ``safety``) is REMEMBERED on the index and
+        persisted — maintenance re-calibration
+        (``_carry_calibration``) re-measures at the SAME target the
+        operator chose, instead of silently resetting to the default
+        (the 11M lifecycle rung served 0.899 because the maintained
+        index inherited the default target, with no way to say
+        otherwise)."""
+        self.calibration_target = float(target_recall)
+        self.calibration_safety = float(safety)
         S = int(self.params.num_shards)
         if S <= 1:
             self.recommended_nprobe = 1
@@ -1843,6 +1859,9 @@ class PartitionedVamanaIndex:
             meta["pq_profile"] = self._pq_profile
         if self.recommended_nprobe is not None:
             meta["recommended_nprobe"] = int(self.recommended_nprobe)
+        if self.calibration_target is not None:
+            meta["calibration_target"] = float(self.calibration_target)
+            meta["calibration_safety"] = float(self.calibration_safety)
         with open(os.path.join(path, "_meta.json"), "w") as f:
             json.dump(meta, f)
 
@@ -1871,6 +1890,10 @@ class PartitionedVamanaIndex:
         idx.recommended_nprobe = (
             int(rec_nprobe) if rec_nprobe is not None else None
         )
+        cal_t = meta.pop("calibration_target", None)
+        idx.calibration_target = float(cal_t) if cal_t is not None else None
+        cal_s = meta.pop("calibration_safety", None)
+        idx.calibration_safety = float(cal_s) if cal_s is not None else None
         for entry in packs:
             # legacy (pre-r9) 3-item entries are global-residual packs
             # written without the strategy suffix
@@ -1933,6 +1956,7 @@ def _carry_calibration(
     old: PartitionedVamanaIndex,
     new: PartitionedVamanaIndex,
     recalibrate: Optional[bool],
+    target_recall: Optional[float] = None,
 ) -> PartitionedVamanaIndex:
     """Maintenance returns a NEW index whose corpus (and possibly shard
     count) differs from what the input's calibration measured; silently
@@ -1944,7 +1968,15 @@ def _carry_calibration(
     operator opted into, and re-measuring costs ~6 s at 1M, trivial
     next to any maintenance kernel pass; ``True``/``False`` force.
     The maintained shards are cached first so the calibration pass
-    doesn't re-execute the rebuild kernels per job."""
+    doesn't re-execute the rebuild kernels per job.
+
+    r11 (VERDICT r10 next-round #6): re-measurement runs at the
+    OPERATOR'S operating point — ``target_recall`` explicitly given to
+    the maintenance call, else the target/safety the input index was
+    calibrated with (persisted by save/load), else the defaults. The
+    11M lifecycle rung served 0.899 purely because the maintained
+    index silently fell back to the default target; an operator who
+    calibrated at 0.98 must stay at 0.98 through add/delete/resplit."""
     want = (
         (old.recommended_nprobe is not None)
         if recalibrate is None
@@ -1952,7 +1984,18 @@ def _carry_calibration(
     )
     if want and new is not old:
         new.shards_df = new.shards_df.cache()
-        new.calibrate_nprobe()
+        kw = {}
+        tgt = (
+            float(target_recall)
+            if target_recall is not None
+            else getattr(old, "calibration_target", None)
+        )
+        if tgt is not None:
+            kw["target_recall"] = float(tgt)
+        saf = getattr(old, "calibration_safety", None)
+        if saf is not None:
+            kw["safety"] = float(saf)
+        new.calibrate_nprobe(**kw)
     return new
 
 
@@ -1963,6 +2006,7 @@ def add_points(
     vec_col: str = "embedding",
     graph: Optional[bool] = None,
     recalibrate: Optional[bool] = None,
+    target_recall: Optional[float] = None,
 ) -> PartitionedVamanaIndex:
     """Incremental maintenance: append new vectors by rebuilding ONLY the
     shards they route to.
@@ -2099,6 +2143,7 @@ def add_points(
         index,
         PartitionedVamanaIndex(spark, new_params, new_shards, C),
         recalibrate,
+        target_recall=target_recall,
     )
 
 
@@ -2107,6 +2152,7 @@ def resplit_oversized(
     max_shard_factor: float = 2.0,
     graph: Optional[bool] = None,
     recalibrate: Optional[bool] = None,
+    target_recall: Optional[float] = None,
 ) -> PartitionedVamanaIndex:
     """Maintenance-time skew consolidation (r9): re-fire the build's
     oversized-cell split on MEASURED shard populations — the
@@ -2429,6 +2475,7 @@ def resplit_oversized(
         index,
         PartitionedVamanaIndex(spark, new_params, kept.unionByName(rebuilt), C_new),
         recalibrate,
+        target_recall=target_recall,
     )
     # ADVICE r10: `assigned` fed the population backstop and finalize();
     # leaving it persisted leaks cached embedding partitions across
@@ -2446,6 +2493,7 @@ def delete_points(
     id_col: str = "vec_id",
     graph: Optional[bool] = None,
     recalibrate: Optional[bool] = None,
+    target_recall: Optional[float] = None,
 ) -> PartitionedVamanaIndex:
     """Incremental maintenance, delete side: drop vectors by rebuilding
     ONLY the shards that held them (the partitioned-tier counterpart of
@@ -2499,4 +2547,5 @@ def delete_points(
         index,
         PartitionedVamanaIndex(spark, new_params, new_shards, index.centers),
         recalibrate,
+        target_recall=target_recall,
     )
