@@ -37,6 +37,38 @@ def test_minhash_candidates_superset_of_high_jaccard(spark):
     assert not any(3 in (p.a_id, p.b_id) for p in pairs)
 
 
+def test_minhash_bucket_cap_bounds_pairs_keeps_clusters(spark):
+    """r11 (10M Zipf rung, SCALE.md): ``max_bucket_size`` plumbed
+    through minhash_near_dups. A duplicate cluster below the default
+    cap emits its full quadratic pair set; a small cap switches it to
+    star topology — O(members) pairs — while (a) every member still
+    appears in >=1 verified pair and (b) connected components still
+    recover the WHOLE cluster through the min-id representative."""
+    n = 60
+    rows = [
+        (i, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu nu xi omicron pi rho sigma tau upsilon")
+        for i in range(n)
+    ] + [(1000, "totally different words about query engines and joins "
+                "and shuffles and parquet and columnar execution today")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = dedup.minhash_near_dups(df, threshold=0.7)
+    capped = dedup.minhash_near_dups(df, threshold=0.7, max_bucket_size=8)
+    n_full, n_capped = full.count(), capped.count()
+    assert n_full == n * (n - 1) // 2          # the quadratic truth
+    assert n_capped == n - 1, n_capped         # star through the rep
+    ids = {
+        r.d
+        for r in capped.selectExpr("a_id d").union(
+            capped.selectExpr("b_id d")
+        ).distinct().collect()
+    }
+    assert ids == set(range(n))                # coverage preserved
+    cc = dedup.connected_components(capped, "a_id", "b_id").collect()
+    comps = {r.component for r in cc}
+    assert comps == {0}                        # one recovered cluster
+
+
 # ---------------------------------------------------------------- sampling
 
 def test_stratified_sample_quota_and_determinism(documents):

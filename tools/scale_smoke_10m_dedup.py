@@ -1,0 +1,416 @@
+#!/usr/bin/env python
+"""10M-document near-dup / semantic-dedup scale rung (r11; VERDICT r10
+next-round #3): the dedup family's first measured step past 1M, on a
+ZIPF-SKEWED corpus — the duplicate-cluster size distribution real web
+crawls have, and exactly the shape the family's skew backstops
+(minhash `max_bucket_size` star-capping, incremental
+`max_bucket_witnesses`, semantic `max_cluster_rows` splitting) exist
+for but had never met at scale. The ANN ladder caught a real
+scale-killer at every new rung (AQE broadcast fallback at 10M, resplit
+tie collapse at 2.8k shards); this rung gives the dedup constants the
+same treatment.
+
+    python tools/scale_smoke_10m_dedup.py            # full rung (~1 h)
+    N_DOCS=1000000 python tools/scale_smoke_10m_dedup.py   # pilot
+
+Corpus (deterministic, generated once under /tmp):
+  * N_DOCS docs (default 10M), 24 space-separated tokens each.
+  * ~30% of the mass lives in Zipf-sized duplicate GROUPS
+    (size_r = floor(S1 / r^1.1), S1=300k by default): one ~300k-member
+    group (the boilerplate page), a handful of 10k-100k groups, a long
+    tail of pairs/triples. Even members are verbatim copies of the
+    group base text; odd members mutate ONE token (3-gram Jaccard vs
+    base = 20/26 ~ 0.77, above the 0.7 near-dup threshold).
+  * The rest are singleton docs in disjoint token spaces (no
+    cross-group shingle collisions by construction).
+  * embeddings mirror the group structure: group members share a unit
+    center plus sigma=0.2 noise (pairwise cos ~ 0.96, above SemDeDup's
+    0.9), singletons are uniform in [-1,1]^64 (pairwise cos ~ 0).
+
+Measures wall time, shuffle/spill bytes (UI REST, SPILL_METRICS=1),
+bucket-cap hit rates, cluster-split fire counts, and CORRECTNESS
+(coverage of planted duplicates) for:
+  1. minhash_near_dups over the full corpus (star-capped buckets);
+  2. save_signatures (10M store) + scan_against_store of a 1M batch
+     with 200k planted corpus copies (witness-capped buckets);
+  3. semantic_dedup at num_clusters sized to ~40k rows/cluster
+     (split backstop fires on the Zipf-hot clusters).
+
+Prints one JSON object per phase plus a final summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_DOCS = int(os.environ.get("N_DOCS", str(10_000_000)))
+S1 = int(os.environ.get("S1", "300000"))       # largest dup-group size
+DUP_MASS_FRAC = 0.3                            # ~fraction of docs in groups
+TOKENS = 24                                    # per doc (23 3-gram shingles)
+DIM = 64
+BATCH = max(N_DOCS // 10, 1000)                # incremental-scan batch
+PLANTED = max(BATCH // 5, 200)                 # corpus copies in the batch
+
+
+def _group_sizes(n_dup_mass: int) -> "list[int]":
+    """Zipf ladder: floor(S1 / r^1.1), truncated at total mass."""
+    sizes, r, total = [], 1, 0
+    while total < n_dup_mass:
+        s = max(int(S1 / (r ** 1.1)), 2)
+        if total + s > n_dup_mass:
+            s = n_dup_mass - total
+            if s < 2:
+                break
+        sizes.append(s)
+        total += s
+        r += 1
+    return sizes
+
+
+def _gen(doc_path: str, emb_path: str) -> dict:
+    """Chunked deterministic generator for text + embeddings parquet.
+
+    Doc layout: ids [0, n_dup) are group members laid out group-by-
+    group; ids [n_dup, N_DOCS) are singletons. Token vocabularies are
+    disjoint across groups and singletons, so every true near-dup pair
+    is planted and known."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sizes = _group_sizes(int(N_DOCS * DUP_MASS_FRAC))
+    n_dup = sum(sizes)
+    n_groups = len(sizes)
+    # per-doc group id / member index, group-contiguous
+    gid_of = np.repeat(np.arange(n_groups, dtype=np.int64), sizes)
+    midx_of = np.concatenate([np.arange(s, dtype=np.int64) for s in sizes])
+
+    rng = np.random.default_rng(42)
+    centers = rng.standard_normal((n_groups, DIM)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+
+    os.makedirs(os.path.dirname(doc_path), exist_ok=True)
+    dschema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    eschema = pa.schema(
+        [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
+    )
+    chunk = 100_000
+    t0 = time.perf_counter()
+    with pq.ParquetWriter(doc_path, dschema) as dw, pq.ParquetWriter(
+        emb_path, eschema
+    ) as ew:
+        for lo in range(0, N_DOCS, chunk):
+            hi = min(lo + chunk, N_DOCS)
+            ids = np.arange(lo, hi, dtype=np.int64)
+            is_dup = ids < n_dup
+            g = np.where(is_dup, gid_of[np.minimum(ids, n_dup - 1)], -1)
+            m = np.where(is_dup, midx_of[np.minimum(ids, n_dup - 1)], 0)
+            # ---- text: 24 token columns, vectorized string builds
+            cols = []
+            g_s = pd.Series(g).astype(str)
+            id_s = pd.Series(ids).astype(str)
+            m_s = pd.Series(m).astype(str)
+            mut_pos = m % TOKENS
+            mutate = is_dup & (m % 2 == 1)
+            for t in range(TOKENS):
+                base = np.where(
+                    is_dup, ("g" + g_s + "x" + str(t)), ("u" + id_s + "x" + str(t))
+                )
+                mut_here = mutate & (mut_pos == t)
+                tok = np.where(mut_here, ("m" + g_s + "y" + m_s), base)
+                cols.append(pd.Series(tok))
+            text = cols[0].str.cat(cols[1:], sep=" ")
+            dw.write_table(
+                pa.table({"doc_id": pa.array(ids), "text": pa.array(text)},
+                         schema=dschema)
+            )
+            # ---- embeddings
+            crng = np.random.default_rng(1_000_000 + lo)
+            X = crng.uniform(-1, 1, (hi - lo, DIM)).astype(np.float32)
+            if is_dup.any():
+                gd = g[is_dup]
+                noise = crng.normal(0.0, 0.2 / np.sqrt(DIM),
+                                    (int(is_dup.sum()), DIM)).astype(np.float32)
+                X[is_dup] = centers[gd] + noise
+            ew.write_table(
+                pa.table(
+                    {"vec_id": pa.array(ids),
+                     "embedding": pa.array(list(X), type=pa.list_(pa.float32()))},
+                    schema=eschema,
+                )
+            )
+    return {
+        "gen_sec": round(time.perf_counter() - t0, 1),
+        "n_docs": N_DOCS,
+        "n_dup_docs": int(n_dup),
+        "n_groups": int(n_groups),
+        "largest_group": int(sizes[0]),
+        "groups_over_512": int(sum(1 for s in sizes if s > 512)),
+    }
+
+
+def _metrics_probe(spark):
+    import urllib.request
+
+    try:
+        base = spark.sparkContext.uiWebUrl
+        app_id = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app_id}/stages?status=complete",
+            timeout=10,
+        ) as r:
+            stages = json.load(r)
+        return (
+            sum(s.get("diskBytesSpilled", 0) for s in stages),
+            sum(s.get("memoryBytesSpilled", 0) for s in stages),
+            sum(s.get("shuffleWriteBytes", 0) for s in stages),
+        )
+    except Exception:
+        return (0, 0, 0)
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession, functions as F
+
+    from vamana_spark.operators import dedup
+
+    base_dir = f"/tmp/sf10m_dedup_{N_DOCS}"
+    doc_path = os.path.join(base_dir, "documents.parquet")
+    emb_path = os.path.join(base_dir, "embeddings.parquet")
+    out: dict = {"n_docs": N_DOCS}
+    if not (os.path.exists(doc_path) and os.path.exists(emb_path)):
+        info = _gen(doc_path, emb_path)
+        out.update(info)
+        print(json.dumps({"gen": info}), flush=True)
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(int(cpus) * 4))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "56g")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPILL_METRICS") else "false",
+        )
+        .config("spark.ui.retainedStages", "5000")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(doc_path)
+    sizes = _group_sizes(int(N_DOCS * DUP_MASS_FRAC))
+    n_dup = sum(sizes)
+    n_groups = len(sizes)
+    out.update(
+        n_dup_docs=n_dup, n_groups=n_groups, largest_group=sizes[0],
+        groups_over_512=sum(1 for s in sizes if s > 512),
+    )
+
+    def timed(tag, fn):
+        m0 = _metrics_probe(spark)
+        t0 = time.perf_counter()
+        res = fn()
+        wall = round(time.perf_counter() - t0, 1)
+        m1 = _metrics_probe(spark)
+        out[f"{tag}_sec"] = wall
+        out[f"{tag}_spill_disk_gb"] = round((m1[0] - m0[0]) / 2**30, 2)
+        out[f"{tag}_shuffle_write_gb"] = round((m1[2] - m0[2]) / 2**30, 2)
+        print(json.dumps({tag: {
+            "sec": wall,
+            "spill_disk_gb": out[f"{tag}_spill_disk_gb"],
+            "shuffle_write_gb": out[f"{tag}_shuffle_write_gb"],
+        }}), flush=True)
+        return res
+
+    # ---------- 1. full-corpus minhash near-dup pass (star-capped).
+    # MAX_BUCKET tunes the star-cap (r11 finding: observed pairs scale
+    # with sum(min(bucket, cap)^2); cluster consumers want a low cap)
+    if not os.environ.get("SKIP_MINHASH"):
+        cap = int(os.environ.get("MAX_BUCKET", "512"))
+        out["minhash_max_bucket"] = cap
+        pairs = dedup.minhash_near_dups(
+            docs, threshold=0.7, max_bucket_size=cap
+        )
+        timed("minhash_pairs_materialize",
+              lambda: pairs.write.mode("overwrite").parquet(
+                  os.path.join(base_dir, "pairs.parquet")))
+        pairs = spark.read.parquet(os.path.join(base_dir, "pairs.parquet"))
+        out["minhash_pair_rows"] = pairs.count()
+        # planted-coverage: every dup-group member should appear in >=1
+        # verified pair (star topology links members through the rep)
+        covered = (
+            pairs.select(F.col("a_id").alias("doc_id"))
+            .union(pairs.select(F.col("b_id").alias("doc_id")))
+            .where(F.col("doc_id") < n_dup)
+            .distinct()
+            .count()
+        )
+        out["minhash_dup_coverage"] = round(covered / max(n_dup, 1), 4)
+        print(json.dumps({"minhash": {
+            "pair_rows": out["minhash_pair_rows"],
+            "dup_coverage": out["minhash_dup_coverage"],
+        }}), flush=True)
+        # cluster recovery: connected components over the capped pairs
+        # must reassemble each planted group into ONE cluster (the
+        # 100-TB consumption shape: clusters/survivors, not pair lists)
+        cc = timed("dup_clusters", lambda: (
+            dedup.connected_components(pairs, "a_id", "b_id").cache()
+        ))
+        # group id of a dup doc is recoverable from the layout: ids are
+        # group-contiguous, so min-id per component should equal the
+        # group's first id for fully-recovered groups
+        starts = []
+        acc = 0
+        for s in sizes:
+            starts.append(acc)
+            acc += s
+        import bisect
+
+        comp = cc.where(F.col("node") < n_dup).select("node", "component")
+        # fraction of dup docs whose component == their group's min id
+        sdf = spark.createDataFrame(
+            [(int(st), int(st + sz)) for st, sz in zip(starts, sizes)],
+            "gmin long, gend long",
+        )
+        joined = comp.join(
+            F.broadcast(sdf),
+            (F.col("node") >= F.col("gmin")) & (F.col("node") < F.col("gend")),
+        )
+        ok_rows = joined.where(F.col("component") == F.col("gmin")).count()
+        out["cluster_recovery_frac"] = round(ok_rows / max(n_dup, 1), 4)
+        print(json.dumps({"dup_clusters": {
+            "recovery_frac": out["cluster_recovery_frac"],
+        }}), flush=True)
+        cc.unpersist()
+
+    # ---------- 2. signature store + 1M incremental batch (witness caps)
+    if not os.environ.get("SKIP_INCREMENTAL"):
+        store = os.path.join(base_dir, "sig_store")
+        timed("signature_store_build",
+              lambda: dedup.save_signatures(docs, store))
+        # bucket-size census over the STORED band table — the exact
+        # banding the scan will join against (instrumentation for the
+        # max_bucket_witnesses=512 cap)
+        sigs, meta = dedup.load_signatures(spark, store)
+        banded = sigs.select(
+            "doc_id",
+            F.posexplode(
+                dedup.band_hash_array(
+                    "minhash", meta["num_hashes"], meta["bands"]
+                )
+            ).alias("band_id", "band_hash"),
+        )
+        census = timed("bucket_census", lambda: (
+            banded.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            .agg(
+                F.count(F.lit(1)).alias("buckets"),
+                F.sum(F.when(F.col("bsz") > 512, 1).otherwise(0)).alias("overfull"),
+                F.sum(F.when(F.col("bsz") > 512, F.col("bsz")).otherwise(0)).alias("rows_in_overfull"),
+                F.max("bsz").alias("max_bucket"),
+            ).first()
+        ))
+        out["buckets"] = int(census["buckets"])
+        out["overfull_buckets"] = int(census["overfull"])
+        out["rows_in_overfull_buckets"] = int(census["rows_in_overfull"] or 0)
+        out["max_bucket_rows"] = int(census["max_bucket"])
+        out["overfull_row_frac"] = round(
+            out["rows_in_overfull_buckets"] / max(n_dup + (N_DOCS - n_dup), 1)
+            / meta["bands"], 6
+        )
+        print(json.dumps({"bucket_census": {
+            k: out[k] for k in ("buckets", "overfull_buckets",
+                                "rows_in_overfull_buckets", "max_bucket_rows")
+        }}), flush=True)
+
+        # batch: PLANTED verbatim copies of corpus docs spread across the
+        # Zipf ladder (hash-spread picks giants, mid groups, singletons
+        # alike) + fresh singleton docs
+        src = (
+            docs.where(F.xxhash64("doc_id") % (N_DOCS // PLANTED) == 0)
+            .limit(PLANTED)
+            .select(
+                (F.col("doc_id") + 2 * N_DOCS).alias("doc_id"),
+                "text",
+                F.col("doc_id").alias("_copied_from"),
+            )
+        ).cache()
+        n_planted = src.count()
+        fresh = spark.range(BATCH - n_planted).select(
+            (F.col("id") + 3 * N_DOCS).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[F.concat(F.lit("f"), F.col("id").cast("string"),
+                           F.lit(f"x{t}")) for t in range(TOKENS)],
+            ).alias("text"),
+            F.lit(None).cast("long").alias("_copied_from"),
+        )
+        batch = src.unionByName(fresh).cache()
+        batch.count()
+        found = timed("incremental_scan", lambda: (
+            dedup.scan_against_store(
+                batch.select("doc_id", "text"), docs, store
+            ).cache()
+        ))
+        out["incremental_pairs"] = found.count()
+        hit = (
+            src.join(
+                found.select(F.col("batch_id").alias("doc_id")).distinct(),
+                "doc_id",
+            ).count()
+        )
+        out["incremental_planted"] = int(n_planted)
+        out["incremental_planted_recall"] = round(hit / max(n_planted, 1), 4)
+        print(json.dumps({"incremental": {
+            "pairs": out["incremental_pairs"],
+            "planted": n_planted,
+            "planted_recall": out["incremental_planted_recall"],
+        }}), flush=True)
+        found.unpersist()
+        batch.unpersist()
+        src.unpersist()
+
+    # ---------- 3. semantic dedup over the mirrored embeddings
+    if not os.environ.get("SKIP_SEMANTIC"):
+        emb = spark.read.parquet(emb_path)
+        ncl = int(os.environ.get("SEM_CLUSTERS", str(max(N_DOCS // 40_000, 16))))
+        out["sem_num_clusters"] = ncl
+        sem = timed("semantic_dedup", lambda: (
+            dedup.semantic_dedup(emb, threshold=0.9, num_clusters=ncl)
+            .cache()
+        ))
+        n_rows = sem.count()
+        out["sem_rows"] = n_rows
+        out["sem_clusters_after_split"] = sem.select("cluster_id").distinct().count()
+        out["sem_split_fired"] = out["sem_clusters_after_split"] > ncl
+        drops = sem.where(~F.col("keep"))
+        out["sem_dropped"] = drops.count()
+        # recall on planted semantic dups: a dup-group member (id<n_dup,
+        # member>0 exists) whose group has >=2 members should be dropped
+        # unless it's the group's keeper; expected drops ~= n_dup - n_groups
+        expected = n_dup - n_groups
+        out["sem_planted_drop_recall"] = round(
+            drops.where(F.col("vec_id") < n_dup).count() / max(expected, 1), 4
+        )
+        print(json.dumps({"semantic": {
+            "rows": n_rows,
+            "clusters_after_split": out["sem_clusters_after_split"],
+            "split_fired": out["sem_split_fired"],
+            "dropped": out["sem_dropped"],
+            "planted_drop_recall": out["sem_planted_drop_recall"],
+        }}), flush=True)
+        sem.unpersist()
+
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

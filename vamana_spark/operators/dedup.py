@@ -509,16 +509,31 @@ def minhash_near_dups(
     bands: int = 16,
     shingle_n: int = 3,
     arrow: bool = True,
+    max_bucket_size: int = 512,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidates re-verified with exact Jaccard
     over shingle sets (joins shingles back onto the candidate pairs only).
-    Returns (a_id, b_id, jaccard >= threshold)."""
+    Returns (a_id, b_id, jaccard >= threshold).
+
+    ``max_bucket_size`` (r11, exposed after the 10M Zipf rung —
+    SCALE.md): the star-cap bound on per-bucket pair expansion. The
+    OBSERVED pair count scales with Σ min(bucket, cap)² across band
+    buckets — on a Zipf-skewed corpus the mid-size duplicate clusters
+    below the cap emit their full quadratic pair sets (measured: a
+    200k-doc corpus with 60k docs in Zipf groups yields 3.65M verified
+    pairs at the 512 default). That output is CORRECT (those pairs are
+    real), but pair-list consumers that only need clusters/survivors
+    (``duplicate_clusters`` / ``dedup_corpus``) should lower the cap —
+    star topology keeps every cluster connected through its min-id
+    representative at O(members) pairs, and connected-components
+    recovers the full cluster regardless of cap."""
     # both the signature and verification paths need the shingle sets ->
     # compute once, materialize once (localCheckpoint: spills under
     # memory pressure, GC-owned — no CacheManager entry to leak)
     sh = shingle_sets(df, text_col, id_col, shingle_n, arrow=arrow).localCheckpoint()
     cands = minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes, bands, shingle_n, shingles=sh, arrow=arrow
+        df, text_col, id_col, num_hashes, bands, shingle_n, shingles=sh,
+        arrow=arrow, max_bucket_size=max_bucket_size,
     )
     av = sh.select(F.col(id_col).alias("a_id"), F.col("_sh").alias("a_sh"))
     bv = sh.select(F.col(id_col).alias("b_id"), F.col("_sh").alias("b_sh"))
