@@ -453,34 +453,59 @@ def q_filtered_knn(spark, sf_dir):
     return exact.exact_knn_filtered(e, q, k=10, round_digits=4)
 
 
-@declare("q_ann_filtered")
+@declare(
+    "q_ann_filtered",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding, vec_id % 10 AS want
+      FROM embeddings WHERE vec_id % 25 = 0
+    ),
+    d AS (
+      SELECT q.query_id, p.vec_id,
+             {_sq_l2_sql('q.embedding', 'p.embedding')} AS dist
+      FROM q JOIN embeddings p ON p.label = q.want
+    ),
+    r AS (
+      SELECT query_id, vec_id, dist,
+             row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+      FROM d
+    )
+    SELECT query_id, vec_id, round(dist, 4) AS dist, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 10
+    """,
+)
 def q_ann_filtered(spark, sf_dir):
     """Graph-side filtered ANN: over-retrieve on the beam, post-filter
-    by label via a broadcast join. Rows-only; ``ok`` embeds (a) the
-    label constraint — every returned vec_id's label equals the query's
-    want_label — and (b) avg recall@10 >= 0.8 vs the exact filtered
-    oracle (the same truth q_filtered_knn hash-verifies)."""
-    from vamana_spark import quality
+    by label via a broadcast join + window.
 
+    HASH-STRICT since r11 (VERDICT r10 next-round #7), by the
+    q_partitioned_pq_exact recipe: with ``ef_search = n`` the beam holds
+    every evaluated node (nothing is ever evicted) and walks until no
+    beam entry is unexpanded — on a medoid-reachable graph
+    (q_graph_reachability gates exactly that) the visited set is the
+    whole corpus and the ranked output IS exact kNN, making beam
+    ORDER irrelevant and the post-filter join/window logic — the part
+    unique to search_filtered — bit-checkable against the same SQL
+    truth q_filtered_knn uses. The approximate operating point
+    (default ef, overfetch=8) stays covered by
+    test_index.py::test_filtered_search_matches_exact_oracle's recall
+    gate."""
     idx = _built_index(spark, sf_dir)
     e = _emb(spark, sf_dir)
+    n = e.count()
     q = e.where(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
         (F.col("vec_id") % 10).alias("want_label"),
     )
-    res = idx.search_filtered(
-        q, k=10, labels=e.select("vec_id", "label")
-    ).select("query_id", "vec_id", F.round("dist", 4).alias("dist"), "rank")
-    truth = exact.exact_knn_filtered(e, q, k=10)
-    rec = quality.avg_recall(res, truth, k=10)
-    n_label_bad = (
-        res.join(F.broadcast(q.select("query_id", "want_label")), "query_id")
-        .join(e.select("vec_id", "label"), "vec_id")
-        .where(F.col("label") != F.col("want_label"))
-        .count()
+    return (
+        idx.search_filtered(
+            q, k=10, labels=e.select("vec_id", "label"),
+            ef_search=int(n), overfetch=1,
+        )
+        .select("query_id", "vec_id", F.round("dist", 4).alias("dist"), "rank")
+        .orderBy("query_id", "rank")
     )
-    return res.withColumn("ok", F.lit(rec >= 0.8 and n_label_bad == 0))
 
 
 @declare("q_recall_at_k")
@@ -4220,11 +4245,13 @@ def q_dsir_sample(spark, sf_dir):
 
 # Queries whose implementation or oracle changed THIS round — their
 # most recent driver rows predate the change, so they are promoted to
-# the front alongside never-run queries. r11: none yet — the search_pq
-# broadcast retune changes the physical plan, not results (same
-# shortlist, same exact re-rank), so existing rows still describe
-# current output.
-_CHANGED_THIS_ROUND: list = []
+# the front alongside never-run queries. r11: q_ann_filtered converted
+# rows-only -> hash-strict (exhaustive-beam recipe; new oracle + new
+# ef/overfetch operating point, so its r08 row describes the old
+# rows-only output). The search_pq broadcast retune changes the
+# physical plan, not results, so the PQ rows still describe current
+# output.
+_CHANGED_THIS_ROUND: list = ["q_ann_filtered"]
 
 # Queries DECLARED or modified this round whose first/refreshed driver
 # row waits a round because the window is full. r11: empty — q_ip_pq's
