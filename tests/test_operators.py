@@ -1901,6 +1901,36 @@ def test_semantic_dedup_giant_cluster_capped(spark):
     )
 
 
+def test_semantic_dedup_expose_subcluster(spark):
+    """distinct(cluster_id) preserves the TOP-LEVEL id, so it can never
+    detect a fired giant-cluster split (the r11 10M rung's smoke
+    metric was blind this way); expose_subcluster=True appends the
+    refined scan key, whose distinct count exceeds num_clusters iff
+    the backstop fired. Default-off keeps the public schema."""
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, (np.array([5.0, 0.0, 0.0]) + 0.05 * rng.normal(size=3)).tolist())
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    plain = dedup.semantic_dedup(
+        df, threshold=0.99, num_clusters=1, seed=3, max_cluster_rows=100
+    )
+    assert "subcluster_id" not in plain.columns
+    out = dedup.semantic_dedup(
+        df, threshold=0.99, num_clusters=1, seed=3, max_cluster_rows=100,
+        expose_subcluster=True,
+    ).cache()
+    try:
+        assert out.select("cluster_id").distinct().count() == 1  # blind
+        n_sub = out.select("subcluster_id").distinct().count()
+        assert n_sub >= 4, f"400 rows / cap 100 must split, got {n_sub}"
+        # refined keys stay prefixed by their top-level cluster
+        assert out.where(~F.col("subcluster_id").startswith("0")).count() == 0
+    finally:
+        out.unpersist()
+
+
 def test_semantic_dedup_rejects_non_integral_ids(spark):
     df = spark.createDataFrame(
         [("a", [1.0, 0.0]), ("b", [0.0, 1.0])], "vec_id string, embedding array<double>"

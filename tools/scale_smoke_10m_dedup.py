@@ -383,13 +383,20 @@ def main() -> None:
         emb = spark.read.parquet(emb_path)
         ncl = int(os.environ.get("SEM_CLUSTERS", str(max(N_DOCS // 40_000, 16))))
         out["sem_num_clusters"] = ncl
-        sem = timed("semantic_dedup", lambda: (
-            dedup.semantic_dedup(emb, threshold=0.9, num_clusters=ncl)
-            .cache()
-        ))
-        n_rows = sem.count()
+        # cache() is lazy — time through the count() so the row reports
+        # the materialization wall, not just plan definition + the
+        # driver-side k-means fit (the r11 first run's 109 s row was
+        # the latter; the scan itself was ~20 min)
+        sem = dedup.semantic_dedup(
+            emb, threshold=0.9, num_clusters=ncl, expose_subcluster=True
+        ).cache()
+        n_rows = timed("semantic_dedup", sem.count)
         out["sem_rows"] = n_rows
-        out["sem_clusters_after_split"] = sem.select("cluster_id").distinct().count()
+        # distinct(cluster_id) can't see the backstop (the top-level id
+        # is preserved in the output); the refined subcluster_id can
+        out["sem_clusters_after_split"] = (
+            sem.select("subcluster_id").distinct().count()
+        )
         out["sem_split_fired"] = out["sem_clusters_after_split"] > ncl
         drops = sem.where(~F.col("keep"))
         out["sem_dropped"] = drops.count()

@@ -1120,6 +1120,7 @@ def semantic_dedup(
     block_rows: int = 2048,
     keep_policy: str = "min_id",
     max_cluster_rows: int = 100_000,
+    expose_subcluster: bool = False,
 ) -> DataFrame:
     """Semantic dedup (the SemDeDup recipe, Abbas et al. 2023):
     k-means-cluster the UNIT-normalized embedding space, then mark a
@@ -1134,6 +1135,10 @@ def semantic_dedup(
       dup_of  : the most-similar lower-id cluster-mate at/above
                 threshold (smallest id on ties); null when kept
       max_sim : cosine similarity to dup_of; null when kept
+    ``expose_subcluster=True`` appends ``subcluster_id`` (string), the
+    refined scan key — equal to ``str(cluster_id)`` unless the
+    giant-cluster backstop split the cluster (then "<id>.<sub>");
+    distinct(subcluster_id) − num_clusters counts fired splits.
 
     ``keep_policy``: "min_id" (default — deterministic, id-stable
     across runs) or "centroid_far" (the paper's policy: within a
@@ -1293,7 +1298,7 @@ def semantic_dedup(
                     dup_of[g] = ids[j]
                     max_sim[g] = float(row[j])
         keep = dup_of < 0
-        return pd.DataFrame(
+        res = pd.DataFrame(
             {
                 "vec_id": ids,
                 "cluster_id": cid,
@@ -1305,11 +1310,21 @@ def semantic_dedup(
                 "max_sim": [None if k else s for k, s in zip(keep, max_sim)],
             }
         )
+        if expose_subcluster:
+            res["subcluster_id"] = key[0]
+        return res
 
-    return keyed.groupBy("_ck").applyInPandas(
-        dedup_cluster,
-        schema="vec_id long, cluster_id int, keep boolean, dup_of long, max_sim double",
-    )
+    schema = "vec_id long, cluster_id int, keep boolean, dup_of long, max_sim double"
+    if expose_subcluster:
+        # observability opt-in (scale smokes): the refined scan key,
+        # "<cluster_id>" or "<cluster_id>.<sub>" when the giant-cluster
+        # backstop split this cluster — distinct(cluster_id) can NOT
+        # detect a split (the top-level id is preserved in the output),
+        # distinct(subcluster_id) > num_clusters can. Default-off so
+        # the public schema (and the q_semantic_dedup oracle) is
+        # unchanged.
+        schema += ", subcluster_id string"
+    return keyed.groupBy("_ck").applyInPandas(dedup_cluster, schema=schema)
 
 
 def cut_duplicate_spans(
