@@ -1905,8 +1905,9 @@ def test_semantic_dedup_expose_subcluster(spark):
     """distinct(cluster_id) preserves the TOP-LEVEL id, so it can never
     detect a fired giant-cluster split (the r11 10M rung's smoke
     metric was blind this way); expose_subcluster=True appends the
-    refined scan key, whose distinct count exceeds num_clusters iff
-    the backstop fired. Default-off keeps the public schema."""
+    refined scan key. The STRUCTURAL split test is a '.' in the key
+    (ADVICE r11 — distinct-count-vs-num_clusters tests are blind to
+    empty k-means cells). Default-off keeps the public schema."""
     rng = np.random.default_rng(11)
     rows = [
         (i, (np.array([5.0, 0.0, 0.0]) + 0.05 * rng.normal(size=3)).tolist())
@@ -1923,12 +1924,110 @@ def test_semantic_dedup_expose_subcluster(spark):
     ).cache()
     try:
         assert out.select("cluster_id").distinct().count() == 1  # blind
+        # structural: the fired split is visible as '.' in the key
+        assert out.where(F.col("subcluster_id").contains(".")).count() > 0
         n_sub = out.select("subcluster_id").distinct().count()
         assert n_sub >= 4, f"400 rows / cap 100 must split, got {n_sub}"
         # refined keys stay prefixed by their top-level cluster
         assert out.where(~F.col("subcluster_id").startswith("0")).count() == 0
     finally:
         out.unpersist()
+
+
+def _straddle_corpus(spark):
+    """Two tight blobs anchoring the k-means centers, plus a planted
+    near-dup pair placed symmetrically across the Voronoi boundary: A
+    leans to blob 1's cell, B to blob 2's, cos(A,B) ~ 0.982 — the
+    cell-straddle miss class the 10M Zipf rung attributed 8.4% of
+    planted dups to (VERDICT r11 #3)."""
+    rng = np.random.default_rng(5)
+    c1 = np.array([1.0, 0.0, 0.0, 0.0])
+    c2 = np.array([0.0, 1.0, 0.0, 0.0])
+    rows = []
+    for i in range(200):
+        v = c1 + 0.05 * rng.normal(size=4)
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    for i in range(200, 400):
+        v = c2 + 0.05 * rng.normal(size=4)
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    mid = (c1 + c2) / np.linalg.norm(c1 + c2)
+    # a 0.15 lean keeps each point firmly in its own trained cell
+    # (weaker leans let the Lloyd means tilt enough to capture both)
+    a = mid + 0.15 * c1
+    b = mid + 0.15 * c2
+    rows.append((1000, (a / np.linalg.norm(a)).tolist()))
+    rows.append((1001, (b / np.linalg.norm(b)).tolist()))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semantic_dedup_multiprobe_recovers_boundary_straddle(spark):
+    df = _straddle_corpus(spark)
+    # blob-mates cross 0.95 only WITHIN a blob; the pair is at ~0.982;
+    # blob<->pair cosine is ~0.77 — threshold 0.95 isolates intra-blob
+    # dups + the planted pair
+    one = {r.vec_id: r for r in dedup.semantic_dedup(
+        df, threshold=0.95, num_clusters=2, seed=1
+    ).collect()}
+    two = {r.vec_id: r for r in dedup.semantic_dedup(
+        df, threshold=0.95, num_clusters=2, seed=1, probes=2
+    ).collect()}
+    assert len(two) == len(one) == 402  # merge: one row per point
+    # single-probe misses the straddling pair (different cells)
+    assert one[1000].keep and one[1001].keep
+    # multi-probe recovers it: B drops against A with the true cosine
+    assert two[1000].keep
+    assert not two[1001].keep and two[1001].dup_of == 1000
+    assert two[1001].max_sim > 0.98
+    # everything else is untouched: multi-probe only ADDS verified pairs
+    for vid in one:
+        if vid == 1001:
+            continue
+        assert (one[vid].keep, one[vid].dup_of) == (
+            two[vid].keep, two[vid].dup_of
+        ), vid
+
+
+def test_semantic_dedup_multiprobe_identity_on_colocated_dups(spark):
+    """probes=2 must leave a corpus with NO straddling pairs bit-
+    identical to probes=1 (exact copies co-locate under k-means) — the
+    invariant the q_semantic_multiprobe driver oracle hash-checks."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((6, 16)).astype(float)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    rows += [(10 + i, [float(2.0 * x) for x in v]) for i, v in enumerate(base)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    def rows(probes):
+        # max_sim rounded: the replica changes the scan cell's BLAS
+        # strip population, so the same dot product can differ by 1 ulp
+        return sorted(
+            (r.vec_id, r.cluster_id, r.keep, r.dup_of,
+             None if r.max_sim is None else round(r.max_sim, 9))
+            for r in dedup.semantic_dedup(
+                df, threshold=0.95, num_clusters=2, seed=1, probes=probes
+            ).collect()
+        )
+
+    assert rows(1) == rows(2)
+
+
+def test_semantic_dedup_multiprobe_expose_subcluster_and_validation(spark):
+    df = _straddle_corpus(spark)
+    out = dedup.semantic_dedup(
+        df, threshold=0.95, num_clusters=2, seed=1, probes=2,
+        expose_subcluster=True,
+    )
+    assert "subcluster_id" in out.columns and "_pri" not in out.columns
+    assert out.count() == 402
+    # structural split test (ADVICE r11): no backstop fired here, so no
+    # refined key carries a '.'
+    assert out.where(F.col("subcluster_id").contains(".")).count() == 0
+    with pytest.raises(ValueError, match="probes"):
+        dedup.semantic_dedup(df, probes=0)
+    # probes above num_clusters clamps instead of failing
+    got = dedup.semantic_dedup(
+        df, threshold=0.95, num_clusters=2, seed=1, probes=5
+    )
+    assert got.count() == 402
 
 
 def test_semantic_dedup_rejects_non_integral_ids(spark):
@@ -2096,6 +2195,129 @@ def test_incremental_near_dups_overfull_bucket_witness(spark):
                   for r in dedup.incremental_near_dups(
                       batch, seen, threshold=0.9, max_bucket_witnesses=5).collect())
     assert rows == [(900, i, 1.0) for i in range(5)]  # N min-id witnesses answer
+
+
+def _zipfish_cluster_corpus(spark):
+    """Planted fixture for the r12 consumer presets: one 80-member
+    verbatim group (over the cluster preset's cap 64), one 3-member
+    near-dup group, singletons."""
+    rows = [
+        (i, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu nu xi omicron pi rho sigma tau upsilon")
+        for i in range(80)
+    ]
+    rows += [
+        (200, "small group base text about columnar engines and shuffles "
+              "and joins and adaptive execution plans running here"),
+        (201, "small group base text about columnar engines and shuffles "
+              "and joins and adaptive execution plans running here"),
+        (202, "small group base text about columnar engines and shuffles "
+              "and joins and adaptive execution plans walking here"),
+        (300, "completely unrelated singleton about parquet footers and "
+              "page indexes and bloom filters and dictionary encoding"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_consumer_preset_cluster_parity(spark):
+    """r12 (VERDICT r11 #4): consumer="cluster" is the measured
+    max_bucket_size=64 preset; cluster output (duplicate_clusters,
+    which now defaults to it) must be identical to clustering the
+    audit path's exhaustive pairs."""
+    df = _zipfish_cluster_corpus(spark)
+    audit = dedup.minhash_near_dups(df, threshold=0.7)          # cap 512
+    cluster = dedup.minhash_near_dups(df, threshold=0.7, consumer="cluster")
+    n_audit, n_cluster = audit.count(), cluster.count()
+    assert n_audit >= 80 * 79 // 2              # giant group: full quadratic
+    assert n_cluster < n_audit                  # star cap engaged
+    # preset == explicit cap
+    explicit = dedup.minhash_near_dups(df, threshold=0.7, max_bucket_size=64)
+    assert explicit.count() == n_cluster
+    # explicit cap overrides the preset
+    assert dedup.minhash_near_dups(
+        df, threshold=0.7, consumer="cluster", max_bucket_size=10**9
+    ).count() == n_audit
+    with pytest.raises(ValueError, match="consumer"):
+        dedup.minhash_near_dups(df, consumer="fast")
+    # cluster/survivor consumption is cap-invariant
+    from_audit = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in dedup.duplicate_clusters(df, pairs=audit).collect()
+    )
+    from_preset = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in dedup.duplicate_clusters(df, threshold=0.7).collect()
+    )
+    assert from_audit == from_preset
+    survivors = sorted(
+        r.doc_id for r in dedup.dedup_corpus(df, threshold=0.7).collect()
+    )
+    assert survivors == [0, 200, 300]
+
+
+def test_scan_decision_only_flag_set_parity(spark, tmp_path):
+    """r12 (VERDICT r11 #4): decision_only gating — identical flag SET
+    to the audit scan, one best-hit row per flagged doc, staged verify
+    (a failing best candidate falls through to stage 2)."""
+    seen = spark.createDataFrame(
+        [(i, "identical corpus boilerplate text repeated everywhere "
+             "across the whole crawl snapshot again") for i in range(40)]
+        + [(100 + i,
+            f"unique corpus document number {i} about engines plans "
+            f"shuffles joins scans filters projections aggregates")
+           for i in range(20)],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(900, "identical corpus boilerplate text repeated everywhere "
+               "across the whole crawl snapshot again"),       # giant-group copy
+         (901, "unique corpus document number 3 about engines plans "
+               "shuffles joins scans filters projections aggregates"),  # exact copy
+         (902, "unique corpus document number 3 about engines plans "
+               "shuffles joins scans filters projections tables"),      # near copy
+         (903, "novel content entirely absent from the corpus with new "
+               "words about watermarks state stores and triggers")],    # novel
+        ["doc_id", "text"],
+    )
+    store = str(tmp_path / "sig_store")
+    dedup.save_signatures(seen, store)
+    audit = dedup.scan_against_store(batch, seen, store, threshold=0.5)
+    decision = dedup.scan_against_store(
+        batch, seen, store, threshold=0.5, decision_only=True
+    ).cache()
+    flagged_audit = sorted(
+        r.batch_id for r in audit.select("batch_id").distinct().collect()
+    )
+    rows = decision.collect()
+    assert sorted(r.batch_id for r in rows) == flagged_audit == [900, 901, 902]
+    assert len(rows) == len(set(r.batch_id for r in rows))  # one row per doc
+    assert all(r.jaccard >= 0.5 for r in rows)
+    by_id = {r.batch_id: r for r in rows}
+    assert by_id[900].jaccard == 1.0 and by_id[901].jaccard == 1.0
+    decision.unpersist()
+
+
+def test_incremental_near_dups_decision_only_direct(spark):
+    """decision_only on the direct (store-less) path: the witness-cap
+    preset drops to 8, flags still cover every true dup."""
+    seen = spark.createDataFrame(
+        [(i, "identical corpus boilerplate text repeated everywhere")
+         for i in range(40)],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(900, "identical corpus boilerplate text repeated everywhere"),
+         (901, "wholly novel text about watermark semantics and state")],
+        ["doc_id", "text"],
+    )
+    rows = dedup.incremental_near_dups(
+        batch, seen, threshold=0.9, decision_only=True
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].batch_id == 900 and rows[0].jaccard == 1.0
+    # witness preset: the hit's seen_id comes from the 8 min-id
+    # witnesses of the flooded bucket
+    assert rows[0].seen_id < 8
 
 
 def test_incremental_dedup_ranged_matches_broadcast_tier(spark):

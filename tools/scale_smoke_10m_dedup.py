@@ -382,22 +382,31 @@ def main() -> None:
     if not os.environ.get("SKIP_SEMANTIC"):
         emb = spark.read.parquet(emb_path)
         ncl = int(os.environ.get("SEM_CLUSTERS", str(max(N_DOCS // 40_000, 16))))
+        sem_probes = int(os.environ.get("SEM_PROBES", "1"))
         out["sem_num_clusters"] = ncl
+        out["sem_probes"] = sem_probes
         # cache() is lazy — time through the count() so the row reports
         # the materialization wall, not just plan definition + the
         # driver-side k-means fit (the r11 first run's 109 s row was
         # the latter; the scan itself was ~20 min)
         sem = dedup.semantic_dedup(
-            emb, threshold=0.9, num_clusters=ncl, expose_subcluster=True
+            emb, threshold=0.9, num_clusters=ncl, expose_subcluster=True,
+            probes=sem_probes,
         ).cache()
         n_rows = timed("semantic_dedup", sem.count)
         out["sem_rows"] = n_rows
-        # distinct(cluster_id) can't see the backstop (the top-level id
-        # is preserved in the output); the refined subcluster_id can
+        # STRUCTURAL split test (ADVICE r11): a fired backstop split is
+        # visible as a '.' in the refined scan key; count-vs-num_clusters
+        # tests are blind to empty k-means cells (which deflate the
+        # distinct count) and miscount multi-way splits
+        out["sem_split_subclusters"] = (
+            sem.where(F.col("subcluster_id").contains("."))
+            .select("subcluster_id").distinct().count()
+        )
+        out["sem_split_fired"] = out["sem_split_subclusters"] > 0
         out["sem_clusters_after_split"] = (
             sem.select("subcluster_id").distinct().count()
         )
-        out["sem_split_fired"] = out["sem_clusters_after_split"] > ncl
         drops = sem.where(~F.col("keep"))
         out["sem_dropped"] = drops.count()
         # recall on planted semantic dups: a dup-group member (id<n_dup,
@@ -409,6 +418,8 @@ def main() -> None:
         )
         print(json.dumps({"semantic": {
             "rows": n_rows,
+            "probes": sem_probes,
+            "split_subclusters": out["sem_split_subclusters"],
             "clusters_after_split": out["sem_clusters_after_split"],
             "split_fired": out["sem_split_fired"],
             "dropped": out["sem_dropped"],

@@ -500,6 +500,16 @@ def minhash_lsh_candidates(
     )
 
 
+#: Measured star-cap presets (10M Zipf rung, SCALE.md r11): "audit"
+#: keeps the 512 cap (exhaustive within-cap pair lists — the parity /
+#: pair-consumer default); "cluster" drops it to 64 — at 10M that cut
+#: verified pairs 7.4x (86.8M -> 11.8M), disk spill 11x, and the
+#: connected-components pass 6.7x at bit-identical planted coverage
+#: AND cluster recovery (0.9999 both), because star topology keeps
+#: every cluster connected through its min-id representative.
+_MINHASH_CONSUMER_CAPS = {"audit": 512, "cluster": 64}
+
+
 def minhash_near_dups(
     df: DataFrame,
     text_col: str = "text",
@@ -509,30 +519,42 @@ def minhash_near_dups(
     bands: int = 16,
     shingle_n: int = 3,
     arrow: bool = True,
-    max_bucket_size: int = 512,
+    max_bucket_size: "int | None" = None,
+    consumer: str = "audit",
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidates re-verified with exact Jaccard
     over shingle sets (joins shingles back onto the candidate pairs only).
     Returns (a_id, b_id, jaccard >= threshold).
 
+    ``consumer`` (r12, VERDICT r11 #4 — the 10M rung's recipe finding
+    as an API preset): picks the star-cap ``max_bucket_size`` for the
+    downstream consumption shape. ``"audit"`` (default, cap 512) emits
+    every within-cap pair — the exhaustive pair-list / oracle-parity
+    setting. ``"cluster"`` (cap 64) is for callers that only need
+    transitive clusters or survivors (``duplicate_clusters`` /
+    ``dedup_corpus`` default to it): star topology keeps every cluster
+    connected through its min-id representative at O(members) pairs,
+    and connected-components recovers the full cluster regardless of
+    cap — measured at the 10M Zipf rung: 7.4x fewer verified pairs
+    (86.8M -> 11.8M), 11x less disk spill, 6.7x faster CC at
+    bit-identical planted coverage and cluster recovery (0.9999 both).
+    An explicit ``max_bucket_size`` overrides the preset.
+
     ``max_bucket_size`` (r11, exposed after the 10M Zipf rung —
     SCALE.md): the star-cap bound on per-bucket pair expansion. The
     OBSERVED pair count scales with Σ min(bucket, cap)² across band
     buckets — on a Zipf-skewed corpus the mid-size duplicate clusters
-    below the cap emit their full quadratic pair sets (measured: a
-    200k-doc corpus with 60k docs in Zipf groups yields 3.65M verified
-    pairs at the 512 default). That output is CORRECT (those pairs are
-    real), but pair-list consumers that only need clusters/survivors
-    (``duplicate_clusters`` / ``dedup_corpus``) should lower the cap —
-    star topology keeps every cluster connected through its min-id
-    representative at O(members) pairs, and connected-components
-    recovers the full cluster regardless of cap. Measured at the 10M
-    Zipf rung (SCALE.md): cap=64 vs the 512 default cuts verified
-    pairs 7.4x (86.8M -> 11.8M), disk spill 11x, and the
-    connected-components pass 6.7x at bit-identical planted coverage
-    and cluster recovery (0.9999 both) — cap=64 is the recommended
-    setting for cluster/dedup consumers; 512 stays the default for
-    pair-audit parity."""
+    below the cap emit their full quadratic pair sets. That output is
+    CORRECT (those pairs are real); within an over-cap bucket,
+    member↔member similarity is only observed transitively through
+    the representative."""
+    if consumer not in _MINHASH_CONSUMER_CAPS:
+        raise ValueError(
+            f"consumer must be one of {sorted(_MINHASH_CONSUMER_CAPS)}, "
+            f"got {consumer!r}"
+        )
+    if max_bucket_size is None:
+        max_bucket_size = _MINHASH_CONSUMER_CAPS[consumer]
     # both the signature and verification paths need the shingle sets ->
     # compute once, materialize once (localCheckpoint: spills under
     # memory pressure, GC-owned — no CacheManager entry to leak)
@@ -632,7 +654,16 @@ def duplicate_clusters(
     """(doc_id, cluster_id) for every doc in at least one near-dup pair;
     cluster_id = min doc_id of the transitive cluster. Pairs default to
     MinHash-LSH (``minhash_near_dups``); pass ``pairs`` to cluster the
-    output of any other pair generator (exact Jaccard, SimHash, ...)."""
+    output of any other pair generator (exact Jaccard, SimHash, ...).
+
+    Self-generated pairs default to ``consumer="cluster"`` (star-cap
+    64 — the 10M-rung-measured preset): clusters only need every member
+    CONNECTED, not every pair EMITTED, and connected-components
+    recovers the full cluster through the bucket representative at a
+    7-11x intermediate-cost cut. Override via
+    ``minhash_kwargs["consumer"]`` / ``["max_bucket_size"]``."""
+    if pairs is None:
+        minhash_kwargs.setdefault("consumer", "cluster")
     p = (
         pairs
         if pairs is not None
@@ -655,6 +686,9 @@ def dedup_corpus(
     """Corpus-level near-dedup: keep the canonical (min-id) doc of every
     near-dup cluster plus all unpaired docs — the full 100-TB pipeline
     (LSH pairs → transitive clusters → anti-join of non-canonicals).
+    Inherits ``duplicate_clusters``' ``consumer="cluster"`` star-cap
+    preset for self-generated pairs (survivor sets are cap-invariant:
+    the canonical min-id doc is recovered through the representative).
     """
     clusters = duplicate_clusters(
         df, text_col, id_col, threshold, pairs=pairs, **minhash_kwargs
@@ -1127,6 +1161,7 @@ def semantic_dedup(
     keep_policy: str = "min_id",
     max_cluster_rows: int = 100_000,
     expose_subcluster: bool = False,
+    probes: int = 1,
 ) -> DataFrame:
     """Semantic dedup (the SemDeDup recipe, Abbas et al. 2023):
     k-means-cluster the UNIT-normalized embedding space, then mark a
@@ -1143,8 +1178,24 @@ def semantic_dedup(
       max_sim : cosine similarity to dup_of; null when kept
     ``expose_subcluster=True`` appends ``subcluster_id`` (string), the
     refined scan key — equal to ``str(cluster_id)`` unless the
-    giant-cluster backstop split the cluster (then "<id>.<sub>");
-    distinct(subcluster_id) − num_clusters counts fired splits.
+    giant-cluster backstop split the cluster (then "<id>.<sub>"). The
+    STRUCTURAL split test is ``subcluster_id`` containing ``'.'`` —
+    count-based tests (distinct(subcluster_id) vs num_clusters) are
+    unreliable: k-means cells with zero assigned rows never appear in
+    the output, so an empty cell can mask a fired split (ADVICE r11).
+
+    ``probes`` (r12, VERDICT r11 #3 — the boundary-straddle recovery):
+    assign each point to its ``probes`` nearest centers and run the
+    scan in every probed cell, then merge to one row per point (dropped
+    anywhere ⇒ dropped; ``dup_of``/``max_sim`` come from the
+    highest-similarity witness). Single-probe SemDeDup misses pairs
+    whose members fall on opposite sides of a Voronoi boundary — the
+    dominant planted-miss class at the 10M Zipf rung (8.4% of planted
+    dups at probes=1). Multi-probe only ADDS exact-cosine-verified
+    pairs, so it can never introduce a false drop; cost is ~probes× on
+    the scan phase (each point resides in ``probes`` cells), bounded by
+    the same ``max_cluster_rows`` backstop. Default 1 = the published
+    recipe, output unchanged.
 
     ``keep_policy``: "min_id" (default — deterministic, id-stable
     across runs) or "centroid_far" (the paper's policy: within a
@@ -1215,6 +1266,11 @@ def semantic_dedup(
     )._ivf_centers
     bc = spark.sparkContext.broadcast(centers)
 
+    p_eff = int(probes)
+    if p_eff < 1:
+        raise ValueError(f"probes must be >= 1, got {probes!r}")
+    p_eff = min(p_eff, int(num_clusters))
+
     def assign_carry(batches):
         from vamana_spark import exact as _exact
 
@@ -1223,11 +1279,30 @@ def semantic_dedup(
             if pdf.empty:
                 continue
             U = np.stack(pdf["_u"].to_numpy())
-            a = _exact._dist_matrix(U, Cv, "l2sq").argmin(axis=1)
-            yield pdf.assign(cluster_id=a.astype(np.int32))
+            d = _exact._dist_matrix(U, Cv, "l2sq")
+            if p_eff == 1:
+                a = d.argmin(axis=1).astype(np.int32)
+                yield pdf.assign(cluster_id=a, _cell=a, _pri=True)
+                continue
+            # stable full sort keeps tie-breaks deterministic by center id
+            near = np.argsort(d, axis=1, kind="stable")[:, :p_eff]
+            parts = []
+            for j in range(p_eff):
+                parts.append(
+                    pdf.assign(
+                        cluster_id=near[:, 0].astype(np.int32),  # primary
+                        _cell=near[:, j].astype(np.int32),
+                        _pri=(j == 0),
+                    )
+                )
+            yield pd.concat(parts, ignore_index=True)
 
     clustered = unit.mapInPandas(
-        assign_carry, schema="vec_id long, _u array<double>, cluster_id int"
+        assign_carry,
+        schema=(
+            "vec_id long, _u array<double>, cluster_id int, "
+            "_cell int, _pri boolean"
+        ),
     )
 
     # ---- giant-cluster backstop: refine any cluster over the row cap
@@ -1237,7 +1312,7 @@ def semantic_dedup(
     # with _ck == str(cluster_id) at zero extra shuffle cost (the
     # scan's groupBy repartitions either way).
     cap = int(max_cluster_rows)
-    keyed = clustered.withColumn("_ck", F.col("cluster_id").cast("string"))
+    keyed = clustered.withColumn("_ck", F.col("_cell").cast("string"))
     if cap:
         big = [
             r["_ck"]
@@ -1262,7 +1337,10 @@ def semantic_dedup(
 
             over = over.groupBy("_ck").applyInPandas(
                 split_cluster,
-                schema="vec_id long, _u array<double>, cluster_id int, _ck string",
+                schema=(
+                    "vec_id long, _u array<double>, cluster_id int, "
+                    "_cell int, _pri boolean, _ck string"
+                ),
             )
             keyed = rest.unionByName(over)
 
@@ -1274,9 +1352,12 @@ def semantic_dedup(
         raise ValueError(f"keep_policy must be min_id|centroid_far, got {policy!r}")
 
     def dedup_cluster(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        cid = int(pdf["cluster_id"].iloc[0])  # top-level cluster (key is _ck)
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        # per-row PRIMARY cluster (== the cell id at probes=1; under
+        # multi-probe a secondary replica still reports its primary)
+        cids = pdf["cluster_id"].to_numpy(dtype=np.int32)
+        pri = pdf["_pri"].to_numpy(dtype=bool)
         X = np.stack(pdf["_u"].to_numpy())
         n = len(ids)
         if policy == "centroid_far":
@@ -1288,7 +1369,7 @@ def semantic_dedup(
             c = X.mean(axis=0)
             d2 = ((X - c) ** 2).sum(axis=1)
             order = np.lexsort((ids, -d2))
-            ids, X = ids[order], X[order]
+            ids, X, cids, pri = ids[order], X[order], cids[order], pri[order]
         dup_of = np.full(n, -1, dtype=np.int64)
         max_sim = np.full(n, np.nan)
         for lo in range(1, n, blk):
@@ -1307,7 +1388,7 @@ def semantic_dedup(
         res = pd.DataFrame(
             {
                 "vec_id": ids,
-                "cluster_id": cid,
+                "cluster_id": cids,
                 "keep": keep,
                 "dup_of": pd.array(
                     [None if k else int(d) for k, d in zip(keep, dup_of)],
@@ -1318,19 +1399,41 @@ def semantic_dedup(
         )
         if expose_subcluster:
             res["subcluster_id"] = key[0]
+        if p_eff > 1:
+            res["_pri"] = pri
         return res
 
     schema = "vec_id long, cluster_id int, keep boolean, dup_of long, max_sim double"
     if expose_subcluster:
         # observability opt-in (scale smokes): the refined scan key,
         # "<cluster_id>" or "<cluster_id>.<sub>" when the giant-cluster
-        # backstop split this cluster — distinct(cluster_id) can NOT
-        # detect a split (the top-level id is preserved in the output),
-        # distinct(subcluster_id) > num_clusters can. Default-off so
-        # the public schema (and the q_semantic_dedup oracle) is
-        # unchanged.
+        # backstop split this cluster. The STRUCTURAL split test is
+        # subcluster_id containing '.' — comparing distinct counts to
+        # num_clusters is unreliable because empty k-means cells never
+        # appear in the output (ADVICE r11). Default-off so the public
+        # schema (and the q_semantic_dedup oracle) is unchanged.
         schema += ", subcluster_id string"
-    return keyed.groupBy("_ck").applyInPandas(dedup_cluster, schema=schema)
+    if p_eff > 1:
+        schema += ", _pri boolean"
+    scan = keyed.groupBy("_ck").applyInPandas(dedup_cluster, schema=schema)
+    if p_eff == 1:
+        return scan
+    # multi-probe merge: one row per point. Dropped in ANY probed cell
+    # ⇒ dropped (every drop is exact-cosine-verified, so the union adds
+    # only true pairs); witness = the highest-similarity drop row,
+    # primary cell preferred on exact ties. The window shuffles p_eff
+    # tiny rows per point — uniform keys, no skew.
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("keep").asc(),                 # any dropped row outranks kept
+        F.col("max_sim").desc_nulls_last(),  # best witness first
+        F.col("_pri").desc(),                # primary cell on ties
+        F.col("dup_of").asc_nulls_last(),    # deterministic final tiebreak
+    )
+    return (
+        scan.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk", "_pri")
+    )
 
 
 def cut_duplicate_spans(
@@ -2030,9 +2133,10 @@ def incremental_near_dups(
     bands: int = 16,
     shingle_n: int = 3,
     arrow: bool = True,
-    max_bucket_witnesses: int = 512,
+    max_bucket_witnesses: "int | None" = None,
     seen_signatures: Optional[DataFrame] = None,
     broadcast_batch: bool = True,
+    decision_only: bool = False,
 ) -> DataFrame:
     """Cross-snapshot NEAR-duplicate scan (X2 incremental form): which
     documents of a new ingest ``batch`` are near-dups (exact word-shingle
@@ -2066,7 +2170,28 @@ def incremental_near_dups(
     - Exact-Jaccard verification re-shingles ONLY the candidate corpus
       docs (broadcast semi-join of the candidate id set against the
       corpus scan — map-side), then joins shingle sets onto the pairs.
+
+    ``decision_only`` (r12, VERDICT r11 #4 — the 10M rung's recipe
+    finding as an API preset): for ingest gating, where the question is
+    "is this batch doc a near-dup of ANYTHING?" and one verified hit
+    suffices. The rung measured ~139 witnesses per duplicated batch doc
+    where 1 answers. Two changes, both measured: (a) the witness cap
+    defaults to 8 instead of 512 (same justification as the cap itself:
+    overfull-bucket mates are near-identical, any witness answers for
+    the cluster); (b) verification runs STAGED — each batch doc's
+    single strongest candidate (most shared band buckets = highest
+    estimated Jaccard) verifies first, and only docs whose best
+    candidate FAILED verify their remaining candidates, so a true dup
+    costs one verified pair instead of its whole candidate list. The
+    flag SET (distinct batch_id) is identical to the audit path over
+    the same witnesses: stage 2 exhausts every candidate of every
+    unresolved doc. Output shape becomes ONE row per flagged doc —
+    (batch_id, seen_id, jaccard) of its best verified hit — not the
+    exhaustive pair list. An explicit ``max_bucket_witnesses``
+    overrides the preset default (512 audit / 8 decision).
     """
+    if max_bucket_witnesses is None:
+        max_bucket_witnesses = 8 if decision_only else 512
     sh_b = shingle_sets(batch, text_col, id_col, shingle_n, arrow=arrow).localCheckpoint()
     sig_b = minhash_signatures(
         batch, text_col, id_col, num_hashes, shingle_n, shingles=sh_b, arrow=arrow
@@ -2129,30 +2254,70 @@ def incremental_near_dups(
         .select("seen_id", *keys)
     )
     witnesses = small.unionByName(capped)
-    cands = (
-        witnesses.join(banded_b, keys)
-        .select("batch_id", "seen_id")
-        .distinct()
+    joined = witnesses.join(banded_b, keys)
+    av = sh_b.select(F.col(id_col).alias("batch_id"), F.col("_sh").alias("a_sh"))
+
+    def _verify(pairs_df: DataFrame) -> DataFrame:
+        # verification: shingle ONLY this pair set's corpus docs
+        # (broadcast semi-join — map-side over the corpus scan)
+        cand_seen = pairs_df.select(F.col("seen_id").alias(id_col)).distinct()
+        seen_sub = seen.join(F.broadcast(cand_seen), id_col, "left_semi")
+        sh_s = shingle_sets(seen_sub, text_col, id_col, shingle_n, arrow=arrow)
+        bv = sh_s.select(
+            F.col(id_col).alias("seen_id"), F.col("_sh").alias("b_sh")
+        )
+        inter = F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
+        union = F.size(F.array_union("a_sh", "b_sh")).cast("double")
+        return (
+            pairs_df.select("batch_id", "seen_id")
+            .join(av, "batch_id")
+            .join(bv, "seen_id")
+            .select(
+                "batch_id",
+                "seen_id",
+                F.round(inter / F.greatest(union, F.lit(1.0)), 4).alias(
+                    "jaccard"
+                ),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
+
+    if not decision_only:
         # cands feeds the candidate-id semi-join AND the final pair join
+        cands = joined.select("batch_id", "seen_id").distinct().localCheckpoint()
+        return _verify(cands)
+
+    # decision-only staged verify: rank each batch doc's candidates by
+    # shared-band count (the LSH estimate of Jaccard — more matching
+    # bands = more likely to verify); the groupBy doubles as distinct.
+    # Rows per batch_id are witness-bounded and uniform — no window skew.
+    ranked = (
+        joined.groupBy("batch_id", "seen_id")
+        .agg(F.count(F.lit(1)).alias("_nb"))
+        .withColumn(
+            "_crk",
+            F.row_number().over(
+                Window.partitionBy("batch_id").orderBy(
+                    F.col("_nb").desc(), F.col("seen_id").asc()
+                )
+            ),
+        )
+        # feeds both stages; without materialization stage 2 replays
+        # candidate generation (and stage 1's hits replay in the union)
         .localCheckpoint()
     )
-    # verification: shingle ONLY the candidate corpus docs
-    cand_seen = cands.select(F.col("seen_id").alias(id_col)).distinct()
-    seen_sub = seen.join(F.broadcast(cand_seen), id_col, "left_semi")
-    sh_s = shingle_sets(seen_sub, text_col, id_col, shingle_n, arrow=arrow)
-    av = sh_b.select(F.col(id_col).alias("batch_id"), F.col("_sh").alias("a_sh"))
-    bv = sh_s.select(F.col(id_col).alias("seen_id"), F.col("_sh").alias("b_sh"))
-    inter = F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
-    union = F.size(F.array_union("a_sh", "b_sh")).cast("double")
+    hits1 = _verify(ranked.where(F.col("_crk") == 1)).localCheckpoint()
+    rest = ranked.where(F.col("_crk") > 1).join(
+        hits1.select("batch_id"), "batch_id", "left_anti"
+    )
+    wbest = Window.partitionBy("batch_id").orderBy(
+        F.col("jaccard").desc(), F.col("seen_id").asc()
+    )
     return (
-        cands.join(av, "batch_id")
-        .join(bv, "seen_id")
-        .select(
-            "batch_id",
-            "seen_id",
-            F.round(inter / F.greatest(union, F.lit(1.0)), 4).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
+        hits1.unionByName(_verify(rest))
+        .withColumn("_rk", F.row_number().over(wbest))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
     )
 
 
@@ -2217,9 +2382,10 @@ def scan_against_store(
     text_col: str = "text",
     threshold: float = 0.7,
     arrow: bool = True,
-    max_bucket_witnesses: int = 512,
+    max_bucket_witnesses: "int | None" = None,
     broadcast_batch: bool = True,
     id_col: Optional[str] = None,
+    decision_only: bool = False,
 ) -> DataFrame:
     """Cross-snapshot near-dup scan against a persisted signature store:
     the banding parameters come FROM the store's metadata, so batch
@@ -2228,7 +2394,13 @@ def scan_against_store(
     verify pass (candidates only — the corpus never re-shingles in
     full). ``id_col`` names the BATCH's id column when it differs from
     the store's (the batch column is renamed to the store's id_col so
-    one name flows through the scan; output stays batch_id/seen_id)."""
+    one name flows through the scan; output stays batch_id/seen_id).
+
+    ``decision_only`` (r12): the ingest-gate preset — one row per
+    flagged batch doc (its best verified hit), witness cap 8, staged
+    first-hit verification; see ``incremental_near_dups``. The 10M rung
+    measured ~139 witnesses per duplicated batch doc where 1 answers —
+    a ~17x candidate-join cut for the "drop it or keep it" consumer."""
     sigs, meta = load_signatures(batch.sparkSession, store_path)
     store_id = meta.get("id_col", "doc_id")
     if id_col is not None and id_col != store_id:
@@ -2246,4 +2418,5 @@ def scan_against_store(
         max_bucket_witnesses=max_bucket_witnesses,
         seen_signatures=sigs,
         broadcast_batch=broadcast_batch,
+        decision_only=decision_only,
     )

@@ -914,6 +914,72 @@ def q_incremental_near_dups(spark, sf_dir):
     ).orderBy("batch_id", "seen_id")
 
 
+@declare(
+    "q_scan_decision",
+    """
+    WITH seen AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+    ), batch AS (
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text FROM documents
+      WHERE doc_id % 3 <> 0 AND doc_id % 11 = 1
+    ), ss AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+               ELSE [array_to_string(toks, ' ')] END) AS sh
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+        FROM seen
+      )
+    ), sb AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+               ELSE [array_to_string(toks, ' ')] END) AS sh
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+        FROM batch
+      )
+    )
+    SELECT DISTINCT b.doc_id AS batch_id
+    FROM sb b JOIN ss s
+      ON len(list_intersect(b.sh, s.sh))
+         / CAST(greatest(len(list_distinct(b.sh || s.sh)), 1) AS DOUBLE) >= 0.5
+    ORDER BY batch_id
+    """,
+)
+def q_scan_decision(spark, sf_dir):
+    """X2 decision-only ingest gate (r12, VERDICT r11 #4): WHICH batch
+    docs are near-dups of the corpus at rest — the flag set, not the
+    pair list. Same snapshot split as q_incremental_near_dups; engine
+    path is ``incremental_near_dups(decision_only=True)``: witness cap
+    preset 8, candidates ranked by shared-band count, each doc's best
+    candidate verified first with unresolved docs falling through to an
+    exhaustive stage 2 — so the emitted flag set is exactly the audit
+    path's, hash-checked here against the full cross-pairs DuckDB
+    oracle projected to DISTINCT batch ids."""
+    docs = _docs(spark, sf_dir)
+    seen = docs.where(F.col("doc_id") % 3 != 0)
+    batch = (
+        docs.where(F.col("doc_id") % 3 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        .unionByName(
+            docs.where((F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 11 == 1))
+            .select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+        )
+    )
+    return (
+        dedup.incremental_near_dups(batch, seen, threshold=0.5,
+                                    decision_only=True)
+        .select("batch_id")
+        .orderBy("batch_id")
+    )
+
+
 @declare("q_minhash_pairs", _JACCARD_PAIRS_SQL)
 def q_minhash_pairs(spark, sf_dir):
     """X2 MinHash-LSH near-dup pairs, emitted as the exact-verified
@@ -4104,6 +4170,61 @@ def q_semantic_dedup(spark, sf_dir):
 
 
 @declare(
+    "q_semantic_multiprobe",
+    f"""
+    WITH aug AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(embedding, x -> x * CAST(1.5 AS FLOAT))
+      FROM embeddings WHERE vec_id % 7 = 0
+    ),
+    c AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             (1.0 - ({_COS_AB_SQL})) AS sim
+      FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    )
+    SELECT a_id, b_id, round(sim, 4) AS cosine_sim
+    FROM c WHERE round(sim, 4) >= 0.9
+    ORDER BY a_id, b_id
+    """,
+)
+def q_semantic_multiprobe(spark, sf_dir):
+    """r12 (VERDICT r11 #3): semantic dedup with multi-probe (top-2
+    cell) assignment — the boundary-straddle recovery knob — on the
+    same planted-copy corpus and against the same full-pairs DuckDB
+    oracle as q_semantic_dedup. Equality is the operator's safety
+    contract: multi-probe only ADDS exact-cosine-verified pairs, and on
+    this corpus single-probe already captures every oracle pair (exact
+    copies co-locate under k-means), so probes=2 must emit the
+    IDENTICAL pair set — any spurious or lost pair is a hash miss. The
+    straddle-RECOVERY direction (pairs single-probe misses) is gated by
+    tests/test_operators.py::
+    test_semantic_dedup_multiprobe_recovers_boundary_straddle and the
+    10M Zipf rung (SCALE.md)."""
+    from vamana_spark.operators import dedup as DD
+
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    copies = e.where(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    aug = e.unionByName(copies)
+    res = DD.semantic_dedup(
+        aug, threshold=0.9, num_clusters=8, seed=42, probes=2
+    )
+    return (
+        res.where(~F.col("keep"))
+        .select(
+            F.col("dup_of").alias("a_id"),
+            F.col("vec_id").alias("b_id"),
+            F.round("max_sim", 4).alias("cosine_sim"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
+@declare(
     "q_dsir_weights",
     r"""
     WITH t AS (
@@ -4245,22 +4366,23 @@ def q_dsir_sample(spark, sf_dir):
 
 # Queries whose implementation or oracle changed THIS round — their
 # most recent driver rows predate the change, so they are promoted to
-# the front alongside never-run queries. r11: q_ann_filtered converted
-# rows-only -> hash-strict (exhaustive-beam recipe; new oracle + new
-# ef/overfetch operating point, so its r08 row describes the old
-# rows-only output). The search_pq broadcast retune changes the
-# physical plan, not results, so the PQ rows still describe current
-# output.
-_CHANGED_THIS_ROUND: list = ["q_ann_filtered"]
+# the front alongside never-run queries. r12: empty — the round's
+# operator changes are all output-preserving on the declared surface:
+# semantic_dedup grew `probes` (default 1 = the old path, verified
+# bit-identical by test_semantic_dedup_multiprobe_identity...),
+# minhash_near_dups grew `consumer` (default "audit" = the old 512
+# cap), incremental_near_dups grew `decision_only` (default False =
+# the old exhaustive verify), and duplicate_clusters' new cluster
+# preset only applies to self-generated pairs (q_dup_clusters /
+# q_corpus_dedup pass explicit `pairs=`).
+_CHANGED_THIS_ROUND: list = []
 
 # Queries DECLARED or modified this round whose first/refreshed driver
-# row waits a round because the window is full. r11: empty — q_ip_pq's
-# r10 deferral expires now (VERDICT r10 ask #1: the only declared
-# query with no driver row ever); as never-run it sorts eff=0 behind
-# the 47 bound-threatened r08 rows, inside the 50-slot window.
-# q_opq_serving (declared r11) also sorts eff=0 and fits: 47 + 2
-# never-run + 1 r09 row = 50; the displaced second r09 row stays r09
-# (inside the bound) and hits the must-run tier in r12.
+# row waits a round because the window is full. r12: empty — the 48
+# r09 rows hit the must-run tier (they would age past the two-round
+# bound otherwise) and the 2 newly declared queries
+# (q_scan_decision, q_semantic_multiprobe) sort eff=0: 48 + 2 = 50,
+# exactly the window.
 _DEFER_THIS_ROUND: list = []
 
 
