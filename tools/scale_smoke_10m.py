@@ -235,14 +235,17 @@ def main() -> None:
         out["calibrated_nprobe"] = pidx.calibrate_nprobe(**cal_kw)
         out["calibration_target"] = pidx.calibration_target
         out["calibrate_nprobe_sec"] = round(time.perf_counter() - t0, 2)
-        t0 = time.perf_counter()
-        out["pq_profile"] = pidx.pq_profile()
-        out["pq_profile_sec"] = round(time.perf_counter() - t0, 2)
+        if not os.environ.get("SKIP_PQ"):
+            # r12: the lifecycle rung serves flat only — profiling PQ
+            # packs there is minutes of dead wall
+            t0 = time.perf_counter()
+            out["pq_profile"] = pidx.pq_profile()
+            out["pq_profile_sec"] = round(time.perf_counter() - t0, 2)
         print(json.dumps({
             "calibrated_nprobe": out["calibrated_nprobe"],
             "calibrate_nprobe_sec": out["calibrate_nprobe_sec"],
-            "pq_profile": out["pq_profile"],
-            "pq_profile_sec": out["pq_profile_sec"],
+            "pq_profile": out.get("pq_profile"),
+            "pq_profile_sec": out.get("pq_profile_sec"),
         }), flush=True)
     if not os.environ.get("SKIP_PQ"):
         prof = pidx.pq_profile()
@@ -434,6 +437,9 @@ def _maintenance_rung(spark, emb, pidx, out: dict, blobs: int) -> None:
     mnt["resplit_fired"] = split is not grown
     mnt["shards_after_resplit"] = int(split.params.num_shards)
     mnt["resplit_recalibrated_nprobe"] = split.recommended_nprobe
+    # the carried operating point (r12: must equal the build's
+    # TARGET_RECALL through add -> resplit without re-specification)
+    mnt["carried_calibration_target"] = split.calibration_target
     if split is not grown:
         grown.shards_df.unpersist()
         split.shards_df = split.shards_df.localCheckpoint()
@@ -494,7 +500,15 @@ def _maintenance_rung(spark, emb, pidx, out: dict, blobs: int) -> None:
     mnt["fresh_build_sec"] = round(time.perf_counter() - t0, 2)
     _jvm_gc(spark)
     t0 = time.perf_counter()
-    mnt["fresh_calibrated_nprobe"] = fresh.calibrate_nprobe()
+    # r12 (VERDICT r11 #1): the comparison point calibrates at the SAME
+    # explicit operating point the maintained index carries — a
+    # default-target fresh row against a 0.95-target maintained row
+    # would compare different contracts
+    fresh_kw = {}
+    if os.environ.get("TARGET_RECALL"):
+        fresh_kw["target_recall"] = float(os.environ["TARGET_RECALL"])
+    mnt["fresh_calibrated_nprobe"] = fresh.calibrate_nprobe(**fresh_kw)
+    mnt["fresh_calibration_target"] = fresh.calibration_target
     mnt["fresh_calibrate_sec"] = round(time.perf_counter() - t0, 2)
     serve("fresh", fresh)
     mnt["recall_drift_maintained_minus_fresh"] = round(

@@ -26,6 +26,10 @@ def get_session(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle = str(shuffle_partitions or cpus)
+    # SPARK_GRAFT_DRIVER_MEM lets CLI invocations (whose JVM starts
+    # inside get_session — no spark-submit to set it) size the local
+    # driver for 10M+ corpora; explicit argument still wins
+    driver_memory = driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM")
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
