@@ -1192,10 +1192,13 @@ def semantic_dedup(
     whose members fall on opposite sides of a Voronoi boundary — the
     dominant planted-miss class at the 10M Zipf rung (8.4% of planted
     dups at probes=1). Multi-probe only ADDS exact-cosine-verified
-    pairs, so it can never introduce a false drop; cost is ~probes× on
-    the scan phase (each point resides in ``probes`` cells), bounded by
-    the same ``max_cluster_rows`` backstop. Default 1 = the published
-    recipe, output unchanged.
+    pairs, so it can never introduce a false drop. Cost: each point
+    resides in ``probes`` cells, so cell populations grow ~probes× and
+    the per-cell quadratic scan up to probes²× (4× FLOPs at probes=2;
+    measured 649 s → 3,224 s (~5×, splits + stragglers included) for
+    planted-miss recall 0.9156 → 0.9859 at the 10M Zipf rung) — still
+    bounded per task by the same ``max_cluster_rows`` backstop.
+    Default 1 = the published recipe, output unchanged.
 
     ``keep_policy``: "min_id" (default — deterministic, id-stable
     across runs) or "centroid_far" (the paper's policy: within a
