@@ -139,11 +139,12 @@ def cmd_dedup(args) -> int:
             out = dedup.scan_against_store(
                 docs, seen, args.signatures, text_col=args.text_col,
                 threshold=args.threshold, id_col=args.id_col,
+                decision_only=args.decision_only,
             )
         else:
             out = dedup.incremental_near_dups(
                 docs, seen, text_col=args.text_col, id_col=args.id_col,
-                threshold=args.threshold,
+                threshold=args.threshold, decision_only=args.decision_only,
             )
     elif args.mode == "semantic":
         # SemDeDup over an embedding column: survivors only
@@ -151,12 +152,13 @@ def cmd_dedup(args) -> int:
 
         keep = dedup.semantic_dedup(
             docs, threshold=args.threshold, id_col=args.id_col,
-            vec_col=args.vec_col,
+            vec_col=args.vec_col, probes=args.probes,
         ).where(F.col("keep")).select(F.col("vec_id").alias(args.id_col))
         out = docs.join(keep, args.id_col)
     else:
         out = dedup.minhash_near_dups(
-            docs, text_col=args.text_col, id_col=args.id_col, threshold=args.threshold
+            docs, text_col=args.text_col, id_col=args.id_col,
+            threshold=args.threshold, consumer=args.consumer,
         )
     out.write.mode("overwrite").parquet(args.output)
     print(json.dumps({"input_rows": docs.count(), "output_rows": out.count(),
@@ -708,6 +710,22 @@ def main(argv=None) -> int:
     d.add_argument("--vec-col", dest="vec_col", default="embedding")
     d.add_argument("--threshold", type=float, default=0.7)
     d.add_argument("--span-k", dest="span_k", type=int, default=5)
+    d.add_argument("--consumer", choices=["audit", "cluster"],
+                   default="audit",
+                   help="mode=minhash: star-cap preset — 'cluster' (cap 64) "
+                        "for cluster/survivor consumers (7-11x cheaper "
+                        "intermediates at 10M, identical clusters), 'audit' "
+                        "(cap 512) for exhaustive pair lists")
+    d.add_argument("--decision-only", dest="decision_only",
+                   action="store_true",
+                   help="mode=incremental-near: ingest gate — one best-hit "
+                        "row per flagged batch doc (witness cap 8, staged "
+                        "first-hit verify; identical flag set, ~17x fewer "
+                        "verify-join rows)")
+    d.add_argument("--probes", type=int, default=1,
+                   help="mode=semantic: multi-probe cell assignment — 2 "
+                        "recovers Voronoi-boundary straddle pairs (10M rung: "
+                        "planted recall 0.9156 -> 0.9859 at ~5x scan cost)")
     d.set_defaults(fn=cmd_dedup)
 
     dc = sub.add_parser("decontaminate")
