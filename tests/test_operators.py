@@ -2320,6 +2320,81 @@ def test_incremental_near_dups_decision_only_direct(spark):
     assert rows[0].seen_id < 8
 
 
+def test_decision_only_stage2_fallback_parity(spark):
+    """The decision path's correctness hinges on stage 2: a batch doc
+    whose TOP-ranked candidate (most shared bands) FAILS exact-Jaccard
+    verification must fall through to its remaining candidates. Each
+    batch doc gets two corpus partners with controlled true Jaccard —
+    X at 11/25 = 0.44 (fails the 0.5 threshold) and Y at 13/23 = 0.565
+    (passes); MinHash band counts estimate J with enough noise that X
+    outranks Y for some docs (asserted below), forcing stage 2. If
+    stage 2 were broken those docs would vanish from the decision flag
+    set; parity with the audit path is the gate."""
+    seen_rows, batch_rows = [], []
+    n = 40
+    for i in range(n):
+        toks = [f"d{i}t{k}" for k in range(20)]          # 18 shingles
+        batch_rows.append((1000 + i, " ".join(toks)))
+        seen_rows.append(                                  # X_i: J = 0.44
+            (2 * i, " ".join(toks[:13] + [f"x{i}j{k}" for k in range(7)]))
+        )
+        seen_rows.append(                                  # Y_i: J = 0.565
+            (2 * i + 1, " ".join(toks[:15] + [f"y{i}j{k}" for k in range(5)]))
+        )
+    seen = spark.createDataFrame(seen_rows, ["doc_id", "text"])
+    batch = spark.createDataFrame(batch_rows, ["doc_id", "text"])
+
+    # premise check: the band-count ranking really inverts (X above Y)
+    # for at least one doc — otherwise stage 2 is never exercised
+    sig_s = dedup.minhash_signatures(seen)
+    sig_b = dedup.minhash_signatures(batch)
+    keys = ["band_id", "band_hash"]
+    bs = sig_s.select(
+        F.col("doc_id").alias("seen_id"),
+        F.posexplode(dedup.band_hash_array("minhash", 64, 16)).alias(*keys),
+    )
+    bb = sig_b.select(
+        F.col("doc_id").alias("batch_id"),
+        F.posexplode(dedup.band_hash_array("minhash", 64, 16)).alias(*keys),
+    )
+    counts = {
+        (r.batch_id, r.seen_id): r.nb
+        for r in bs.join(bb, keys)
+        .groupBy("batch_id", "seen_id")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .collect()
+    }
+    inverted = [
+        i for i in range(n)
+        # X outranks Y AND Y is a candidate at all (a Y with zero band
+        # collisions is invisible to BOTH paths — LSH recall, not stage 2)
+        if counts.get((1000 + i, 2 * i), 0)
+        > counts.get((1000 + i, 2 * i + 1), 0) > 0
+    ]
+    assert inverted, "fixture premise broken: no X-above-Y rank inversion"
+
+    audit = dedup.incremental_near_dups(batch, seen, threshold=0.5)
+    decision = dedup.incremental_near_dups(
+        batch, seen, threshold=0.5, decision_only=True
+    )
+    flags_audit = sorted(
+        r.batch_id for r in audit.select("batch_id").distinct().collect()
+    )
+    rows = decision.collect()
+    assert sorted(r.batch_id for r in rows) == flags_audit
+    # most docs flag (Y passes when banding surfaces it: P(candidate)
+    # ~0.82 at J=0.565 with 16x4 banding; misses are identical in both
+    # paths — LSH recall, not a decision-path property)
+    assert len(flags_audit) >= int(0.6 * n)
+    assert len(rows) == len({r.batch_id for r in rows})
+    assert all(r.jaccard >= 0.5 for r in rows)
+    # the inverted docs were flagged THROUGH stage 2 (their stage-1
+    # candidate X sits below threshold, so the hit must name Y)
+    by_id = {r.batch_id: r for r in rows}
+    for i in inverted:
+        assert by_id[1000 + i].seen_id == 2 * i + 1
+
+
 def test_incremental_dedup_ranged_matches_broadcast_tier(spark):
     """The hash-range-sharded escape hatch (sequential range-scoped
     filters, no full-key-space bitmap anywhere) must produce the exact
