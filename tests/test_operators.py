@@ -1987,6 +1987,146 @@ def test_semantic_dedup_multiprobe_recovers_boundary_straddle(spark):
         ), vid
 
 
+def test_semantic_dedup_multiprobe_centroid_far_keeps_one_survivor(spark):
+    """ADVICE r12 (high): with per-cell centroid orderings, a straddle
+    pair could drop A-against-B in one probed cell and B-against-A in
+    another — the dropped-anywhere merge then erased the WHOLE group
+    (silent data loss for keep-filtering consumers). Requires >= 3
+    cells: with 2 cells and probes=2 every point is in both cells, so
+    the orderings coincide. This fixture reproduced the double drop on
+    the pre-fix code; the global-priority ordering must keep exactly
+    one member."""
+    rng = np.random.default_rng(5)
+    D = 6
+    c1 = np.zeros(D); c1[0] = 1.0
+    c2 = np.zeros(D); c2[1] = 1.0
+    # third blob nearer to blobs 1/2 than they are to each other, so
+    # blob members' secondary probes go THERE — keeping cells 1 and 2
+    # membership-asymmetric (the inversion precondition)
+    c3 = np.zeros(D); c3[0] = 0.3; c3[1] = 0.3; c3[2] = 1.0
+    rows = []
+    for i in range(120):
+        v = c1 + 0.05 * rng.normal(size=D)
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    for i in range(200, 320):
+        v = c2 + 0.05 * rng.normal(size=D)
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    for i in range(400, 430):
+        v = c3 + 0.05 * rng.normal(size=D)
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    mid = (c1 + c2) / np.linalg.norm(c1 + c2)
+    a = mid + 0.15 * c1
+    b = mid + 0.15 * c2
+    rows.append((1000, (a / np.linalg.norm(a)).tolist()))
+    rows.append((1001, (b / np.linalg.norm(b)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    res = {r.vec_id: r for r in dedup.semantic_dedup(
+        df, threshold=0.95, num_clusters=3, seed=1, probes=2,
+        keep_policy="centroid_far",
+    ).collect()}
+    assert len(res) == 272
+    # the pair is linked, and EXACTLY one member survives
+    assert res[1000].keep != res[1001].keep
+    dropped = 1001 if res[1000].keep else 1000
+    assert res[dropped].dup_of == (2001 - dropped)
+    # no row's greedy chain may dead-end in a dropped row with no
+    # surviving ancestor (the erased-group symptom)
+    def survives(v, seen=()):
+        r = res[v]
+        if r.keep:
+            return True
+        if v in seen:
+            return False
+        return survives(r.dup_of, seen + (v,))
+
+    assert all(survives(v) for v in res)
+
+
+def test_semantic_dedup_subprobe_recovers_split_straddle(spark):
+    """VERDICT r12 #3: ``probes`` extended to split children. One
+    top-level cell (blob A, 242 rows > cap 150) is forced through the
+    giant-cluster backstop; the planted pair straddles the SUB-cluster
+    boundary (lifted off the sub-blob axis so it pairs with nothing
+    else), and its members' top-level secondary probes are steered to
+    DIFFERENT cells (tiny cB/cC tilts) — so the only scan groups that
+    can ever score the pair are blob A's split children. probes=1 must
+    miss it (split fires, different children); probes=2 must recover it
+    through the sub-probe replica."""
+    rng = np.random.default_rng(11)
+    D = 8
+    cA = np.zeros(D); cA[0] = 1.0
+    cB = np.zeros(D); cB[1] = 1.0; cB[2] = 0.05
+    cC = np.zeros(D); cC[2] = 1.0; cC[1] = 0.05
+    e4 = np.zeros(D); e4[3] = 1.0
+    e5 = np.zeros(D); e5[4] = 1.0
+    rows = []
+    i = 0
+    for sgn in (+1.0, -1.0):  # sub-blobs A1/A2, close enough to share a cell
+        sub = cA + sgn * 0.12 * e4
+        for _ in range(120):
+            v = sub + 0.02 * rng.normal(size=D)
+            rows.append((i, (v / np.linalg.norm(v)).tolist())); i += 1
+    for c in (cB, cC):  # mutually-nearest anchors (secondaries go B<->C)
+        for _ in range(30):
+            v = c + 0.02 * rng.normal(size=D)
+            rows.append((i, (v / np.linalg.norm(v)).tolist())); i += 1
+    p = cA + 0.25 * e5 + 0.04 * e4 + 0.02 * cB
+    q = cA + 0.25 * e5 - 0.04 * e4 + 0.02 * cC
+    rows.append((1000, (p / np.linalg.norm(p)).tolist()))
+    rows.append((1001, (q / np.linalg.norm(q)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def run(probes):
+        return {r.vec_id: r for r in dedup.semantic_dedup(
+            df, threshold=0.985, num_clusters=3, seed=1,
+            max_cluster_rows=150, probes=probes, expose_subcluster=True,
+        ).collect()}
+
+    one = run(1)
+    # fixture preconditions: the split fired, P/Q share the top-level
+    # cell but live in different children — and the pair is MISSED
+    assert one[1000].cluster_id == one[1001].cluster_id
+    assert "." in one[1000].subcluster_id and "." in one[1001].subcluster_id
+    assert one[1000].subcluster_id != one[1001].subcluster_id
+    assert one[1000].keep and one[1001].keep
+
+    two = run(2)
+    assert len(two) == len(one) == 302
+    # sub-probe recovery: Q drops against P with the true cosine
+    assert two[1000].keep
+    assert not two[1001].keep and two[1001].dup_of == 1000
+    assert two[1001].max_sim > 0.99
+    # ADVICE r12 (low): under multi-probe the surfaced subcluster_id
+    # must still name the PRIMARY cell's scan key — prefix invariant
+    for r in two.values():
+        assert r.subcluster_id.split(".")[0] == str(r.cluster_id), r
+
+
+def test_split_labels_multiprobe_bounds_and_primary_identity():
+    """Kernel contract: primaries identical to the probes=1 split;
+    every child's secondary replicas capped at ``cap`` (closest to
+    that child's center); every replica set deterministic."""
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((500, 6))
+    ids = np.arange(500, dtype=np.int64)
+    cap = 120
+    ridx, rlab, rpri = dedup._split_labels_multiprobe(X, ids, cap)
+    lab1 = dedup._split_oversized_labels(X, ids, cap)
+    # primaries: same rows, same labels, in row order
+    assert (ridx[rpri] == ids).all()
+    assert (rlab[rpri] == lab1).all()
+    # per-child totals: <= cap primaries + <= cap secondaries
+    import collections
+
+    prim = collections.Counter(rlab[rpri].tolist())
+    sec = collections.Counter(rlab[~rpri].tolist())
+    assert all(v <= cap for v in prim.values())
+    assert all(v <= cap for v in sec.values())
+    # deterministic
+    r2 = dedup._split_labels_multiprobe(X, ids, cap)
+    assert all((a == b).all() for a, b in zip((ridx, rlab, rpri), r2))
+
+
 def test_semantic_dedup_multiprobe_identity_on_colocated_dups(spark):
     """probes=2 must leave a corpus with NO straddling pairs bit-
     identical to probes=1 (exact copies co-locate under k-means) — the

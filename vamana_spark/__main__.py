@@ -720,8 +720,12 @@ def main(argv=None) -> int:
                    action="store_true",
                    help="mode=incremental-near: ingest gate — one best-hit "
                         "row per flagged batch doc (witness cap 8, staged "
-                        "first-hit verify; identical flag set, ~17x fewer "
-                        "verify-join rows)")
+                        "first-hit verify). Flag set identical to the audit "
+                        "path AT EQUAL WITNESS CAPS (stage 2 exhausts all "
+                        "candidates); the cap itself can unflag a doc whose "
+                        "only passing witnesses were capped away — measured "
+                        "equal on the 10M Zipf rung. Fewer verify-join rows "
+                        "(~17x at that rung)")
     d.add_argument("--probes", type=int, default=1,
                    help="mode=semantic: multi-probe cell assignment — 2 "
                         "recovers Voronoi-boundary straddle pairs (10M rung: "

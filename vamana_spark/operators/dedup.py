@@ -504,9 +504,12 @@ def minhash_lsh_candidates(
 #: keeps the 512 cap (exhaustive within-cap pair lists — the parity /
 #: pair-consumer default); "cluster" drops it to 64 — at 10M that cut
 #: verified pairs 7.4x (86.8M -> 11.8M), disk spill 11x, and the
-#: connected-components pass 6.7x at bit-identical planted coverage
-#: AND cluster recovery (0.9999 both), because star topology keeps
-#: every cluster connected through its min-id representative.
+#: connected-components pass 6.7x at EQUAL MEASURED planted coverage
+#: and cluster recovery (0.9999 at both caps on that corpus — an
+#: approximate guarantee, not an identity: star topology keeps a
+#: cluster connected through its min-id representative only when the
+#: rep-member edge itself survives exact-Jaccard verification; see the
+#: fragmentation note in minhash_near_dups).
 _MINHASH_CONSUMER_CAPS = {"audit": 512, "cluster": 64}
 
 
@@ -532,13 +535,21 @@ def minhash_near_dups(
     every within-cap pair — the exhaustive pair-list / oracle-parity
     setting. ``"cluster"`` (cap 64) is for callers that only need
     transitive clusters or survivors (``duplicate_clusters`` /
-    ``dedup_corpus`` default to it): star topology keeps every cluster
-    connected through its min-id representative at O(members) pairs,
-    and connected-components recovers the full cluster regardless of
-    cap — measured at the 10M Zipf rung: 7.4x fewer verified pairs
-    (86.8M -> 11.8M), 11x less disk spill, 6.7x faster CC at
-    bit-identical planted coverage and cluster recovery (0.9999 both).
-    An explicit ``max_bucket_size`` overrides the preset.
+    ``dedup_corpus`` default to it): star topology keeps a cluster
+    connected through its min-id representative at O(members) pairs —
+    measured at the 10M Zipf rung: 7.4x fewer verified pairs
+    (86.8M -> 11.8M), 11x less disk spill, 6.7x faster CC at equal
+    measured planted coverage and cluster recovery (0.9999 at BOTH
+    caps on that corpus). That is an APPROXIMATE guarantee, not an
+    identity (ADVICE r12): a capped bucket emits only rep↔member
+    candidate edges, and an edge survives only if the exact Jaccard of
+    that specific pair clears ``threshold`` — a member below threshold
+    against the min-id rep but above it against some capped-away OTHER
+    member loses its connecting edge, fragmenting a cluster the audit
+    cap would have recovered. Near-threshold corpora whose duplicate
+    groups are CHAINS rather than near-cliques should pass
+    ``consumer="audit"``. An explicit ``max_bucket_size`` overrides
+    the preset.
 
     ``max_bucket_size`` (r11, exposed after the 10M Zipf rung —
     SCALE.md): the star-cap bound on per-bucket pair expansion. The
@@ -659,8 +670,11 @@ def duplicate_clusters(
     Self-generated pairs default to ``consumer="cluster"`` (star-cap
     64 — the 10M-rung-measured preset): clusters only need every member
     CONNECTED, not every pair EMITTED, and connected-components
-    recovers the full cluster through the bucket representative at a
-    7-11x intermediate-cost cut. Override via
+    recovers the cluster through the bucket representative at a 7-11x
+    intermediate-cost cut. Recovery is the MEASURED 0.9999 of the 10M
+    Zipf rung, not an identity — see the fragmentation note in
+    ``minhash_near_dups``; chain-shaped near-threshold duplicate
+    groups should override with ``consumer="audit"`` via
     ``minhash_kwargs["consumer"]`` / ``["max_bucket_size"]``."""
     if pairs is None:
         minhash_kwargs.setdefault("consumer", "cluster")
@@ -687,8 +701,12 @@ def dedup_corpus(
     near-dup cluster plus all unpaired docs — the full 100-TB pipeline
     (LSH pairs → transitive clusters → anti-join of non-canonicals).
     Inherits ``duplicate_clusters``' ``consumer="cluster"`` star-cap
-    preset for self-generated pairs (survivor sets are cap-invariant:
-    the canonical min-id doc is recovered through the representative).
+    preset for self-generated pairs. Survivor sets under the low cap
+    match the audit cap to the MEASURED 0.9999 cluster recovery of the
+    10M Zipf rung, not bit-for-bit: a fragmented cluster (see the
+    ``minhash_near_dups`` fragmentation note) keeps one extra survivor
+    per fragment. Pass ``consumer="audit"`` when exactness against the
+    uncapped pair graph matters more than the 7-11x cost cut.
     """
     clusters = duplicate_clusters(
         df, text_col, id_col, threshold, pairs=pairs, **minhash_kwargs
@@ -1105,25 +1123,26 @@ def duplicate_spans(
     )
 
 
-def _split_oversized_labels(X: "object", ids: "object", cap: int) -> "object":
-    """Child labels (int array, len n) splitting one oversized cluster so
-    every child has <= cap rows. Two stages, both deterministic:
+def _split_kmeans_enforced(X: "object", ids: "object", cap: int) -> tuple:
+    """Shared split kernel: (enforced_labels, dist_matrix) for one
+    oversized cluster. Two stages, both deterministic:
 
     1. mini k-means (k = ceil(n / cap), centers seeded from evenly-spaced
        id-sorted rows, 4 Lloyd passes) — similar points stay together,
        so the similarity miss introduced by the split is minimal;
     2. hard enforcement: any child still over cap (skewed k-means, or
        the degenerate all-identical cluster where Lloyd can't separate
-       anything) is chunked in id order into cap-sized pieces.
+       anything) is chunked in id order into cap-sized pieces (the
+       FIRST chunk keeps the stage-1 label).
 
     Stage 2 guarantees the bound unconditionally in ONE pass — no
-    recursion needed. Rows must arrive id-sorted (callers sort).
-    """
+    recursion needed. Rows must arrive id-sorted (callers sort). The
+    returned ``dist_matrix`` is row-to-stage-1-center squared L2 against
+    the SAME centers the primary assignment used (the sub-probe path
+    reads second-nearest children from it)."""
     import numpy as np
 
     n = len(ids)
-    if n <= cap:
-        return np.zeros(n, dtype=np.int64)
     k = -(-n // cap)  # ceil
     centers = X[np.linspace(0, n - 1, k).astype(np.int64)].copy()
     for _ in range(4):
@@ -1147,7 +1166,64 @@ def _split_oversized_labels(X: "object", ids: "object", cap: int) -> "object":
                 if c:
                     out[idx[lo : lo + cap]] = nxt
                     nxt += 1
-    return out
+    return out, d
+
+
+def _split_oversized_labels(X: "object", ids: "object", cap: int) -> "object":
+    """Child labels (int array, len n) splitting one oversized cluster so
+    every child has <= cap rows (see :func:`_split_kmeans_enforced`)."""
+    import numpy as np
+
+    n = len(ids)
+    if n <= cap:
+        return np.zeros(n, dtype=np.int64)
+    return _split_kmeans_enforced(X, ids, cap)[0]
+
+
+def _split_labels_multiprobe(X: "object", ids: "object", cap: int) -> tuple:
+    """Sub-probe split labels (r13, VERDICT r12 #3): replica layout for
+    one oversized cluster under multi-probe — each row keeps its
+    enforced primary child label AND gains one replica in its
+    second-nearest stage-1 SUB-center's child, the same top-2 recipe
+    top-level multi-probe uses. This converts the sub-cluster-straddle
+    component of the residual planted miss (SCALE.md r12: "the next
+    rung of the same lever"): a pair split across two children is now
+    scored in whichever child both replicas share.
+
+    Bound: secondary replicas per child are capped at ``cap`` (keep the
+    rows CLOSEST to that child's center — the boundary rows the probe
+    exists for; ties by id), so every scan group holds <= 2*cap rows
+    and the task stays O((2*cap)^2) — the same constant-factor growth
+    the top-level ``probes=2`` statement documents.
+
+    Returns (row_indices, labels, is_primary) — parallel arrays, one
+    entry per REPLICA; primaries come first in row order, identical to
+    the probes=1 labels."""
+    import numpy as np
+
+    n = len(ids)
+    lab, d = _split_kmeans_enforced(X, ids, cap)
+    k = d.shape[1]
+    rep_idx = [np.arange(n, dtype=np.int64)]
+    rep_lab = [lab]
+    rep_pri = [np.ones(n, dtype=bool)]
+    if k > 1:
+        j2 = np.argsort(d, axis=1, kind="stable")[:, 1]
+        for j in range(k):
+            cand = np.flatnonzero(j2 == j)
+            if cand.size == 0:
+                continue
+            if cand.size > cap:
+                sel = np.lexsort((ids[cand], d[cand, j]))[:cap]
+                cand = cand[np.sort(sel)]
+            rep_idx.append(cand)
+            rep_lab.append(np.full(cand.size, j, dtype=np.int64))
+            rep_pri.append(np.zeros(cand.size, dtype=bool))
+    return (
+        np.concatenate(rep_idx),
+        np.concatenate(rep_lab),
+        np.concatenate(rep_pri),
+    )
 
 
 def semantic_dedup(
@@ -1191,8 +1267,19 @@ def semantic_dedup(
     highest-similarity witness). Single-probe SemDeDup misses pairs
     whose members fall on opposite sides of a Voronoi boundary — the
     dominant planted-miss class at the 10M Zipf rung (8.4% of planted
-    dups at probes=1). Multi-probe only ADDS exact-cosine-verified
-    pairs, so it can never introduce a false drop. Cost: each point
+    dups at probes=1). Every multi-probe drop is exact-cosine-verified
+    in some probed cell, so no pair below ``threshold`` is ever
+    emitted; whole-group safety (some member of every duplicate group
+    survives) additionally needs the drop relation to be acyclic
+    across cells, which both policies guarantee — min_id because drops
+    always point to a strictly smaller id, centroid_far because under
+    multi-probe the keep priority is a GLOBAL scalar (see below; r13,
+    ADVICE r12). When the giant-cluster backstop splits an oversized
+    cell, ``probes>1`` also probes the split CHILDREN top-2
+    (:func:`_split_labels_multiprobe` — r13, VERDICT r12 #3),
+    converting the sub-cluster-straddle component of the residual miss;
+    secondary sub-replicas are capped at ``cap`` boundary rows per
+    child, so every scan task stays O((2·cap)²). Cost: each point
     resides in ``probes`` cells, so cell populations grow ~probes× and
     the per-cell quadratic scan up to probes²× (4× FLOPs at probes=2;
     measured 649 s → 3,224 s (~5×, splits + stragglers included) for
@@ -1207,6 +1294,15 @@ def semantic_dedup(
     Both are the same greedy scan under different keep-priority
     orderings, and both inherit the greedy-chain semantics: a dropped
     row's ``dup_of`` may itself be dropped further down a chain.
+    centroid_far's "centroid" is the scan cell's member MEAN at
+    probes=1 (the published recipe), but the point's primary K-MEANS
+    CENTER under ``probes>1``: per-cell means give each probed cell a
+    different priority order, and mutually-inconsistent orders let A
+    drop against B in one cell while B drops against A in another —
+    the dropped-anywhere merge would then erase the entire group
+    (ADVICE r12, high). The global scalar restores one total order,
+    at the cost of a slightly different (still
+    farthest-from-center-first) keep choice within groups.
 
     Normalization happens INSIDE the operator (zero vectors become
     their own singletons: trivially kept), so clustering runs on the
@@ -1225,10 +1321,11 @@ def semantic_dedup(
     O(cap^2) time — a planted all-points-in-one-cluster corpus can no
     longer serialize into one quadratic task. The split trades a
     DOCUMENTED similarity miss: pairs straddling a sub-cluster boundary
-    are not scored (same miss class as the top-level blocking, one
-    level down; exact duplicates still co-locate under k-means unless
-    the degenerate chunk fallback fires). ``max_cluster_rows=0``
-    disables the backstop.
+    are not scored at probes=1 (same miss class as the top-level
+    blocking, one level down; exact duplicates still co-locate under
+    k-means unless the degenerate chunk fallback fires) — ``probes>1``
+    sub-probes the children top-2 and recovers the capped boundary
+    band of that miss. ``max_cluster_rows=0`` disables the backstop.
     """
     from vamana_spark.operators.similarity import ivf_build
 
@@ -1289,6 +1386,12 @@ def semantic_dedup(
                 continue
             # stable full sort keeps tie-breaks deterministic by center id
             near = np.argsort(d, axis=1, kind="stable")[:, :p_eff]
+            # _cd: squared distance to the PRIMARY center — a GLOBAL
+            # per-row scalar (identical on every replica) that
+            # centroid_far uses as its keep priority under multi-probe,
+            # so the per-cell greedy scans share one total order (see
+            # the keep_policy docstring paragraph)
+            cd = d[np.arange(len(pdf)), near[:, 0]].astype(np.float64)
             parts = []
             for j in range(p_eff):
                 parts.append(
@@ -1296,17 +1399,17 @@ def semantic_dedup(
                         cluster_id=near[:, 0].astype(np.int32),  # primary
                         _cell=near[:, j].astype(np.int32),
                         _pri=(j == 0),
+                        _cd=cd,
                     )
                 )
             yield pd.concat(parts, ignore_index=True)
 
-    clustered = unit.mapInPandas(
-        assign_carry,
-        schema=(
-            "vec_id long, _u array<double>, cluster_id int, "
-            "_cell int, _pri boolean"
-        ),
+    carry_schema = (
+        "vec_id long, _u array<double>, cluster_id int, _cell int, _pri boolean"
     )
+    if p_eff > 1:
+        carry_schema += ", _cd double"
+    clustered = unit.mapInPandas(assign_carry, schema=carry_schema)
 
     # ---- giant-cluster backstop: refine any cluster over the row cap
     # into capped sub-clusters (scan key becomes the refined _ck). The
@@ -1331,19 +1434,23 @@ def semantic_dedup(
             def split_cluster(key, pdf: pd.DataFrame) -> pd.DataFrame:
                 pdf = pdf.sort_values("vec_id").reset_index(drop=True)
                 Xo = np.stack(pdf["_u"].to_numpy())
-                lab = _split_oversized_labels(
-                    Xo, pdf["vec_id"].to_numpy(), cap
-                )
-                return pdf.assign(
-                    _ck=[f"{key[0]}.{c}" for c in lab]
-                )
+                ids_np = pdf["vec_id"].to_numpy()
+                if p_eff == 1:
+                    lab = _split_oversized_labels(Xo, ids_np, cap)
+                    return pdf.assign(_ck=[f"{key[0]}.{c}" for c in lab])
+                # sub-probe (r13, VERDICT r12 #3): under multi-probe the
+                # split children are probed top-2 as well, recovering
+                # pairs that straddle a SUB-cluster boundary. A replica
+                # is primary only if it was the primary top-level cell
+                # replica AND the primary child replica.
+                ridx, rlab, rpri = _split_labels_multiprobe(Xo, ids_np, cap)
+                res = pdf.iloc[ridx].reset_index(drop=True)
+                res["_ck"] = [f"{key[0]}.{c}" for c in rlab]
+                res["_pri"] = res["_pri"].to_numpy(dtype=bool) & rpri
+                return res
 
             over = over.groupBy("_ck").applyInPandas(
-                split_cluster,
-                schema=(
-                    "vec_id long, _u array<double>, cluster_id int, "
-                    "_cell int, _pri boolean, _ck string"
-                ),
+                split_cluster, schema=carry_schema + ", _ck string"
             )
             keyed = rest.unionByName(over)
 
@@ -1369,8 +1476,21 @@ def semantic_dedup(
             # survives. Implemented as the keep-priority ORDER of the
             # same greedy scan: score rows far-to-near (ties: smaller
             # id first), so earlier == higher keep priority.
-            c = X.mean(axis=0)
-            d2 = ((X - c) ** 2).sum(axis=1)
+            if p_eff > 1:
+                # ADVICE r12 (high): per-cell centroid orderings are NOT
+                # mutually consistent — A can drop against B in one
+                # probed cell while B drops against A in another, and
+                # the dropped-anywhere merge would then erase the whole
+                # group. Under multi-probe the priority is therefore a
+                # GLOBAL scalar (distance to the row's primary k-means
+                # center, carried from assignment): one total order in
+                # every cell ⇒ drop edges always point to a strictly
+                # higher-priority row ⇒ the top-priority member of any
+                # group survives every cell and the merge keeps it.
+                d2 = pdf["_cd"].to_numpy(dtype=np.float64)
+            else:
+                c = X.mean(axis=0)
+                d2 = ((X - c) ** 2).sum(axis=1)
             order = np.lexsort((ids, -d2))
             ids, X, cids, pri = ids[order], X[order], cids[order], pri[order]
         dup_of = np.full(n, -1, dtype=np.int64)
@@ -1432,11 +1552,25 @@ def semantic_dedup(
         F.col("_pri").desc(),                # primary cell on ties
         F.col("dup_of").asc_nulls_last(),    # deterministic final tiebreak
     )
-    return (
-        scan.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") == 1)
-        .drop("_rk", "_pri")
-    )
+    merged = scan.withColumn("_rk", F.row_number().over(w))
+    if expose_subcluster:
+        # ADVICE r12 (low): the winning row can come from a SECONDARY
+        # probed cell, whose scan key would break the
+        # "<cluster_id>[.<sub>]" prefix invariant split diagnostics
+        # rely on. Overwrite from the point's primary-cell row — same
+        # vec_id window partition, so no extra shuffle.
+        merged = merged.withColumn(
+            "_psub",
+            F.max(F.when(F.col("_pri"), F.col("subcluster_id"))).over(
+                Window.partitionBy("vec_id")
+            ),
+        )
+        return (
+            merged.where(F.col("_rk") == 1)
+            .withColumn("subcluster_id", F.col("_psub"))
+            .drop("_rk", "_pri", "_psub")
+        )
+    return merged.where(F.col("_rk") == 1).drop("_rk", "_pri")
 
 
 def cut_duplicate_spans(
