@@ -97,6 +97,13 @@ def _run_reference(sf_dir: str, stored_fallback: str) -> dict | None:
             "qps": ref["qps"],
             "recall_at_k": ref["recall_at_k"],
             "measured_in_run": True,
+            # rep protocol on BOTH sides of the 2x bar (VERDICT r12 #1):
+            # the C++ rerun is min-of-N fresh builds + min-of-N search
+            # passes (ref_bench.cpp), matching our own warm min-of-3 —
+            # the recorded ratio is min/min, not min/single-shot
+            "build_reps": int(ref.get("build_reps", 1)),
+            "search_passes": int(ref.get("search_passes", 1)),
+            "rep_protocol": "min/min" if ref.get("build_reps") else "min/single",
         }
     except Exception as e:
         ERRORS["reference_rerun_" + os.path.basename(sf_dir)] = (
@@ -341,6 +348,11 @@ def _query_mix(timings: dict, extra: dict) -> None:
             lambda: VamanaIndex.build(spark, emb, params),
             warm=True,
         )
+        # both sides' rep protocol, stated in-artifact (VERDICT r12 #1):
+        # ours is the warm min-of-3 timed() applies (cold first run
+        # recorded under extra.cold_sec); the reference block carries
+        # its own build_reps/search_passes from ref_bench.cpp
+        extra["rep_protocol_ours"] = "warm min-of-3; cold first run in cold_sec"
         # per-phase split of build_index (VERDICT r5 #8): time the dense
         # build kernel alone on the same rows, driver-side — the rest of
         # the build_index wall is Spark fixed cost (job/stage scheduling,

@@ -99,6 +99,31 @@ def test_rows_only_runs(name, spark):
     )
 
 
+def test_probe_recovery_fixture_misses_at_single_probe(spark):
+    """r13 (VERDICT r12 #4): q_semantic_probe_recovery is only a
+    recovery proof if single-probe PROVABLY misses the planted pair on
+    the same fixture — otherwise the hash match would hold for the
+    probes=1 output too and gate nothing. Pin the miss: at probes=1
+    the mixes land in different primary cells, both survive, and the
+    verified-pair projection is missing the planted row (i.e. empty on
+    this corpus, whose max natural cosine is 0.5128 < 0.9)."""
+    if os.path.basename(os.path.normpath(SF_DIR)) != "sf0.01":
+        pytest.skip("fixture pinned to sf0.01")
+    from vamana_spark.operators import dedup as DD
+    from vamana_spark.plans.declared import _probe_recovery_aug
+
+    res = {
+        r.vec_id: r
+        for r in DD.semantic_dedup(
+            _probe_recovery_aug(spark, SF_DIR),
+            threshold=0.9, num_clusters=8, seed=42, probes=1,
+        ).collect()
+    }
+    assert res[200000].cluster_id != res[200001].cluster_id
+    assert res[200000].keep and res[200001].keep
+    assert all(r.keep for r in res.values())  # the pair was the ONLY dup
+
+
 def test_no_vacuous_oracles(ddb):
     """Every oracle query must return >0 rows at sf0.01 — a 0-vs-0
     driver row is vacuously green and proves nothing (the r5 verdict's

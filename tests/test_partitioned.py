@@ -1459,6 +1459,11 @@ def test_opq_profile_and_serving(spark):
     assert prof["candidates"]["16-opq"] >= 0.95, prof  # rotation clears
     assert prof["pq_m"] == 16 and prof["opq"] is True, prof
     assert prof["per_shard_codebooks"] is False, prof
+    # r13 (VERDICT r12 #8): the OPQ-regime decision variable rides in
+    # the memo — per-cell row density next to the plain-vs-rotated
+    # agreements (24k rows over 4 cells ≈ 6k p50, ± k-means imbalance)
+    assert 1000 <= prof["rows_per_cell_p50"] <= 24000, prof
+    assert prof["rows_per_cell_p90"] >= prof["rows_per_cell_p50"], prof
 
     # the auto pack really is the opq pack: blob carries the rotation
     blob = np.load(

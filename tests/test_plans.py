@@ -491,6 +491,36 @@ def test_rotation_window_bounds_staleness():
     )
 
 
+def test_coverage_header_totals_match_registry():
+    """VERDICT r12 #5: COVERAGE.md's header totals rotted twice (said
+    147/131 while the registry held 150/134) — and that file is the map
+    the next round navigates by. Pin the header to the registry: the
+    "N declared queries, M with DuckDB oracle SQL" line must equal
+    len(QUERIES) / len(ORACLE_SQL) exactly."""
+    import os
+    import re
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(D.__file__)))
+    )
+    path = os.path.join(root, "COVERAGE.md")
+    if not os.path.exists(path):
+        pytest.skip("COVERAGE.md not next to the package")
+    with open(path) as f:
+        text = f.read()
+    m = re.search(
+        r"\*\*(\d+) declared queries, (\d+) with DuckDB oracle SQL\*\*", text
+    )
+    assert m, "COVERAGE.md totals line missing or reworded"
+    assert (int(m.group(1)), int(m.group(2))) == (
+        len(D.QUERIES), len(D.ORACLE_SQL)
+    ), (
+        f"COVERAGE.md header says {m.group(1)}/{m.group(2)} but the "
+        f"registry holds {len(D.QUERIES)}/{len(D.ORACLE_SQL)} — update "
+        "the header when declaring queries"
+    )
+
+
 def test_rotation_promotes_never_run_and_changed():
     """Tier 1 of the rotation: bound-threatened recorded queries (row
     older than max-1) outrank EVERYTHING — then never-run and

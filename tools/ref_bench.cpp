@@ -42,13 +42,23 @@ int main(int argc, char** argv) {
     if (std::fread(qs.data(), 4, qs.size(), f) != qs.size()) return 1;
     std::fclose(f);
 
-    vamana::Vamana idx(dim, n, alpha, R, L, ef);
-    for (uint32_t i = 0; i < n; i++) idx.AddPoint(&pts[(size_t)i * dim], i);
-
-    auto t0 = std::chrono::steady_clock::now();
-    idx.BuildIndex();
-    auto t1 = std::chrono::steady_clock::now();
-    double build_sec = std::chrono::duration<double>(t1 - t0).count();
+    // min-of-3 build: one fresh index per rep (AddPoint untimed, the
+    // same timed region the engine's bench uses), min across reps —
+    // the SAME best-of-N protocol bench.py applies to its own numbers,
+    // so the recorded ratio is min/min instead of min/single-shot.
+    const int BUILD_REPS = 3;
+    double build_sec = 1e18;
+    vamana::Vamana* idx = nullptr;
+    for (int rep = 0; rep < BUILD_REPS; rep++) {
+        vamana::Vamana* cand = new vamana::Vamana(dim, n, alpha, R, L, ef);
+        for (uint32_t i = 0; i < n; i++) cand->AddPoint(&pts[(size_t)i * dim], i);
+        auto t0 = std::chrono::steady_clock::now();
+        cand->BuildIndex();
+        auto t1 = std::chrono::steady_clock::now();
+        double sec = std::chrono::duration<double>(t1 - t0).count();
+        if (sec < build_sec) build_sec = sec;
+        if (rep + 1 < BUILD_REPS) delete cand; else idx = cand;
+    }
 
     // brute-force ground truth (squared L2, ties by id — matches engine spec)
     std::vector<std::vector<uint32_t>> truth(nq);
@@ -66,23 +76,32 @@ int main(int argc, char** argv) {
         for (uint32_t j = 0; j < k; j++) truth[qi].push_back(d[j].second);
     }
 
+    // min-of-3 search passes over the full query set (recall is
+    // identical every pass — the index is fixed)
+    const int SEARCH_PASSES = 3;
     std::vector<uint32_t> ids(k);
     std::vector<float> dists(k);
-    double hits = 0;
-    auto t2 = std::chrono::steady_clock::now();
-    for (uint32_t qi = 0; qi < nq; qi++) {
-        idx.Search(&qs[(size_t)qi * dim], k, ids.data(), dists.data());
-        for (uint32_t j = 0; j < k; j++)
-            for (uint32_t t = 0; t < k; t++)
-                if (ids[j] == truth[qi][t]) { hits += 1; break; }
+    double hits = 0, search_sec = 1e18;
+    for (int pass = 0; pass < SEARCH_PASSES; pass++) {
+        hits = 0;
+        auto t2 = std::chrono::steady_clock::now();
+        for (uint32_t qi = 0; qi < nq; qi++) {
+            idx->Search(&qs[(size_t)qi * dim], k, ids.data(), dists.data());
+            for (uint32_t j = 0; j < k; j++)
+                for (uint32_t t = 0; t < k; t++)
+                    if (ids[j] == truth[qi][t]) { hits += 1; break; }
+        }
+        auto t3 = std::chrono::steady_clock::now();
+        double sec = std::chrono::duration<double>(t3 - t2).count();
+        if (sec < search_sec) search_sec = sec;
     }
-    auto t3 = std::chrono::steady_clock::now();
-    double search_sec = std::chrono::duration<double>(t3 - t2).count();
 
     std::printf(
         "{\"build_sec\": %.3f, \"search_sec\": %.4f, \"qps\": %.1f, "
-        "\"recall_at_k\": %.4f, \"n\": %u, \"dim\": %u, \"nq\": %u}\n",
+        "\"recall_at_k\": %.4f, \"n\": %u, \"dim\": %u, \"nq\": %u, "
+        "\"build_reps\": %d, \"search_passes\": %d, \"protocol\": \"min\"}\n",
         build_sec, search_sec, nq / std::max(search_sec, 1e-9),
-        hits / ((double)nq * k), n, dim, nq);
+        hits / ((double)nq * k), n, dim, nq, BUILD_REPS, SEARCH_PASSES);
+    delete idx;
     return 0;
 }

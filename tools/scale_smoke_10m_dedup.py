@@ -374,6 +374,138 @@ def main() -> None:
             "planted": n_planted,
             "planted_recall": out["incremental_planted_recall"],
         }}), flush=True)
+        # ---- 2b. decision_only arm (r13; VERDICT r12 #2): the preset's
+        # 10M price tag, measured instead of extrapolated. Records the
+        # decision pass's wall/shuffle next to the audit pass above,
+        # the candidate-join row counts at both witness caps (the
+        # claimed ~17x cut), the staged-verify split (stage-1 top-1
+        # rows vs stage-2 fallback rows), and flag-set equality vs the
+        # audit pass (caps differ — 512 vs 8 — so equality here is a
+        # MEASURED property of the corpus, not a contract; the
+        # equal-caps contract is unit-tested).
+        if os.environ.get("DECISION_ONLY"):
+            from pyspark.sql import Window
+
+            dec = timed("incremental_scan_decision", lambda: (
+                dedup.scan_against_store(
+                    batch.select("doc_id", "text"), docs, store,
+                    decision_only=True,
+                ).cache()
+            ))
+            out["decision_rows"] = dec.count()
+            aud_flags = found.select("batch_id").distinct().cache()
+            dec_flags = dec.select("batch_id").distinct().cache()
+            out["audit_flagged"] = aud_flags.count()
+            out["decision_flagged"] = dec_flags.count()
+            out["flags_only_in_audit"] = aud_flags.join(
+                dec_flags, "batch_id", "left_anti").count()
+            out["flags_only_in_decision"] = dec_flags.join(
+                aud_flags, "batch_id", "left_anti").count()
+            hit_d = src.join(
+                dec_flags.withColumnRenamed("batch_id", "doc_id"), "doc_id"
+            ).count()
+            out["decision_planted_recall"] = round(hit_d / max(n_planted, 1), 4)
+
+            # candidate-join census at each cap: replays the operator's
+            # witness recipe (same min-id star cap, same banded join)
+            # to count the rows each verify pass would shingle-join
+            sig_b = dedup.minhash_signatures(
+                batch.select("doc_id", "text"), "text", "doc_id",
+                meta["num_hashes"], meta["shingle_n"],
+            )
+            banded_b = F.broadcast(sig_b.select(
+                F.col("doc_id").alias("batch_id"),
+                F.posexplode(dedup.band_hash_array(
+                    "minhash", meta["num_hashes"], meta["bands"]
+                )).alias("band_id", "band_hash"),
+            ))
+            keys = ["band_id", "band_hash"]
+
+            def _cands(cap):
+                overfull = F.broadcast(
+                    banded.groupBy(*keys)
+                    .agg(F.count(F.lit(1)).alias("_bsz"))
+                    .where(F.col("_bsz") > cap)
+                )
+                ann = banded.join(overfull, keys, "left")
+                small = ann.where(F.col("_bsz").isNull()).select("doc_id", *keys)
+                wov = Window.partitionBy(*keys).orderBy(F.col("doc_id").asc())
+                capped = (
+                    ann.where(F.col("_bsz").isNotNull())
+                    .withColumn("_wrn", F.row_number().over(wov))
+                    .where(F.col("_wrn") <= cap)
+                    .select("doc_id", *keys)
+                )
+                wit = small.unionByName(capped).withColumnRenamed(
+                    "doc_id", "seen_id")
+                return (
+                    wit.join(banded_b, keys)
+                    .groupBy("batch_id", "seen_id")
+                    .agg(F.count(F.lit(1)).alias("_nb"))
+                )
+
+            out["cand_pairs_audit_cap512"] = _cands(512).count()
+            c8 = _cands(8).cache()
+            out["cand_pairs_cap8"] = c8.count()
+            # staged split: stage 1 verifies exactly one pair per doc
+            # with candidates; docs whose top-1 FAILS exact Jaccard
+            # fall through and verify their remaining candidates
+            top1 = c8.withColumn(
+                "_crk",
+                F.row_number().over(
+                    Window.partitionBy("batch_id").orderBy(
+                        F.col("_nb").desc(), F.col("seen_id").asc())
+                ),
+            ).where(F.col("_crk") == 1).select("batch_id", "seen_id")
+            sh_b = dedup.shingle_sets(
+                batch.select("doc_id", "text"), "text", "doc_id")
+            cand_seen = top1.select(
+                F.col("seen_id").alias("doc_id")).distinct()
+            sh_s = dedup.shingle_sets(
+                docs.join(F.broadcast(cand_seen), "doc_id", "left_semi"),
+                "text", "doc_id")
+            inter = F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
+            union = F.size(F.array_union("a_sh", "b_sh")).cast("double")
+            t1v = (
+                top1.join(sh_b.select(F.col("doc_id").alias("batch_id"),
+                                      F.col("_sh").alias("a_sh")), "batch_id")
+                .join(sh_s.select(F.col("doc_id").alias("seen_id"),
+                                  F.col("_sh").alias("b_sh")), "seen_id")
+                .select("batch_id",
+                        (inter / F.greatest(union, F.lit(1.0))).alias("_j"))
+            )
+            docs_with_cands = c8.select("batch_id").distinct().count()
+            stage1_pass = t1v.where(F.col("_j") >= 0.7).count()
+            out["decision_docs_with_candidates"] = docs_with_cands
+            out["decision_stage1_resolved"] = stage1_pass
+            out["decision_stage2_docs"] = docs_with_cands - stage1_pass
+            out["decision_stage2_rate"] = round(
+                (docs_with_cands - stage1_pass) / max(docs_with_cands, 1), 4)
+            # verify-join rows actually paid by the decision path:
+            # one per doc in stage 1 + the unresolved docs' leftovers
+            leftovers = (
+                c8.join(t1v.where(F.col("_j") >= 0.7).select("batch_id"),
+                        "batch_id", "left_anti").count() - out["decision_stage2_docs"]
+            )
+            out["decision_verify_rows"] = docs_with_cands + max(leftovers, 0)
+            out["decision_candidate_cut_vs_audit"] = round(
+                out["cand_pairs_audit_cap512"]
+                / max(out["decision_verify_rows"], 1), 1)
+            print(json.dumps({"decision_only": {
+                k: out[k] for k in (
+                    "incremental_scan_decision_sec", "decision_rows",
+                    "audit_flagged", "decision_flagged",
+                    "flags_only_in_audit", "flags_only_in_decision",
+                    "decision_planted_recall", "cand_pairs_audit_cap512",
+                    "cand_pairs_cap8", "decision_docs_with_candidates",
+                    "decision_stage1_resolved", "decision_stage2_docs",
+                    "decision_stage2_rate", "decision_verify_rows",
+                    "decision_candidate_cut_vs_audit",
+                ) if k in out
+            }}), flush=True)
+            c8.unpersist(); aud_flags.unpersist(); dec_flags.unpersist()
+            dec.unpersist()
+
         found.unpersist()
         batch.unpersist()
         src.unpersist()

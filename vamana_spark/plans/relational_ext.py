@@ -105,37 +105,44 @@ def q_semi_join(spark, sf_dir):
 
 
 @declare(
-    "q_intersect_buyers",
+    "q_set_ops_buyers",
     """
-    SELECT o_custkey FROM orders WHERE o_totalprice > 50000
-    INTERSECT
-    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    SELECT 'intersect' AS op, o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE o_totalprice > 50000
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    UNION ALL
+    SELECT 'except' AS op, o_custkey FROM (
+      SELECT o_custkey FROM orders
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
     """,
 )
-def q_intersect_buyers(spark, sf_dir):
-    """INTERSECT of two customer sets."""
+def q_set_ops_buyers(spark, sf_dir):
+    """INTERSECT + EXCEPT in one op-tagged projection (r13 consolidation
+    of the former q_intersect_buyers / q_except_buyers — identical
+    gates, one registry slot: the 2-round driver-staleness contract
+    caps the registry at 150 under the 50-query window, and r13
+    declares q_semantic_probe_recovery; same-schema set-op twins were
+    the cheapest slot to reclaim). 'intersect' rows: customers with a
+    >50k order AND an urgent order; 'except' rows: customers who never
+    have a finished order."""
     o = load_table(spark, sf_dir, "orders")
     a = o.where(F.col("o_totalprice") > 50000).select("o_custkey")
     b = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
-    return a.intersect(b)
-
-
-@declare(
-    "q_except_buyers",
-    """
-    SELECT o_custkey FROM orders
-    EXCEPT
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-    """,
-)
-def q_except_buyers(spark, sf_dir):
-    """EXCEPT: customers who never have a finished order."""
-    o = load_table(spark, sf_dir, "orders")
+    inter = a.intersect(b).select(
+        F.lit("intersect").alias("op"), "o_custkey"
+    )
     # subtract = EXCEPT DISTINCT (set semantics, matching the SQL oracle);
     # exceptAll would be bag semantics and keep multi-order customers
-    return o.select("o_custkey").subtract(
-        o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    exc = (
+        o.select("o_custkey")
+        .subtract(o.where(F.col("o_orderstatus") == "F").select("o_custkey"))
+        .select(F.lit("except").alias("op"), "o_custkey")
     )
+    return inter.unionByName(exc)
 
 
 @declare(
