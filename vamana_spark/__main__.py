@@ -725,7 +725,7 @@ def main(argv=None) -> int:
                         "candidates); the cap itself can unflag a doc whose "
                         "only passing witnesses were capped away — measured "
                         "equal on the 10M Zipf rung. Fewer verify-join rows "
-                        "(~17x at that rung)")
+                        "(measured 173.9x at the 10M rung)")
     d.add_argument("--probes", type=int, default=1,
                    help="mode=semantic: multi-probe cell assignment — 2 "
                         "recovers Voronoi-boundary straddle pairs (10M rung: "

@@ -2537,7 +2537,10 @@ def scan_against_store(
     flagged batch doc (its best verified hit), witness cap 8, staged
     first-hit verification; see ``incremental_near_dups``. The 10M rung
     measured ~139 witnesses per duplicated batch doc where 1 answers —
-    a ~17x candidate-join cut for the "drop it or keep it" consumer."""
+    a candidate-join cut measured at 173.9x on the 10M rung (r13,
+    SCALE.md — 34.87M audit candidates vs 200,547 decision verify rows;
+    stage-2 fallback fired on 0.01% of flagged docs) for the "drop it
+    or keep it" consumer."""
     sigs, meta = load_signatures(batch.sparkSession, store_path)
     store_id = meta.get("id_col", "doc_id")
     if id_col is not None and id_col != store_id:
