@@ -178,6 +178,29 @@ def test_build_is_deterministic(spark, embeddings):
     assert a.params.medoid == b.params.medoid
 
 
+def test_dense_build_without_arrow(spark, embeddings):
+    """r13 regression: the dense tier's local-relation fast path builds
+    from a pandas frame, which under a NO-Arrow session row-walks
+    lazily and rejects numpy int64 neighbor elements at first ACTION
+    (caught driving __spark_entry__ from a session that never enabled
+    Arrow — the driver contract makes no Arrow promise). The conf-gated
+    fallback must produce a graph byte-identical to the Arrow path."""
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    params = lambda: VamanaParams(
+        dim=64, alpha=1.2, R=16, L=32, ef_search=32, seed=42
+    )
+    a = VamanaIndex.build(spark, embeddings, params())
+    ga = {r.ordinal: tuple(r.neighbors) for r in a.graph_df.collect()}
+    old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        b = VamanaIndex.build(spark, embeddings, params())
+        gb = {r.ordinal: tuple(r.neighbors) for r in b.graph_df.collect()}
+    finally:
+        spark.conf.set(key, old)
+    assert ga == gb
+
+
 def test_build_tier_overflow_reroutes_to_sharded(spark, embeddings, monkeypatch):
     """When Catalyst's free plan-size estimate undershoots, the
     broadcast-tier guard's post-pull check (_TierOverflow) must still
