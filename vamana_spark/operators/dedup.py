@@ -1495,8 +1495,18 @@ def semantic_dedup(
             ids, X, cids, pri = ids[order], X[order], cids[order], pri[order]
         dup_of = np.full(n, -1, dtype=np.int64)
         max_sim = np.full(n, np.nan)
-        for lo in range(1, n, blk):
-            hi = min(lo + blk, n)
+        # strip size adapts DOWN on giant groups (r13): sims is
+        # (blk, n) float64, so the docstring's O(block_rows·c) memory
+        # carries a constant of blk·c·8 bytes — at the 2·cap=200k
+        # groups sub-probing produces, blk=2048 means 3.3 GB per task
+        # and 32 concurrent workers OOMed the 10M rung's box (the r12
+        # 100k groups sat just under the line). Cap the strip footprint
+        # at ~256 MB; the greedy scan is strip-partition-invariant
+        # (each row only scores against earlier rows), so outputs are
+        # identical and only BLAS batch efficiency varies marginally.
+        blk_eff = max(64, min(blk, int(256e6 // max(n * 8, 1))))
+        for lo in range(1, n, blk_eff):
+            hi = min(lo + blk_eff, n)
             sims = X[lo:hi] @ X.T  # (strip, n)
             # only higher-priority (earlier) columns count; argmax's
             # first-index tie break = highest keep priority (min id in
