@@ -1185,10 +1185,12 @@ def _split_labels_multiprobe(X: "object", ids: "object", cap: int) -> tuple:
     one oversized cluster under multi-probe — each row keeps its
     enforced primary child label AND gains one replica in its
     second-nearest stage-1 SUB-center's child, the same top-2 recipe
-    top-level multi-probe uses. This converts the sub-cluster-straddle
-    component of the residual planted miss (SCALE.md r12: "the next
-    rung of the same lever"): a pair split across two children is now
-    scored in whichever child both replicas share.
+    top-level multi-probe uses: a pair split across two children is
+    scored in whichever child both replicas share. SCALE.md r12 had
+    guessed this class was a chunk of the residual planted miss; the
+    r13 measurement sized it at +154 drops on the 10M Zipf rung (split
+    children chunk near-identical members in contiguous-id order, so
+    only chunk-boundary rows lose witnesses) — real, recovered, small.
 
     Bound: secondary replicas per child are capped at ``cap`` (keep the
     rows CLOSEST to that child's center — the boundary rows the probe
@@ -1277,9 +1279,14 @@ def semantic_dedup(
     ADVICE r12). When the giant-cluster backstop splits an oversized
     cell, ``probes>1`` also probes the split CHILDREN top-2
     (:func:`_split_labels_multiprobe` — r13, VERDICT r12 #3),
-    converting the sub-cluster-straddle component of the residual miss;
-    secondary sub-replicas are capped at ``cap`` boundary rows per
-    child, so every scan task stays O((2·cap)²). Cost: each point
+    converting the sub-cluster-straddle miss class; secondary
+    sub-replicas are capped at ``cap`` boundary rows per child, so
+    every scan task stays O((2·cap)²). Measured size of that class at
+    the 10M Zipf rung: +154 recovered drops (SCALE.md r13 — split
+    children chunk near-identical members in contiguous-id order, so
+    only chunk-boundary rows ever lose a witness); the rung's residual
+    1.4% is instead TOP-LEVEL ≥3-cell straddle, for which the lever is
+    raising ``probes`` itself. Cost: each point
     resides in ``probes`` cells, so cell populations grow ~probes× and
     the per-cell quadratic scan up to probes²× (4× FLOPs at probes=2;
     measured 649 s → 3,224 s (~5×, splits + stragglers included) for
