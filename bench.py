@@ -104,6 +104,14 @@ def _run_reference(sf_dir: str, stored_fallback: str) -> dict | None:
             "build_reps": int(ref.get("build_reps", 1)),
             "search_passes": int(ref.get("search_passes", 1)),
             "rep_protocol": "min/min" if ref.get("build_reps") else "min/single",
+            # r14 (VERDICT r13 #1): the reference's max build rep too,
+            # so the 2x-bar can be adjudicated as a band instead of a
+            # point estimate on a +/-20% denominator
+            **(
+                {"build_max_sec": ref["build_max_sec"]}
+                if ref.get("build_max_sec")
+                else {}
+            ),
         }
     except Exception as e:
         ERRORS["reference_rerun_" + os.path.basename(sf_dir)] = (
@@ -292,6 +300,10 @@ def _query_mix(timings: dict, extra: dict) -> None:
 
     spark = get_session("vamana_spark_bench")
     cold: dict[str, float] = {}
+    # per-entry warm rep times (r14, VERDICT r13 #1): the band
+    # adjudication for the sub-second build cell needs our MAX warm rep
+    # as well as the min that timings[] records
+    rep_times: dict[str, list] = {}
 
     def timed(name, fn, reps=2, warm=False):
         # best-of-N: a shared local box has load spikes that have nothing
@@ -315,7 +327,9 @@ def _query_mix(timings: dict, extra: dict) -> None:
                 # the extra rep costs <1 s by definition (r7 verdict #1)
                 t0 = time.perf_counter()
                 out = fn()
-                best = min(best, time.perf_counter() - t0)
+                dt = time.perf_counter() - t0
+                best = min(best, dt)
+                rep_times.setdefault(name, []).append(round(dt, 3))
                 done += 1
             timings[name] = round(best, 3)
         except Exception as e:
@@ -343,9 +357,13 @@ def _query_mix(timings: dict, extra: dict) -> None:
         # steady state a long-running build service actually sees (the
         # same policy the sketch-heavy pipeline entries already get).
         params = VamanaParams(dim=64, alpha=1.2, R=32, L=64, ef_search=100, seed=42)
+        # reps=5 (r14, VERDICT r13 #1): this sub-second cell straddled
+        # the 2x bar three rounds running on rep noise — min-of-5 on
+        # BOTH sides (ref_bench.cpp matches) narrows the band
         idx = timed(
             "build_index",
             lambda: VamanaIndex.build(spark, emb, params),
+            reps=5,
             warm=True,
         )
         # both sides' rep protocol, stated in-artifact (VERDICT r12 #1):
@@ -518,15 +536,32 @@ def _query_mix(timings: dict, extra: dict) -> None:
             # reference itself moved ±20% between runs). A ratio inside
             # band*2x is noise-straddling, not a regression.
             if timings.get("build_index") and ref.get("build_sec"):
-                extra["bar_2x"] = {
+                bar = {
                     "build_ratio": round(
                         timings["build_index"] / ref["build_sec"], 3
                     ),
-                    "qps_ratio_ours_over_ref": round(
-                        extra.get("ann_qps_sustained", 0) / max(ref["qps"], 1e-9), 3
-                    ),
                     "same_code_band_r12": [0.73, 1.82],
                 }
+                # ratio BAND (r14, VERDICT r13 #1): [ours_min/ref_max,
+                # ours_max/ref_min] over the warm min-of-5 reps on both
+                # sides — the cell adjudicates itself instead of
+                # coin-flipping on a +/-20% reference denominator
+                ours_reps = rep_times.get("build_index") or [
+                    timings["build_index"]
+                ]
+                ref_max = ref.get("build_max_sec") or ref["build_sec"]
+                bar["build_ratio_band"] = [
+                    round(min(ours_reps) / max(ref_max, 1e-9), 3),
+                    round(max(ours_reps) / max(ref["build_sec"], 1e-9), 3),
+                ]
+                bar["build_reps_ours"] = ours_reps
+                # qps ratio only when the ANN stage produced one
+                # (ADVICE r13: a silent 0.0 here reads as a collapse)
+                if extra.get("ann_qps_sustained"):
+                    bar["qps_ratio_ours_over_ref"] = round(
+                        extra["ann_qps_sustained"] / max(ref["qps"], 1e-9), 3
+                    )
+                extra["bar_2x"] = bar
 
         # --- scale-path exact kNN (two-stage partial top-k)
         timed("knn_batch", lambda: exact.exact_knn_batch(emb, queries, k=10).count())
@@ -659,6 +694,57 @@ def main() -> None:
     if ERRORS:
         extra["errors"] = ERRORS
     total = round(sum(timings.values()), 3)
+    record = {
+        "metric": "total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extra": extra,
+    }
+    # Full record to an in-repo file (r14, VERDICT r13 #2): BENCH_r12
+    # and r13 both recorded "parsed": null because the driver captures
+    # only a bounded stdout TAIL and the full extra block outgrew it.
+    # The file preserves the complete record regardless of tail size.
+    try:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+        )
+        with open(path, "w") as f:
+            json.dump(record, f, indent=1)
+            f.write("\n")
+    except Exception as e:
+        ERRORS["bench_local_write"] = f"{type(e).__name__}: {e}"[:200]
+    # Final stdout line stays COMPACT (~1.3 KB: every per-query number
+    # plus the adjudication essentials) so it fits the driver's tail
+    # window whole and parses; everything else lives in the file.
+    ref = extra.get("reference") or {}
+    s25 = extra.get("scale_25k") or {}
+    s25_ref = s25.get("reference") or {}
+    compact_extra = {
+        "full_record": "BENCH_LOCAL.json",
+        "bar_2x": extra.get("bar_2x"),
+        "ann_qps_sustained": extra.get("ann_qps_sustained"),
+        "partitioned_qps_sustained": extra.get("partitioned_qps_sustained"),
+        "partitioned_pq_qps_sustained": extra.get(
+            "partitioned_pq_qps_sustained"
+        ),
+        "recall_at_10": extra.get("recall_at_10"),
+        "reference": {
+            k: ref.get(k)
+            for k in ("build_sec", "build_max_sec", "qps", "recall_at_k")
+            if ref.get(k) is not None
+        },
+        "scale_25k": {
+            "build_sec": s25.get("build_sec"),
+            "qps_sustained": s25.get("qps_sustained"),
+            "recall_at_10": s25.get("recall_at_10"),
+            "ref_build_sec": s25_ref.get("build_sec"),
+            "ref_qps": s25_ref.get("qps"),
+        },
+        "host_noise_band": (extra.get("host_noise") or {}).get("band"),
+        "errors": sorted(ERRORS) if ERRORS else [],
+    }
     print(
         json.dumps(
             {
@@ -667,9 +753,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "extra": extra,
-            }
-        )
+                "extra": compact_extra,
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
     )
 
 

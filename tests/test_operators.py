@@ -2127,6 +2127,51 @@ def test_split_labels_multiprobe_bounds_and_primary_identity():
     assert all((a == b).all() for a, b in zip((ridx, rlab, rpri), r2))
 
 
+def test_split_multiprobe_chunk_boundary_stitch():
+    """ADVICE r13: the degenerate all-identical oversized cluster falls
+    to stage-2 id-order chunking, which the stage-1 sub-probe cannot
+    reach — each chunk must receive the PREVIOUS chunk's last row as a
+    non-primary witness replica (the one-row boundary stitch)."""
+    X = np.ones((300, 4), dtype=float)  # Lloyd can't separate anything
+    ids = np.arange(300, dtype=np.int64)
+    cap = 100
+    ridx, rlab, rpri = dedup._split_labels_multiprobe(X, ids, cap)
+    lab1 = dedup._split_oversized_labels(X, ids, cap)
+    seen: dict = {}
+    for i, lb in enumerate(lab1):
+        seen.setdefault(int(lb), []).append(i)
+    ordered = sorted(seen.items(), key=lambda kv: kv[1][0])
+    assert len(ordered) == 3  # 300 identical rows, cap 100
+    for (_, prow), (cl, _) in zip(ordered, ordered[1:]):
+        stitched = set(ridx[(~rpri) & (rlab == cl)].tolist())
+        assert prow[-1] in stitched
+    # primaries still identical to the probes=1 split
+    assert (ridx[rpri] == ids).all()
+    assert (rlab[rpri] == lab1).all()
+
+
+def test_semantic_dedup_probes2_stitches_identical_chunks(spark):
+    """End-to-end (ADVICE r13): 30 identical vectors forced through the
+    split backstop chunk in id order; probes=1 keeps one row PER CHUNK
+    (the witness chain is cut at each boundary), probes=2's boundary
+    stitch restores the chain and only the global min id survives."""
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    common = dict(threshold=0.9, num_clusters=2, seed=1, max_cluster_rows=10)
+    k1 = sorted(
+        r.vec_id
+        for r in dedup.semantic_dedup(df, probes=1, **common).collect()
+        if r.keep
+    )
+    k2 = sorted(
+        r.vec_id
+        for r in dedup.semantic_dedup(df, probes=2, **common).collect()
+        if r.keep
+    )
+    assert k1 == [0, 10, 20]
+    assert k2 == [0]
+
+
 def test_semantic_dedup_multiprobe_identity_on_colocated_dups(spark):
     """probes=2 must leave a corpus with NO straddling pairs bit-
     identical to probes=1 (exact copies co-locate under k-means) — the

@@ -519,6 +519,24 @@ def test_coverage_header_totals_match_registry():
         f"registry holds {len(D.QUERIES)}/{len(D.ORACLE_SQL)} — update "
         "the header when declaring queries"
     )
+    # README carries the same totals in prose (ADVICE r13: it already
+    # rotted once, saying 146/130 against a 147/131 registry) — pin it
+    # with the same gate
+    readme = os.path.join(root, "README.md")
+    if os.path.exists(readme):
+        with open(readme) as f:
+            rtext = f.read()
+        rm = re.search(
+            r"(\d+) declared\s+oracle-gated queries \((\d+) bit-strict",
+            rtext,
+        )
+        assert rm, "README registry-totals sentence missing or reworded"
+        assert (int(rm.group(1)), int(rm.group(2))) == (
+            len(D.QUERIES), len(D.ORACLE_SQL)
+        ), (
+            f"README says {rm.group(1)}/{rm.group(2)} but the registry "
+            f"holds {len(D.QUERIES)}/{len(D.ORACLE_SQL)}"
+        )
 
 
 def test_rotation_promotes_never_run_and_changed():

@@ -42,12 +42,16 @@ int main(int argc, char** argv) {
     if (std::fread(qs.data(), 4, qs.size(), f) != qs.size()) return 1;
     std::fclose(f);
 
-    // min-of-3 build: one fresh index per rep (AddPoint untimed, the
+    // min-of-5 build: one fresh index per rep (AddPoint untimed, the
     // same timed region the engine's bench uses), min across reps —
     // the SAME best-of-N protocol bench.py applies to its own numbers,
     // so the recorded ratio is min/min instead of min/single-shot.
-    const int BUILD_REPS = 3;
-    double build_sec = 1e18;
+    // r14 (VERDICT r13 #1): reps raised 3 -> 5 and the MAX also
+    // reported, so the caller can adjudicate the sub-second sf0.1 cell
+    // as a ratio BAND [ours_min/ref_max, ours_max/ref_min] instead of
+    // a point estimate on a +/-20% denominator.
+    const int BUILD_REPS = 5;
+    double build_sec = 1e18, build_max = 0.0;
     vamana::Vamana* idx = nullptr;
     for (int rep = 0; rep < BUILD_REPS; rep++) {
         vamana::Vamana* cand = new vamana::Vamana(dim, n, alpha, R, L, ef);
@@ -57,6 +61,7 @@ int main(int argc, char** argv) {
         auto t1 = std::chrono::steady_clock::now();
         double sec = std::chrono::duration<double>(t1 - t0).count();
         if (sec < build_sec) build_sec = sec;
+        if (sec > build_max) build_max = sec;
         if (rep + 1 < BUILD_REPS) delete cand; else idx = cand;
     }
 
@@ -97,10 +102,11 @@ int main(int argc, char** argv) {
     }
 
     std::printf(
-        "{\"build_sec\": %.3f, \"search_sec\": %.4f, \"qps\": %.1f, "
+        "{\"build_sec\": %.3f, \"build_max_sec\": %.3f, "
+        "\"search_sec\": %.4f, \"qps\": %.1f, "
         "\"recall_at_k\": %.4f, \"n\": %u, \"dim\": %u, \"nq\": %u, "
         "\"build_reps\": %d, \"search_passes\": %d, \"protocol\": \"min\"}\n",
-        build_sec, search_sec, nq / std::max(search_sec, 1e-9),
+        build_sec, build_max, search_sec, nq / std::max(search_sec, 1e-9),
         hits / ((double)nq * k), n, dim, nq, BUILD_REPS, SEARCH_PASSES);
     delete idx;
     return 0;

@@ -510,6 +510,234 @@ def main() -> None:
         batch.unpersist()
         src.unpersist()
 
+    # ---------- 2c. BORDERLINE stress arm (r14; VERDICT r13 #4): the
+    # decision_only preset where stage-2 actually ENGAGES. The r13
+    # measurement covered verbatim copies (Jaccard 1.0 vs every group
+    # member — stage-1's top-1 always verifies, stage-2 fired on 18 of
+    # 200k). This arm plants PARAPHRASE-GRADE mates just above the 0.7
+    # threshold with exactly ONE true mate each:
+    #   batch doc b = odd group member X (base + 1 mutated token) with
+    #   ONE MORE token mutated 10 positions away. Shingle math (24
+    #   tokens, 3-gram => 22 shingles; each interior mutation flips 3):
+    #     J(b, X)          = 19/25 = 0.76  >= 0.7  (the only true mate)
+    #     J(b, group base) = 16/28 = 0.571 <  0.7
+    #     J(b, other odd)  = 13/31 = 0.419 <  0.7
+    #   so stage-1 resolves b ONLY if banding ranks X top-1; whenever a
+    #   base-bucket witness outranks X (b still shares ~1.7 expected
+    #   bands with the base text), stage-1's verify FAILS and stage-2
+    #   must exhaust the remaining witnesses to find X. Records stage-2
+    #   rate, both walls, flag-set equality, and true-mate precision.
+    if os.environ.get("BORDERLINE"):
+        from pyspark.sql import Window
+
+        store = os.path.join(base_dir, "sig_store")
+        if not os.path.exists(os.path.join(store, "_meta.json")):
+            timed("signature_store_build",
+                  lambda: dedup.save_signatures(docs, store))
+        sigs, meta = dedup.load_signatures(spark, store)
+
+        starts, acc = [], 0
+        for s in sizes:
+            starts.append(acc)
+            acc += s
+        sdf = spark.createDataFrame(
+            [(int(st), int(st + sz)) for st, sz in zip(starts, sizes)],
+            "gmin long, gend long",
+        )
+        members = (
+            docs.where(F.col("doc_id") < n_dup)
+            .join(
+                F.broadcast(sdf),
+                (F.col("doc_id") >= F.col("gmin"))
+                & (F.col("doc_id") < F.col("gend")),
+            )
+            .withColumn("_m", F.col("doc_id") - F.col("gmin"))
+        )
+        mut_pos = F.col("_m") % TOKENS
+        # odd members only (they carry the group's first mutation) with
+        # an INTERIOR mutation position so each flip is exactly 3
+        # shingles — keeps the Jaccard grades above exact
+        eligible = members.where(
+            (F.col("_m") % 2 == 1)
+            & (mut_pos >= 2)
+            & (mut_pos <= TOKENS - 3)
+        )
+        pos2 = F.when(mut_pos <= 11, mut_pos + 10).otherwise(mut_pos - 10)
+        toks = F.split(F.col("text"), " ")
+        b_text = F.array_join(
+            F.transform(
+                toks,
+                lambda t, i: F.when(
+                    i == pos2,
+                    F.concat(F.lit("bz"), F.col("doc_id").cast("string")),
+                ).otherwise(t),
+            ),
+            " ",
+        )
+        # hash-spread across the Zipf ladder (eligible ~= n_dup * 0.5 *
+        # 20/24 ~= 1.25M at 10M docs; modulus 6 -> ~208k, limited to
+        # PLANTED)
+        src = (
+            eligible.where(F.xxhash64("doc_id") % 6 == 0)
+            .limit(PLANTED)
+            .select(
+                (F.col("doc_id") + 4 * N_DOCS).alias("doc_id"),
+                b_text.alias("text"),
+                F.col("doc_id").alias("_src"),
+            )
+            .cache()
+        )
+        n_planted = src.count()
+        fresh = spark.range(BATCH - n_planted).select(
+            (F.col("id") + 5 * N_DOCS).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[F.concat(F.lit("h"), F.col("id").cast("string"),
+                           F.lit(f"x{t}")) for t in range(TOKENS)],
+            ).alias("text"),
+            F.lit(None).cast("long").alias("_src"),
+        )
+        batch = src.unionByName(fresh).cache()
+        batch.count()
+        out["borderline_planted"] = int(n_planted)
+
+        found_a = timed("borderline_audit_scan", lambda: (
+            dedup.scan_against_store(
+                batch.select("doc_id", "text"), docs, store
+            ).cache()
+        ))
+        out["borderline_audit_pairs"] = found_a.count()
+        dec = timed("borderline_decision_scan", lambda: (
+            dedup.scan_against_store(
+                batch.select("doc_id", "text"), docs, store,
+                decision_only=True,
+            ).cache()
+        ))
+        out["borderline_decision_rows"] = dec.count()
+
+        aud_flags = found_a.select("batch_id").distinct().cache()
+        dec_flags = dec.select("batch_id").distinct().cache()
+        out["borderline_audit_flagged"] = aud_flags.count()
+        out["borderline_decision_flagged"] = dec_flags.count()
+        out["borderline_flags_only_in_audit"] = aud_flags.join(
+            dec_flags, "batch_id", "left_anti").count()
+        out["borderline_flags_only_in_decision"] = dec_flags.join(
+            aud_flags, "batch_id", "left_anti").count()
+        planted_ids = src.select("doc_id", "_src")
+        out["borderline_audit_planted_recall"] = round(
+            planted_ids.join(
+                aud_flags.withColumnRenamed("batch_id", "doc_id"), "doc_id"
+            ).count() / max(n_planted, 1), 4)
+        out["borderline_decision_planted_recall"] = round(
+            planted_ids.join(
+                dec_flags.withColumnRenamed("batch_id", "doc_id"), "doc_id"
+            ).count() / max(n_planted, 1), 4)
+        # true-mate precision: the decision row's verified hit should be
+        # the ONE planted mate (the only stored doc above threshold)
+        out["borderline_decision_true_mate"] = (
+            dec.join(
+                planted_ids.withColumnRenamed("doc_id", "batch_id"),
+                "batch_id",
+            ).where(F.col("seen_id") == F.col("_src")).count()
+        )
+
+        # stage split replay at the decision cap (same recipe as the 2b
+        # arm): rank candidates by shared-band count, verify top-1,
+        # count the docs whose top-1 FAILED exact Jaccard (= stage-2)
+        banded = sigs.select(
+            "doc_id",
+            F.posexplode(dedup.band_hash_array(
+                "minhash", meta["num_hashes"], meta["bands"]
+            )).alias("band_id", "band_hash"),
+        )
+        sig_b = dedup.minhash_signatures(
+            batch.select("doc_id", "text"), "text", "doc_id",
+            meta["num_hashes"], meta["shingle_n"],
+        )
+        banded_b = F.broadcast(sig_b.select(
+            F.col("doc_id").alias("batch_id"),
+            F.posexplode(dedup.band_hash_array(
+                "minhash", meta["num_hashes"], meta["bands"]
+            )).alias("band_id", "band_hash"),
+        ))
+        keys = ["band_id", "band_hash"]
+
+        def _cands(cap):
+            overfull = F.broadcast(
+                banded.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("_bsz"))
+                .where(F.col("_bsz") > cap)
+            )
+            ann = banded.join(overfull, keys, "left")
+            small = ann.where(F.col("_bsz").isNull()).select("doc_id", *keys)
+            wov = Window.partitionBy(*keys).orderBy(F.col("doc_id").asc())
+            capped = (
+                ann.where(F.col("_bsz").isNotNull())
+                .withColumn("_wrn", F.row_number().over(wov))
+                .where(F.col("_wrn") <= cap)
+                .select("doc_id", *keys)
+            )
+            wit = small.unionByName(capped).withColumnRenamed(
+                "doc_id", "seen_id")
+            return (
+                wit.join(banded_b, keys)
+                .groupBy("batch_id", "seen_id")
+                .agg(F.count(F.lit(1)).alias("_nb"))
+            )
+
+        out["borderline_cand_pairs_audit_cap512"] = _cands(512).count()
+        c8 = _cands(8).cache()
+        out["borderline_cand_pairs_cap8"] = c8.count()
+        top1 = c8.withColumn(
+            "_crk",
+            F.row_number().over(
+                Window.partitionBy("batch_id").orderBy(
+                    F.col("_nb").desc(), F.col("seen_id").asc())
+            ),
+        ).where(F.col("_crk") == 1).select("batch_id", "seen_id")
+        sh_b = dedup.shingle_sets(
+            batch.select("doc_id", "text"), "text", "doc_id")
+        cand_seen = top1.select(
+            F.col("seen_id").alias("doc_id")).distinct()
+        sh_s = dedup.shingle_sets(
+            docs.join(F.broadcast(cand_seen), "doc_id", "left_semi"),
+            "text", "doc_id")
+        inter = F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
+        union = F.size(F.array_union("a_sh", "b_sh")).cast("double")
+        t1v = (
+            top1.join(sh_b.select(F.col("doc_id").alias("batch_id"),
+                                  F.col("_sh").alias("a_sh")), "batch_id")
+            .join(sh_s.select(F.col("doc_id").alias("seen_id"),
+                              F.col("_sh").alias("b_sh")), "seen_id")
+            .select("batch_id",
+                    (inter / F.greatest(union, F.lit(1.0))).alias("_j"))
+        )
+        docs_with_cands = c8.select("batch_id").distinct().count()
+        stage1_pass = t1v.where(F.col("_j") >= 0.7).count()
+        out["borderline_docs_with_candidates"] = docs_with_cands
+        out["borderline_stage1_resolved"] = stage1_pass
+        out["borderline_stage2_docs"] = docs_with_cands - stage1_pass
+        out["borderline_stage2_rate"] = round(
+            (docs_with_cands - stage1_pass) / max(docs_with_cands, 1), 4)
+        leftovers = (
+            c8.join(t1v.where(F.col("_j") >= 0.7).select("batch_id"),
+                    "batch_id", "left_anti").count()
+            - out["borderline_stage2_docs"]
+        )
+        out["borderline_verify_rows"] = docs_with_cands + max(leftovers, 0)
+        out["borderline_candidate_cut_vs_audit"] = round(
+            out["borderline_cand_pairs_audit_cap512"]
+            / max(out["borderline_verify_rows"], 1), 1)
+        print(json.dumps({"borderline": {
+            k.replace("borderline_", ""): out[k]
+            for k in out if k.startswith("borderline_")
+        } | {"audit_sec": out.get("borderline_audit_scan_sec"),
+             "decision_sec": out.get("borderline_decision_scan_sec")}},
+            default=str), flush=True)
+        c8.unpersist(); aud_flags.unpersist(); dec_flags.unpersist()
+        dec.unpersist(); found_a.unpersist(); batch.unpersist()
+        src.unpersist()
+
     # ---------- 3. semantic dedup over the mirrored embeddings
     if not os.environ.get("SKIP_SEMANTIC"):
         emb = spark.read.parquet(emb_path)

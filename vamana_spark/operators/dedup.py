@@ -1139,7 +1139,14 @@ def _split_kmeans_enforced(X: "object", ids: "object", cap: int) -> tuple:
     recursion needed. Rows must arrive id-sorted (callers sort). The
     returned ``dist_matrix`` is row-to-stage-1-center squared L2 against
     the SAME centers the primary assignment used (the sub-probe path
-    reads second-nearest children from it)."""
+    reads second-nearest children from it). The third return,
+    ``chunk_bounds``, is a list of (prev_chunk_last_row, chunk_label)
+    pairs — one per stage-2 chunk boundary — so the multi-probe path
+    can stitch the id-order chunks back together with a one-row
+    witness replica per boundary (ADVICE r13: chunked rows are outside
+    the stage-1 sub-probe's reach, so without the stitch a pair split
+    across a chunk boundary in the degenerate all-identical fallback
+    stays missed)."""
     import numpy as np
 
     n = len(ids)
@@ -1158,6 +1165,7 @@ def _split_kmeans_enforced(X: "object", ids: "object", cap: int) -> tuple:
                 centers[j] = X[m].mean(axis=0)
     out = a.astype(np.int64)
     nxt = k
+    chunk_bounds = []
     for j in range(k):
         idx = np.flatnonzero(out == j)
         if idx.size > cap:
@@ -1165,8 +1173,11 @@ def _split_kmeans_enforced(X: "object", ids: "object", cap: int) -> tuple:
             for c, lo in enumerate(range(0, idx.size, cap)):
                 if c:
                     out[idx[lo : lo + cap]] = nxt
+                    # the previous chunk's LAST row is the lowest-id
+                    # witness this chunk is missing
+                    chunk_bounds.append((int(idx[lo - 1]), int(nxt)))
                     nxt += 1
-    return out, d
+    return out, d, chunk_bounds
 
 
 def _split_oversized_labels(X: "object", ids: "object", cap: int) -> "object":
@@ -1180,6 +1191,25 @@ def _split_oversized_labels(X: "object", ids: "object", cap: int) -> "object":
     return _split_kmeans_enforced(X, ids, cap)[0]
 
 
+def _boundary_stitch_replicas(chunk_bounds: "list") -> tuple:
+    """(row_indices, labels) of the one-row-per-boundary witness
+    replicas that stitch stage-2 id-order chunks together (ADVICE
+    r13): each chunk receives the PREVIOUS chunk's last row as a
+    non-primary replica, restoring the lower-id witness chain that
+    id-order chunking cut. Memory bound: +1 row per chunk."""
+    import numpy as np
+
+    if not chunk_bounds:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+        )
+    return (
+        np.array([b[0] for b in chunk_bounds], dtype=np.int64),
+        np.array([b[1] for b in chunk_bounds], dtype=np.int64),
+    )
+
+
 def _split_labels_multiprobe(X: "object", ids: "object", cap: int) -> tuple:
     """Sub-probe split labels (r13, VERDICT r12 #3): replica layout for
     one oversized cluster under multi-probe — each row keeps its
@@ -1188,15 +1218,23 @@ def _split_labels_multiprobe(X: "object", ids: "object", cap: int) -> tuple:
     top-level multi-probe uses: a pair split across two children is
     scored in whichever child both replicas share. SCALE.md r12 had
     guessed this class was a chunk of the residual planted miss; the
-    r13 measurement sized it at +154 drops on the 10M Zipf rung (split
-    children chunk near-identical members in contiguous-id order, so
-    only chunk-boundary rows lose witnesses) — real, recovered, small.
+    r13 measurement sized it at +154 drops on the 10M Zipf rung.
+
+    Stage-2 id-order chunks (labels >= the k-means child count — the
+    degenerate all-identical fallback, where Lloyd can't separate
+    anything) are outside the stage-1 sub-probe's reach, so they are
+    stitched separately (r14, ADVICE r13): each chunk receives the
+    PREVIOUS chunk's last row as a one-row witness replica, restoring
+    the lower-id witness chain the chunking cut — the chunk's members
+    are near-identical by construction (k-means failed to separate
+    them), so one lower-id witness answers for the whole chunk.
 
     Bound: secondary replicas per child are capped at ``cap`` (keep the
     rows CLOSEST to that child's center — the boundary rows the probe
     exists for; ties by id), so every scan group holds <= 2*cap rows
-    and the task stays O((2*cap)^2) — the same constant-factor growth
-    the top-level ``probes=2`` statement documents.
+    (chunk groups: cap + 1) and the task stays O((2*cap)^2) — the same
+    constant-factor growth the top-level ``probes=2`` statement
+    documents.
 
     Returns (row_indices, labels, is_primary) — parallel arrays, one
     entry per REPLICA; primaries come first in row order, identical to
@@ -1204,7 +1242,7 @@ def _split_labels_multiprobe(X: "object", ids: "object", cap: int) -> tuple:
     import numpy as np
 
     n = len(ids)
-    lab, d = _split_kmeans_enforced(X, ids, cap)
+    lab, d, chunk_bounds = _split_kmeans_enforced(X, ids, cap)
     k = d.shape[1]
     rep_idx = [np.arange(n, dtype=np.int64)]
     rep_lab = [lab]
@@ -1221,6 +1259,11 @@ def _split_labels_multiprobe(X: "object", ids: "object", cap: int) -> tuple:
             rep_idx.append(cand)
             rep_lab.append(np.full(cand.size, j, dtype=np.int64))
             rep_pri.append(np.zeros(cand.size, dtype=bool))
+    b_idx, b_lab = _boundary_stitch_replicas(chunk_bounds)
+    if b_idx.size:
+        rep_idx.append(b_idx)
+        rep_lab.append(b_lab)
+        rep_pri.append(np.zeros(b_idx.size, dtype=bool))
     return (
         np.concatenate(rep_idx),
         np.concatenate(rep_lab),
@@ -1279,12 +1322,14 @@ def semantic_dedup(
     ADVICE r12). When the giant-cluster backstop splits an oversized
     cell, ``probes>1`` also probes the split CHILDREN top-2
     (:func:`_split_labels_multiprobe` — r13, VERDICT r12 #3),
-    converting the sub-cluster-straddle miss class; secondary
-    sub-replicas are capped at ``cap`` boundary rows per child, so
-    every scan task stays O((2·cap)²). Measured size of that class at
-    the 10M Zipf rung: +154 recovered drops (SCALE.md r13 — split
-    children chunk near-identical members in contiguous-id order, so
-    only chunk-boundary rows ever lose a witness); the rung's residual
+    converting the k-means sub-cluster-straddle miss class, and
+    stitches the id-order enforcement chunks with a one-row witness
+    replica per boundary (r14, ADVICE r13 — the degenerate
+    all-identical fallback is outside the sub-probe's reach);
+    secondary sub-replicas are capped at ``cap`` boundary rows per
+    child, so every scan task stays O((2·cap)²). Measured size of the
+    sub-straddle class at the 10M Zipf rung: +154 recovered drops
+    (SCALE.md r13); the rung's residual
     1.4% is instead TOP-LEVEL ≥3-cell straddle, for which the lever is
     raising ``probes`` itself. Cost: each point
     resides in ``probes`` cells, so cell populations grow ~probes× and
