@@ -124,6 +124,34 @@ def test_probe_recovery_fixture_misses_at_single_probe(spark):
     assert all(r.keep for r in res.values())  # the pair was the ONLY dup
 
 
+def test_corner_fixture_misses_at_two_probes(spark):
+    """r14 (VERDICT r13 #5): q_semantic_corner_recovery only gates the
+    THIRD probe if probes=2 provably misses its planted 4-cell-corner
+    pair on the same fixture — otherwise the hash match would already
+    hold at probes=2 and the query would duplicate
+    q_semantic_probe_recovery's gate. Pin the miss at BOTH lower
+    settings: the members' primary cells differ and their top-2 cell
+    sets are disjoint (by construction — rankings [0,3,1,5] vs
+    [1,5,0,3]), so at probes in (1, 2) both survive and nothing else
+    drops (max natural cosine 0.5128 < 0.9)."""
+    if os.path.basename(os.path.normpath(SF_DIR)) != "sf0.01":
+        pytest.skip("fixture pinned to sf0.01")
+    from vamana_spark.operators import dedup as DD
+    from vamana_spark.plans.declared import _corner_recovery_aug
+
+    for probes in (1, 2):
+        res = {
+            r.vec_id: r
+            for r in DD.semantic_dedup(
+                _corner_recovery_aug(spark, SF_DIR),
+                threshold=0.9, num_clusters=8, seed=42, probes=probes,
+            ).collect()
+        }
+        assert res[200000].cluster_id != res[200001].cluster_id
+        assert res[200000].keep and res[200001].keep, f"probes={probes}"
+        assert all(r.keep for r in res.values()), f"probes={probes}"
+
+
 def test_no_vacuous_oracles(ddb):
     """Every oracle query must return >0 rows at sf0.01 — a 0-vs-0
     driver row is vacuously green and proves nothing (the r5 verdict's

@@ -797,13 +797,52 @@ _INC_DEDUP_ORACLE = r"""
     """
 
 
-@declare("q_incremental_dedup_sharded", _INC_DEDUP_ORACLE)
-def q_incremental_dedup_sharded(spark, sf_dir):
-    """The beyond-broadcast tier of incremental ingest dedup: Bloom
-    filter SHARDED by content hash and kept distributed (shard-keyed
-    cogroup probe — no driver bitmap, no broadcast), exact verify tail.
-    Same planted batch and the SAME anti-join oracle as
-    q_incremental_dedup — the two tiers must agree bit-for-bit."""
+# the twins' shared anti-join, emitted once per tier tag — wrapping
+# _INC_DEDUP_ORACLE (whose trailing ORDER BY forbids subquerying it
+# verbatim) as an explicit CTE keeps the consolidated oracle readable
+_INC_DEDUP_TIERS_ORACLE = r"""
+    WITH seen AS (
+      SELECT lower(regexp_replace(text, '\s+', ' ', 'g')) AS n
+      FROM documents WHERE doc_id % 3 <> 0
+    ), batch AS (
+      SELECT doc_id + 1000000 AS doc_id,
+             lower(regexp_replace(text, '\s+', ' ', 'g')) AS n
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id,
+             lower(regexp_replace(text, '\s+', ' ', 'g')) AS n
+      FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 7 = 0
+    ), firsts AS (
+      SELECT doc_id, n,
+             row_number() OVER (PARTITION BY n ORDER BY doc_id) AS rn
+      FROM batch
+    ), surv AS (
+      SELECT doc_id FROM firsts f
+      WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM seen s WHERE s.n = f.n)
+    )
+    SELECT 'ranged' AS tier, doc_id FROM surv
+    UNION ALL
+    SELECT 'sharded' AS tier, doc_id FROM surv
+    ORDER BY tier, doc_id
+    """
+
+
+@declare("q_incremental_dedup_tiers", _INC_DEDUP_TIERS_ORACLE)
+def q_incremental_dedup_tiers(spark, sf_dir):
+    """The beyond-broadcast tiers of incremental ingest dedup in one
+    op-tagged projection (r14 consolidation of the former
+    q_incremental_dedup_sharded / q_incremental_dedup_ranged —
+    identical gates, one registry slot reclaimed for
+    q_semantic_corner_recovery; policy in COVERAGE.md: only
+    same-operator twins gated by the SAME oracle may consolidate).
+    'sharded' rows: Bloom filters SHARDED by content hash and kept
+    distributed (shard-keyed cogroup probe — no driver bitmap, no
+    broadcast), exact verify tail. 'ranged' rows: the >10^9-key escape
+    hatch — the batch split by digest range, each range building a
+    range-scoped filter over only that range's corpus keys, so no
+    single filter spans the key space. Both tiers run the same planted
+    batch against the SAME anti-join oracle as q_incremental_dedup:
+    all three tiers must agree bit-for-bit."""
     docs = _docs(spark, sf_dir)
     seen = docs.where(F.col("doc_id") % 3 != 0)
     batch = (
@@ -814,36 +853,15 @@ def q_incremental_dedup_sharded(spark, sf_dir):
             .select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
         )
     )
-    return (
-        dedup.incremental_dedup_sharded(batch, seen, num_filters=8)
-        .select("doc_id")
-        .orderBy("doc_id")
-    )
-
-
-@declare("q_incremental_dedup_ranged", _INC_DEDUP_ORACLE)
-def q_incremental_dedup_ranged(spark, sf_dir):
-    """The >10^9-key escape hatch of incremental ingest dedup: the
-    BATCH is split by digest range and each range builds a range-scoped
-    Bloom filter over only the corpus keys in that range, so no single
-    filter must span the whole key space. Same planted batch and the
-    SAME anti-join oracle as q_incremental_dedup — all three tiers
-    (broadcast / sharded / ranged) must agree bit-for-bit."""
-    docs = _docs(spark, sf_dir)
-    seen = docs.where(F.col("doc_id") % 3 != 0)
-    batch = (
-        docs.where(F.col("doc_id") % 3 == 0)
-        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
-        .unionByName(
-            docs.where((F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 7 == 0))
-            .select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
-        )
-    )
-    return (
+    ranged = (
         dedup.incremental_dedup_ranged(batch, seen, num_ranges=4)
-        .select("doc_id")
-        .orderBy("doc_id")
+        .select(F.lit("ranged").alias("tier"), "doc_id")
     )
+    sharded = (
+        dedup.incremental_dedup_sharded(batch, seen, num_filters=8)
+        .select(F.lit("sharded").alias("tier"), "doc_id")
+    )
+    return ranged.unionByName(sharded).orderBy("tier", "doc_id")
 
 
 @declare(
@@ -4336,6 +4354,127 @@ def q_semantic_probe_recovery(spark, sf_dir):
     )
 
 
+# r14 (VERDICT r13 #5): the planted 4-cell-corner pair for
+# q_semantic_corner_recovery, found by numeric search over the sf0.01
+# corpus's seed-42 / num_clusters=8 k-means geometry (t +/- 0.2*u for
+# t = the normalized mean of centers {0,1,3,5} and u = the normalized
+# A+C-B-D corner direction), then rounded to 6 decimals and
+# re-verified: cos(m1,m2) = 0.9231 >= 0.9; max cosine to any natural
+# row = 0.42 << 0.9; m1's probed-cell ranking is [0,3,1,5] and m2's is
+# [1,5,0,3] — top-2 sets DISJOINT (probes=2 scores the pair in no
+# shared cell), top-3 sets share cells {0,1} (probes=3 recovers). The
+# literals appear ONCE here and are interpolated into both the Spark
+# plan and the DuckDB oracle, so the two sides cannot drift.
+_CORNER_M1 = [
+    -0.175612, -0.101585, -0.06413, -0.145241, 0.108477, 0.197116,
+    0.051396, -0.001116, 0.138478, -0.032978, 0.284367, -0.185143,
+    -0.073646, -0.011252, 0.151935, -0.183565, 0.070123, -0.006442,
+    -0.012769, 0.034694, 0.067013, 0.140138, 0.045585, -0.068675,
+    0.08363, 0.256028, 0.156045, 0.069046, -0.080587, -0.173469,
+    -0.054765, -0.036047, 0.276873, -0.21754, -0.015757, 0.12829,
+    -0.014901, 0.013744, -0.055042, 0.176311, 0.067114, -0.127058,
+    0.05232, 0.025172, -0.112652, -0.137122, 0.127057, -0.106697,
+    -0.142974, 0.14262, 0.000672, -0.060107, 0.318511, -0.108624,
+    0.032217, -0.152058, 0.022835, 0.151807, 0.070996, -0.052458,
+    -0.017735, -0.033737, -0.101997, -0.139866
+]
+_CORNER_M2 = [
+    -0.140503, -0.088351, 0.012723, -0.140309, 0.071413, 0.254346,
+    0.001903, 0.023905, 0.107846, 0.009004, 0.239509, -0.163062,
+    -0.022453, -0.055232, 0.160791, -0.09946, 0.118609, 0.102696,
+    -0.030076, 0.015838, 0.006016, 0.1449, 0.035467, -0.10947,
+    0.05712, 0.217795, 0.230387, 0.045201, -0.04087, -0.241464,
+    -0.054924, 0.011021, 0.270249, -0.190201, -0.058212, 0.246834,
+    -0.058792, -0.053261, -0.022145, 0.115597, 0.091887, -0.178223,
+    0.071235, 0.063139, -0.078984, -0.129535, 0.104474, -0.016367,
+    -0.144483, 0.06021, -0.077507, -0.0484, 0.292596, -0.091096,
+    0.085875, -0.086128, -0.017813, 0.202632, 0.053552, -0.1208,
+    -0.118567, -0.062497, -0.096516, -0.116119
+]
+
+
+_m1_sql = ", ".join(repr(x) for x in _CORNER_M1)
+_m2_sql = ", ".join(repr(x) for x in _CORNER_M2)
+
+
+def _corner_recovery_aug(spark, sf_dir):
+    """Aug corpus for q_semantic_corner_recovery: the sf0.01 embeddings
+    plus ONE planted near-dup pair engineered to sit at a >=3-cell
+    Voronoi CORNER of the seed-42 / num_clusters=8 k-means — the miss
+    class the 10M rung measured as the whole probes=2 residual
+    (SCALE.md r13/r14: zero noise-tail misses; the remaining 1.4% was
+    all top-level >=3-cell straddle, and probes=3 recovered 85% of it).
+    Unlike :func:`_probe_recovery_aug` (mixes of two source rows
+    straddling ONE boundary), the pair here is a literal-vector plant:
+    each member's top-2 cells are disjoint from the other's, so only a
+    third probe reaches a shared cell. Pinned by tests/
+    test_oracle_parity.py::test_corner_fixture_misses_at_two_probes."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    planted = spark.createDataFrame(
+        [(200000, _CORNER_M1), (200001, _CORNER_M2)],
+        "vec_id long, embedding array<double>",
+    )
+    return e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    ).unionByName(planted)
+
+
+@declare(
+    "q_semantic_corner_recovery",
+    f"""
+    WITH aug AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+      FROM embeddings
+      UNION ALL
+      SELECT 200000, [{_m1_sql}]
+      UNION ALL
+      SELECT 200001, [{_m2_sql}]
+    ),
+    c AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             (1.0 - ({_COS_AB_SQL})) AS sim
+      FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    )
+    SELECT a_id, b_id, round(sim, 4) AS cosine_sim
+    FROM c WHERE round(sim, 4) >= 0.9
+    ORDER BY a_id, b_id
+    """,
+)
+def q_semantic_corner_recovery(spark, sf_dir):
+    """r14 (VERDICT r13 #5): the probes=3 recovery direction at oracle
+    scale — the >=3-cell-CORNER complement of q_semantic_probe_recovery
+    (whose planted pair straddles one boundary and is already caught at
+    probes=2). The planted pair's top-2 cell sets are disjoint under
+    the seed-42 k-means, so probes=1 AND probes=2 provably miss it
+    (asserted by the fixture test) and only the probes=3 scan shares a
+    cell between the members. Hash-matching the full-pairs DuckDB
+    oracle therefore proves third-probe recovery: any lower-probe
+    output would be MISSING the (200000, 200001) row. Equality holds
+    because no natural pair reaches cosine 0.9 (max natural cosine
+    0.5128) and each planted member's max cosine to any natural row is
+    0.42. This declares the knob SCALE.md's r14 10M rung priced (wall
+    2.36x probes=2, recall 0.9859 -> 0.9979): recommended only at
+    recall targets >= 0.995, and oracle-gated here so the code path
+    stays correct while opt-in."""
+    from vamana_spark.operators import dedup as DD
+
+    res = DD.semantic_dedup(
+        _corner_recovery_aug(spark, sf_dir),
+        threshold=0.9, num_clusters=8, seed=42, probes=3,
+    )
+    return (
+        res.where(~F.col("keep"))
+        .select(
+            F.col("dup_of").alias("a_id"),
+            F.col("vec_id").alias("b_id"),
+            F.round("max_sim", 4).alias("cosine_sim"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
 @declare(
     "q_dsir_weights",
     r"""
@@ -4489,18 +4628,28 @@ def q_dsir_sample(spark, sf_dir):
 # (same kernel, same inputs). The set-op consolidation RETIRED
 # q_intersect_buyers/q_except_buyers and DECLARED q_set_ops_buyers —
 # a new name, so it promotes as never-run, not as changed.
+# r14: empty — the stage-2 chunk-boundary stitch (ADVICE r13) only
+# alters probes>1 paths where the id-order enforcement fallback fired,
+# which no declared query's corpus reaches (sf0.01 clusters sit far
+# under max_cluster_rows; q_semantic_multiprobe's probes=1-vs-2
+# identity stays pinned by the colocated-dups test), and the deferred
+# dense-build relation thunk produces the identical DataFrames when
+# forced.
 _CHANGED_THIS_ROUND: list = []
 
 # Queries DECLARED or modified this round whose first/refreshed driver
-# row waits a round because the window is full. r13: empty — the
-# registry capacity math: the 2-round staleness contract over a
-# 50-slot window caps the registry at 150, so declaring
-# q_semantic_probe_recovery (VERDICT r12 #4) required reclaiming a
-# slot — the same-schema set-op twins consolidated into
-# q_set_ops_buyers. Window: 48 r10 must-run rows (50 minus the two
-# retired names) + the 2 never-run declarations = 50, exactly the
-# window; staleness after r13 stays nothing-older-than-r11.
-_DEFER_THIS_ROUND: list = []
+# row waits a round because the window is full. r14: the incremental
+# consolidation q_incremental_dedup_tiers waits one round — the
+# capacity math: retiring q_incremental_dedup_ranged (an r11 row)
+# leaves 49 bound-threatened r11 must-run rows, and VERDICT r13 #5
+# wants q_semantic_corner_recovery's FIRST row this round, so the
+# window is exactly 49 + 1 = 50. The tiers query's gates don't wait:
+# both tiers stay pinned against the same anti-join oracle by the
+# local pytest parity harness (which runs every declared query), and
+# the retired twins' own rows (sharded r12, ranged r11) describe the
+# identical operator calls it wraps. (r13 precedent: q_set_ops_buyers
+# promoted as never-run after the same-shape set-op consolidation.)
+_DEFER_THIS_ROUND: list = ["q_incremental_dedup_tiers"]
 
 
 def _latest_driver_rounds() -> dict:
