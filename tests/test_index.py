@@ -424,3 +424,53 @@ def test_committed_index_fixtures_present_and_loadable(spark):
     meta = json.load(open(os.path.join(_FIXTURE_ROOT, "sf0.01", "base", "_meta.json")))
     assert idx.graph_df.count() == meta["n"] == 500
     assert idx.params.medoid == meta["medoid"]
+
+
+def test_build_local_matches_dataframe_build(spark, embeddings):
+    """r14 (VERDICT r13 #1c): build_local is the reference-parity
+    ingest tier — points staged on the driver before the call, the
+    same region the reference's bench times (AddPoint untimed,
+    ref_bench.cpp). It must be SEMANTICALLY IDENTICAL to build() on a
+    DataFrame of the same rows: same graph relation, same medoid, same
+    search results, same persisted form."""
+    params = VamanaParams(dim=64, alpha=1.2, R=16, L=32, ef_search=32, seed=42)
+    pdf = embeddings.toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    V = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+
+    a = VamanaIndex.build(spark, embeddings, params)
+    b = VamanaIndex.build_local(spark, ids, V, params)
+    assert a.params.medoid == b.params.medoid
+    assert a.params.n == b.params.n
+
+    ga = {r.ordinal: list(r.neighbors) for r in a.graph_df.collect()}
+    gb = {r.ordinal: list(r.neighbors) for r in b.graph_df.collect()}
+    assert ga == gb
+    pa = sorted((r.vec_id, r.ordinal) for r in a.points_df.collect())
+    pb = sorted((r.vec_id, r.ordinal) for r in b.points_df.collect())
+    assert pa == pb
+
+    q = embeddings.limit(20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ra = sorted((r.query_id, r.rank, r.vec_id) for r in a.search(q, k=5).collect())
+    rb = sorted((r.query_id, r.rank, r.vec_id) for r in b.search(q, k=5).collect())
+    assert ra == rb
+
+
+def test_build_local_validations(spark):
+    params = VamanaParams(dim=4, alpha=1.2, R=8, L=16, ef_search=16, seed=1)
+    rng = np.random.default_rng(0)
+    V = rng.standard_normal((10, 4)).astype(np.float32)
+    with pytest.raises(ValueError, match="shape"):
+        VamanaIndex.build_local(spark, np.arange(10), V[:, :3], params)
+    with pytest.raises(ValueError, match="ids for"):
+        VamanaIndex.build_local(spark, np.arange(9), V, params)
+    # max_points keeps the LOWEST vec_ids (the DataFrame tier's
+    # deterministic orderBy-limit semantics)
+    p2 = VamanaParams(
+        dim=4, alpha=1.2, R=8, L=16, ef_search=16, seed=1, max_points=6
+    )
+    idx = VamanaIndex.build_local(spark, np.arange(10)[::-1].copy(), V, p2)
+    kept = sorted(r.vec_id for r in idx.points_df.collect())
+    assert kept == [0, 1, 2, 3, 4, 5]

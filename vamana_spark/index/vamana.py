@@ -238,6 +238,70 @@ class VamanaIndex:
             )
         if len(pdf) > cap_rows:
             raise _TierOverflow(len(pdf))
+        return VamanaIndex._build_from_pandas(spark, pdf, params, pts=pts)
+
+    @classmethod
+    def build_local(cls, spark, ids, vectors, params: VamanaParams) -> "VamanaIndex":
+        """In-memory ingest tier: build over points ALREADY staged on
+        the driver — the reference's AddPoint-then-BuildIndex shape
+        (vamana.h:221-332; its bench stages points untimed and times
+        only graph construction, tools/ref_bench.cpp:58-66). Semantics
+        are identical to :meth:`build` on a DataFrame of the same rows
+        (same vec_id-sorted ordinals, same kernel, same deferred
+        distributed relation — pinned by
+        ``test_index.py::test_build_local_matches_dataframe_build``);
+        the only difference is that the Spark scan + Arrow transfer a
+        DataFrame input pays happens before the call, mirroring where
+        the reference pays its own file read + AddPoint loop.
+
+        ``ids``: int array-like (n,); ``vectors``: float array-like
+        (n, dim). Rows whose width differs from ``params.dim`` are
+        rejected (ValueError — a local caller constructed them, so a
+        silent filter would hide a bug, unlike the DataFrame tier's
+        declarative dimension filter over arbitrary tables)."""
+        import dataclasses
+
+        params = dataclasses.replace(params)
+        params.validate()
+        V = np.asarray(vectors, dtype=np.float32)
+        if V.ndim != 2 or V.shape[1] != params.dim:
+            raise ValueError(
+                f"build_local: vectors shape {V.shape} != (n, {params.dim})"
+            )
+        iv = np.asarray(ids, dtype=np.int64)
+        if iv.shape[0] != V.shape[0]:
+            raise ValueError(
+                f"build_local: {iv.shape[0]} ids for {V.shape[0]} vectors"
+            )
+        if V.shape[0] * params.dim * 4 > cls.BROADCAST_TIER_MAX_BYTES:
+            raise ValueError(
+                "build_local: input exceeds the broadcast tier ceiling — "
+                "use VamanaIndex.build on a DataFrame (sharded tier)"
+            )
+        if params.max_points and iv.shape[0] > params.max_points:
+            order = np.argsort(iv, kind="stable")[: params.max_points]
+            order.sort()
+            iv, V = iv[order], V[order]
+        if params.metric == "ip" and params.mips_m is None:
+            params.mips_m = float(
+                np.sqrt((V.astype(np.float64) ** 2).sum(axis=1)).max()
+                if V.size
+                else 0.0
+            )
+        pdf = pd.DataFrame({"vec_id": iv, "embedding": list(V)})
+        if pdf.empty:
+            raise ValueError("build_local: no input rows")
+        return cls._build_from_pandas(spark, pdf, params)
+
+    @staticmethod
+    def _build_from_pandas(
+        spark, pdf: "pd.DataFrame", params: VamanaParams, pts: Optional[DataFrame] = None
+    ) -> "VamanaIndex":
+        """Shared tail of the driver-local build tiers: kernel over a
+        staged (vec_id, embedding) pandas frame. ``pts`` (when the
+        caller holds the source DataFrame) lets the deferred relation
+        reuse the original scan for points_df; without it the relation
+        is reconstructed from the staged frame."""
         pdf = pdf.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
         pdf["ordinal"] = np.arange(len(pdf), dtype=np.int64)
         P = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
@@ -294,9 +358,42 @@ class VamanaIndex:
                 )
             graph_df = combined.select("ordinal", "neighbors")
             ord_map = combined.select("vec_id", "ordinal")
-            points_df = pts.join(F.broadcast(ord_map), "vec_id").select(
-                "vec_id", "ordinal", "embedding"
-            )
+            if pts is not None:
+                points_df = pts.join(F.broadcast(ord_map), "vec_id").select(
+                    "vec_id", "ordinal", "embedding"
+                )
+            else:
+                # build_local: no source DataFrame exists — the staged
+                # frame IS the point set, so the relation comes from it
+                # (same Arrow/no-Arrow gate as the graph relation above)
+                pschema = "vec_id long, ordinal long, embedding array<float>"
+                if arrow_on:
+                    points_df = spark.createDataFrame(
+                        pd.DataFrame(
+                            {
+                                "vec_id": pdf["vec_id"].to_numpy(),
+                                "ordinal": pdf["ordinal"].to_numpy(),
+                                "embedding": [
+                                    np.asarray(e, dtype=np.float32)
+                                    for e in pdf["embedding"]
+                                ],
+                            }
+                        ),
+                        pschema,
+                    )
+                else:
+                    points_df = spark.createDataFrame(
+                        [
+                            (int(v), int(o), [float(x) for x in e])
+                            for v, o, e in zip(
+                                pdf["vec_id"].tolist(),
+                                pdf["ordinal"].tolist(),
+                                pdf["embedding"],
+                            )
+                        ],
+                        pschema,
+                        verifySchema=False,
+                    )
             return points_df, graph_df
 
         # the distributed view is DEFERRED (r14): this tier's searches
