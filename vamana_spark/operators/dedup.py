@@ -2602,7 +2602,13 @@ def scan_against_store(
     a candidate-join cut measured at 173.9x on the 10M rung (r13,
     SCALE.md — 34.87M audit candidates vs 200,547 decision verify rows;
     stage-2 fallback fired on 0.01% of flagged docs) for the "drop it
-    or keep it" consumer."""
+    or keep it" consumer. Worst case bounded by the r14 borderline
+    rung (SCALE.md): with paraphrase-grade mates just above the
+    threshold, stage-2 engages on 44% of flagged docs, the cut narrows
+    to 74.7x (wall still 1.32x better), and the preset loses ~2% of
+    the audit flag set to the witness cap — prefer audit mode (or a
+    raised ``max_bucket_witnesses``) when the flag set must be
+    exhaustive at the threshold edge."""
     sigs, meta = load_signatures(batch.sparkSession, store_path)
     store_id = meta.get("id_col", "doc_id")
     if id_col is not None and id_col != store_id:
