@@ -729,7 +729,10 @@ def main(argv=None) -> int:
     d.add_argument("--probes", type=int, default=1,
                    help="mode=semantic: multi-probe cell assignment — 2 "
                         "recovers Voronoi-boundary straddle pairs (10M rung: "
-                        "planted recall 0.9156 -> 0.9859 at ~5x scan cost)")
+                        "planted recall 0.9156 -> 0.9859 at ~5x scan cost); "
+                        "3 additionally recovers >=3-cell corner straddle "
+                        "(10M rung: 0.9859 -> 0.9979 at 2.36x the probes=2 "
+                        "wall — reach for it at recall targets >= 0.995)")
     d.set_defaults(fn=cmd_dedup)
 
     dc = sub.add_parser("decontaminate")

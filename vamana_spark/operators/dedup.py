@@ -1335,7 +1335,11 @@ def semantic_dedup(
     resides in ``probes`` cells, so cell populations grow ~probes× and
     the per-cell quadratic scan up to probes²× (4× FLOPs at probes=2;
     measured 649 s → 3,224 s (~5×, splits + stragglers included) for
-    planted-miss recall 0.9156 → 0.9859 at the 10M Zipf rung) — still
+    planted-miss recall 0.9156 → 0.9859 at the 10M Zipf rung; probes=3
+    measured 2,299 s → 5,429 s (2.36×, on the ~(3/2)² prediction) for
+    0.9859 → 0.9979 — the r14 rung's recommendation is default 2,
+    reach for 3 only at recall targets ≥ 0.995, stop there: probes=4+
+    prices out by extrapolation for a ≤0.2% residual) — still
     bounded per task by the same ``max_cluster_rows`` backstop.
     Default 1 = the published recipe, output unchanged.
 
