@@ -662,7 +662,10 @@ def main() -> None:
         ))
         keys = ["band_id", "band_hash"]
 
-        def _cands(cap):
+        def _wit(cap):
+            """Capped witness table (seen_id, band_id, band_hash): every
+            bucket keeps its `cap` lowest-id corpus members — exactly
+            the scan's witness semantics, replayed."""
             overfull = F.broadcast(
                 banded.groupBy(*keys)
                 .agg(F.count(F.lit(1)).alias("_bsz"))
@@ -677,10 +680,12 @@ def main() -> None:
                 .where(F.col("_wrn") <= cap)
                 .select("doc_id", *keys)
             )
-            wit = small.unionByName(capped).withColumnRenamed(
+            return small.unionByName(capped).withColumnRenamed(
                 "doc_id", "seen_id")
+
+        def _cands(cap):
             return (
-                wit.join(banded_b, keys)
+                _wit(cap).join(banded_b, keys)
                 .groupBy("batch_id", "seen_id")
                 .agg(F.count(F.lit(1)).alias("_nb"))
             )
@@ -728,6 +733,52 @@ def main() -> None:
         out["borderline_candidate_cut_vs_audit"] = round(
             out["borderline_cand_pairs_audit_cap512"]
             / max(out["borderline_verify_rows"], 1), 1)
+
+        # ---- miss ATTRIBUTION (r14): is each planted miss a BANDING
+        # miss (b and its one true mate X share NO band value) or a
+        # WITNESS-CAP miss (they share a band, but the bucket kept only
+        # its cap lowest-id members and X wasn't among them)? Exact,
+        # scan-free replay: a plant is flagged at cap c iff X sits in
+        # the capped witness list of >=1 shared band — so the predicted
+        # flag counts must EQUAL the measured audit/decision flag
+        # counts (cross-check emitted alongside).
+        mates = F.broadcast(planted_ids.select(
+            F.col("_src").alias("doc_id")).distinct())
+        mate_bands = (
+            banded.join(mates, "doc_id", "left_semi")
+            .withColumnRenamed("doc_id", "_src")
+        )
+        pair_map = F.broadcast(planted_ids.select(
+            F.col("doc_id").alias("batch_id"), "_src"))
+        shared = (
+            banded_b.join(pair_map, "batch_id")
+            .join(mate_bands, keys + ["_src"], "left_semi")
+            .select("batch_id", "_src", *keys)
+            .cache()
+        )
+        a_docs = shared.select("batch_id").distinct().cache()
+        out["borderline_attr_share_any_band"] = a_docs.count()
+        out["borderline_attr_banding_missed"] = (
+            int(n_planted) - out["borderline_attr_share_any_band"]
+        )
+        for cap, tag in ((512, "audit"), (8, "decision")):
+            wit_m = (
+                _wit(cap)
+                .join(mates.withColumnRenamed("doc_id", "seen_id"),
+                      "seen_id", "left_semi")
+                .withColumnRenamed("seen_id", "_src")
+            )
+            b_docs = (
+                shared.join(wit_m, keys + ["_src"], "left_semi")
+                .select("batch_id").distinct()
+            )
+            nb = b_docs.count()
+            out[f"borderline_attr_predicted_{tag}_flags"] = nb
+            out[f"borderline_attr_{tag}_cap_missed"] = (
+                out["borderline_attr_share_any_band"] - nb
+            )
+        shared.unpersist(); a_docs.unpersist()
+
         print(json.dumps({"borderline": {
             k.replace("borderline_", ""): out[k]
             for k in out if k.startswith("borderline_")
