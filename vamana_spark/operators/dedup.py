@@ -2609,8 +2609,11 @@ def scan_against_store(
     or keep it" consumer. Worst case bounded by the r14 borderline
     rung (SCALE.md): with paraphrase-grade mates just above the
     threshold, stage-2 engages on 44% of flagged docs, the cut narrows
-    to 74.7x (wall still 1.32x better), and the preset loses ~2% of
-    the audit flag set to the witness cap — prefer audit mode (or a
+    to 74.7x (wall gain small and noisy there - candidate generation
+    dominates both passes), and the preset loses ~2% of the audit
+    flag set to the witness cap (attribution measured exact: 91% of
+    even the audit pass's own borderline misses are cap misses, 9%
+    banding) — prefer audit mode (or a
     raised ``max_bucket_witnesses``) when the flag set must be
     exhaustive at the threshold edge."""
     sigs, meta = load_signatures(batch.sparkSession, store_path)
