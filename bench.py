@@ -394,7 +394,10 @@ def _query_mix(timings: dict, extra: dict) -> None:
         # ours is the warm min-of-N timed() applies (cold first run
         # recorded under extra.cold_sec); the reference block carries
         # its own build_reps/search_passes from ref_bench.cpp
-        extra["rep_protocol_ours"] = "warm min-of-5; cold first run in cold_sec"
+        extra["rep_protocol_ours"] = (
+            "warm min-of-5 on build_index; other entries warm min-of-2 "
+            "(min-of-3 under 1 s); cold first run in cold_sec"
+        )
         extra["build_timed_region"] = (
             "build_index: graph construction over pre-staged points "
             "(reference parity - AddPoint/file-read untimed on both "

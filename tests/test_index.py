@@ -474,3 +474,39 @@ def test_build_local_validations(spark):
     idx = VamanaIndex.build_local(spark, np.arange(10)[::-1].copy(), V, p2)
     kept = sorted(r.vec_id for r in idx.points_df.collect())
     assert kept == [0, 1, 2, 3, 4, 5]
+
+
+def test_build_local_caps_before_tier_ceiling(spark, monkeypatch):
+    """Code-review r14: the max_points cap must apply BEFORE the
+    broadcast-tier ceiling check (build() orderBy/limits before its
+    pull, so the ceiling judges the capped row set on both tiers)."""
+    params = VamanaParams(
+        dim=4, alpha=1.2, R=8, L=16, ef_search=16, seed=1, max_points=6
+    )
+    rng = np.random.default_rng(0)
+    V = rng.standard_normal((10, 4)).astype(np.float32)
+    monkeypatch.setattr(VamanaIndex, "BROADCAST_TIER_MAX_BYTES", 6 * 4 * 4)
+    # 10 rows exceed the ceiling, the capped 6 rows fit exactly
+    idx = VamanaIndex.build_local(spark, np.arange(10), V, params)
+    assert sorted(r.vec_id for r in idx.points_df.collect()) == [0, 1, 2, 3, 4, 5]
+    with pytest.raises(ValueError, match="ceiling"):
+        VamanaIndex.build_local(
+            spark, np.arange(10), V,
+            VamanaParams(dim=4, alpha=1.2, R=8, L=16, ef_search=16, seed=1),
+        )
+
+
+def test_deferred_rel_respects_setter_assignment(spark, embeddings):
+    """Code-review r14: forcing the deferred relation must not clobber
+    a relation a caller assigned through the setter while the thunk
+    was pending (maintenance code patches graph_df in place)."""
+    params = VamanaParams(dim=64, alpha=1.2, R=16, L=32, ef_search=32, seed=42)
+    idx = VamanaIndex.build(spark, embeddings.limit(50), params)
+    assert idx._rel_thunk is not None  # dense tier defers
+    marker = spark.createDataFrame(
+        [(0, [1])], "ordinal long, neighbors array<long>"
+    )
+    idx.graph_df = marker
+    _ = idx.points_df  # forces the thunk for the OTHER relation
+    assert idx.graph_df is marker
+    assert idx.points_df is not None

@@ -342,7 +342,10 @@ def main() -> None:
                 "text",
                 F.col("doc_id").alias("_copied_from"),
             )
-        ).cache()
+            # frozen, not cached: limit() re-evaluation under cache
+            # eviction could desync the recall join (same fix as the
+            # borderline arm)
+        ).localCheckpoint(eager=True)
         n_planted = src.count()
         fresh = spark.range(BATCH - n_planted).select(
             (F.col("id") + 3 * N_DOCS).alias("doc_id"),
@@ -585,7 +588,12 @@ def main() -> None:
                 b_text.alias("text"),
                 F.col("doc_id").alias("_src"),
             )
-            .cache()
+            # FROZEN, not cached: limit() may pick different rows on
+            # re-evaluation (the vamana.py build guard documents the
+            # same hazard), and cache eviction under memory pressure
+            # re-evaluates — which would desync planted_ids from the
+            # batch and silently corrupt the attribution metrics
+            .localCheckpoint(eager=True)
         )
         n_planted = src.count()
         fresh = spark.range(BATCH - n_planted).select(

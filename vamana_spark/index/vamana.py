@@ -97,9 +97,18 @@ class VamanaIndex:
         self._bcast = None  # broadcast (P, ids, padded adjacency), reused across searches
 
     def _force_rel(self) -> None:
-        thunk, self._rel_thunk = self._rel_thunk, None
-        if thunk is not None:
-            self._points_df, self._graph_df = thunk()
+        thunk = self._rel_thunk
+        if thunk is None:
+            return
+        points_df, graph_df = thunk()  # clear AFTER success — a
+        # transient failure must stay retryable, not degrade to None
+        self._rel_thunk = None
+        # fill only fields still unset: a caller may have assigned one
+        # relation through the setter while the thunk was pending
+        if self._points_df is None:
+            self._points_df = points_df
+        if self._graph_df is None:
+            self._graph_df = graph_df
 
     @property
     def points_df(self) -> DataFrame:
@@ -273,15 +282,18 @@ class VamanaIndex:
             raise ValueError(
                 f"build_local: {iv.shape[0]} ids for {V.shape[0]} vectors"
             )
+        if params.max_points and iv.shape[0] > params.max_points:
+            # cap BEFORE the tier-ceiling check — build() applies its
+            # orderBy/limit before the pull, so the ceiling judges the
+            # capped row set on both tiers
+            order = np.argsort(iv, kind="stable")[: params.max_points]
+            order.sort()
+            iv, V = iv[order], V[order]
         if V.shape[0] * params.dim * 4 > cls.BROADCAST_TIER_MAX_BYTES:
             raise ValueError(
                 "build_local: input exceeds the broadcast tier ceiling — "
                 "use VamanaIndex.build on a DataFrame (sharded tier)"
             )
-        if params.max_points and iv.shape[0] > params.max_points:
-            order = np.argsort(iv, kind="stable")[: params.max_points]
-            order.sort()
-            iv, V = iv[order], V[order]
         if params.metric == "ip" and params.mips_m is None:
             params.mips_m = float(
                 np.sqrt((V.astype(np.float64) ** 2).sum(axis=1)).max()
