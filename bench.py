@@ -99,7 +99,7 @@ def _run_reference(sf_dir: str, stored_fallback: str) -> dict | None:
             "measured_in_run": True,
             # rep protocol on BOTH sides of the 2x bar (VERDICT r12 #1):
             # the C++ rerun is min-of-N fresh builds + min-of-N search
-            # passes (ref_bench.cpp), matching our own warm min-of-3 —
+            # passes (ref_bench.cpp), matching our own warm min-of-N —
             # the recorded ratio is min/min, not min/single-shot
             "build_reps": int(ref.get("build_reps", 1)),
             "search_passes": int(ref.get("search_passes", 1)),
