@@ -155,6 +155,85 @@ def _gen(doc_path: str, emb_path: str) -> dict:
     }
 
 
+def borderline_batch(spark, docs, sizes, n_dup):
+    """The borderline arm's planted batch (module-level so the cap
+    sweep tool reuses the EXACT construction): PLANTED paraphrase-grade
+    docs — odd group members with one more token mutated 10 positions
+    away (J to the one true mate 19/25 = 0.76, to everything else
+    < 0.6) — plus fresh singleton filler up to BATCH rows. Returns
+    (src, batch); src carries (doc_id, text, _src true-mate id) and is
+    FROZEN with an eager localCheckpoint (limit() may pick different
+    rows on re-evaluation — the vamana.py build guard documents the
+    same hazard — and cache eviction re-evaluates, which would desync
+    the recall/attribution joins)."""
+    from pyspark.sql import functions as F
+
+    starts, acc = [], 0
+    for sz in sizes:
+        starts.append(acc)
+        acc += sz
+    sdf = spark.createDataFrame(
+        [(int(st), int(st + sz)) for st, sz in zip(starts, sizes)],
+        "gmin long, gend long",
+    )
+    members = (
+        docs.where(F.col("doc_id") < n_dup)
+        .join(
+            F.broadcast(sdf),
+            (F.col("doc_id") >= F.col("gmin"))
+            & (F.col("doc_id") < F.col("gend")),
+        )
+        .withColumn("_m", F.col("doc_id") - F.col("gmin"))
+    )
+    mut_pos = F.col("_m") % TOKENS
+    # odd members only (they carry the group's first mutation) with
+    # an INTERIOR mutation position so each flip is exactly 3
+    # shingles — keeps the Jaccard grades above exact
+    eligible = members.where(
+        (F.col("_m") % 2 == 1)
+        & (mut_pos >= 2)
+        & (mut_pos <= TOKENS - 3)
+    )
+    pos2 = F.when(mut_pos <= 11, mut_pos + 10).otherwise(mut_pos - 10)
+    toks = F.split(F.col("text"), " ")
+    b_text = F.array_join(
+        F.transform(
+            toks,
+            lambda t, i: F.when(
+                i == pos2,
+                F.concat(F.lit("bz"), F.col("doc_id").cast("string")),
+            ).otherwise(t),
+        ),
+        " ",
+    )
+    # hash-spread across the Zipf ladder (eligible ~= n_dup * 0.5 *
+    # 20/24 ~= 1.25M at 10M docs; modulus 6 -> ~208k, limited to
+    # PLANTED)
+    src = (
+        eligible.where(F.xxhash64("doc_id") % 6 == 0)
+        .limit(PLANTED)
+        .select(
+            (F.col("doc_id") + 4 * N_DOCS).alias("doc_id"),
+            b_text.alias("text"),
+            F.col("doc_id").alias("_src"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_planted = src.count()
+    fresh = spark.range(BATCH - n_planted).select(
+        (F.col("id") + 5 * N_DOCS).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[F.concat(F.lit("h"), F.col("id").cast("string"),
+                       F.lit(f"x{t}")) for t in range(TOKENS)],
+        ).alias("text"),
+        F.lit(None).cast("long").alias("_src"),
+    )
+    batch = src.unionByName(fresh).cache()
+    batch.count()
+    return src, batch, n_planted
+
+
 def _metrics_probe(spark):
     import urllib.request
 
@@ -539,75 +618,9 @@ def main() -> None:
                   lambda: dedup.save_signatures(docs, store))
         sigs, meta = dedup.load_signatures(spark, store)
 
-        starts, acc = [], 0
-        for s in sizes:
-            starts.append(acc)
-            acc += s
-        sdf = spark.createDataFrame(
-            [(int(st), int(st + sz)) for st, sz in zip(starts, sizes)],
-            "gmin long, gend long",
-        )
-        members = (
-            docs.where(F.col("doc_id") < n_dup)
-            .join(
-                F.broadcast(sdf),
-                (F.col("doc_id") >= F.col("gmin"))
-                & (F.col("doc_id") < F.col("gend")),
-            )
-            .withColumn("_m", F.col("doc_id") - F.col("gmin"))
-        )
-        mut_pos = F.col("_m") % TOKENS
-        # odd members only (they carry the group's first mutation) with
-        # an INTERIOR mutation position so each flip is exactly 3
-        # shingles — keeps the Jaccard grades above exact
-        eligible = members.where(
-            (F.col("_m") % 2 == 1)
-            & (mut_pos >= 2)
-            & (mut_pos <= TOKENS - 3)
-        )
-        pos2 = F.when(mut_pos <= 11, mut_pos + 10).otherwise(mut_pos - 10)
-        toks = F.split(F.col("text"), " ")
-        b_text = F.array_join(
-            F.transform(
-                toks,
-                lambda t, i: F.when(
-                    i == pos2,
-                    F.concat(F.lit("bz"), F.col("doc_id").cast("string")),
-                ).otherwise(t),
-            ),
-            " ",
-        )
-        # hash-spread across the Zipf ladder (eligible ~= n_dup * 0.5 *
-        # 20/24 ~= 1.25M at 10M docs; modulus 6 -> ~208k, limited to
-        # PLANTED)
-        src = (
-            eligible.where(F.xxhash64("doc_id") % 6 == 0)
-            .limit(PLANTED)
-            .select(
-                (F.col("doc_id") + 4 * N_DOCS).alias("doc_id"),
-                b_text.alias("text"),
-                F.col("doc_id").alias("_src"),
-            )
-            # FROZEN, not cached: limit() may pick different rows on
-            # re-evaluation (the vamana.py build guard documents the
-            # same hazard), and cache eviction under memory pressure
-            # re-evaluates — which would desync planted_ids from the
-            # batch and silently corrupt the attribution metrics
-            .localCheckpoint(eager=True)
-        )
-        n_planted = src.count()
-        fresh = spark.range(BATCH - n_planted).select(
-            (F.col("id") + 5 * N_DOCS).alias("doc_id"),
-            F.concat_ws(
-                " ",
-                *[F.concat(F.lit("h"), F.col("id").cast("string"),
-                           F.lit(f"x{t}")) for t in range(TOKENS)],
-            ).alias("text"),
-            F.lit(None).cast("long").alias("_src"),
-        )
-        batch = src.unionByName(fresh).cache()
-        batch.count()
+        src, batch, n_planted = borderline_batch(spark, docs, sizes, n_dup)
         out["borderline_planted"] = int(n_planted)
+
 
         found_a = timed("borderline_audit_scan", lambda: (
             dedup.scan_against_store(
