@@ -36,7 +36,36 @@ def assign_ordinals(
     assignment job see identical partition placement (range boundaries
     come from sampling; caching pins them). The cache is unpersisted by
     callers once the build materializes.
+
+    ``counts_out`` (r14): the counting job already knows the total row
+    count — when a dict is passed, it lands there under ``"n"`` so
+    callers that need n (every build tier does) skip their own count()
+    job over the result (guide §1.2: don't compute things twice).
     """
+    return _assign_ordinals_impl(df, order_col, out_col, num_partitions, None)
+
+
+def assign_ordinals_counted(
+    df: DataFrame,
+    order_col: str = "vec_id",
+    out_col: str = "ordinal",
+    num_partitions: int | None = None,
+) -> "tuple[DataFrame, int]":
+    """:func:`assign_ordinals` variant returning ``(df, n)`` — the row
+    count falls out of the partition-counting job for free, so callers
+    skip a separate count() action over the result (r14)."""
+    out: dict = {}
+    res = _assign_ordinals_impl(df, order_col, out_col, num_partitions, out)
+    return res, out["n"]
+
+
+def _assign_ordinals_impl(
+    df: DataFrame,
+    order_col: str,
+    out_col: str,
+    num_partitions: int | None,
+    counts_out: dict | None,
+) -> DataFrame:
     spark = df.sparkSession
     n_part = num_partitions or spark.sparkContext.defaultParallelism
     part = (
@@ -52,6 +81,8 @@ def assign_ordinals(
     for row in sorted(counts, key=lambda r: r["_pid"]):
         offsets[int(row["_pid"])] = acc
         acc += int(row["count"])
+    if counts_out is not None:
+        counts_out["n"] = acc
     bc = spark.sparkContext.broadcast(offsets)
     # StructType.add mutates in place — never call it on a live DataFrame's
     # cached schema; build a fresh copy

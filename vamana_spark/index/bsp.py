@@ -42,7 +42,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vamana_spark.functions.util import assign_ordinals
+from vamana_spark.functions.util import assign_ordinals_counted
 from vamana_spark.index import kernels
 from vamana_spark.params import VamanaParams
 
@@ -151,8 +151,11 @@ def build_bsp(
     pts = df.select(
         F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("embedding")
     ).where(F.size(vec_col) == params.dim)
-    pts = assign_ordinals(pts, "vec_id", "ordinal").cache()
-    n = pts.count()
+    # counted variant (r14): n falls out of assign_ordinals' own
+    # partition-counting job — the separate count() action over the
+    # ordinal-assignment output (a full extra job) disappears
+    pts, n = assign_ordinals_counted(pts, "vec_id", "ordinal")
+    pts = pts.cache()
     if n == 0:
         raise ValueError("build_bsp: no input rows after dimension filter")
 
@@ -193,9 +196,14 @@ def build_bsp(
 
     medoid = _snapshot_medoid_ordinal(spark, points_path)
 
-    nodes = pts.select("ordinal").repartition(
-        spark.sparkContext.defaultParallelism
-    ).cache()
+    # the node list IS 0..n-1 by construction (assign_ordinals emits
+    # dense ordinals) — spark.range generates it shuffle-free in
+    # core-count slices, replacing the r13 repartition+cache of a
+    # projection of pts (a full round-robin shuffle whose only payload
+    # was the numbers 0..n-1; guide §2.4 "remove shuffles outright")
+    nodes = spark.range(
+        0, n, 1, spark.sparkContext.defaultParallelism
+    ).select(F.col("id").alias("ordinal"))
 
     edges_path = None  # pass 0 starts from the in-worker init graph
     final_agg = None
@@ -238,23 +246,43 @@ def build_bsp(
                 cand[cand == ords[:, None]] = -1
                 pruned = kernels.robust_prune_gather(Pv, ords, cand, a, R)
                 keep = pruned >= 0
+                srcs = np.repeat(ords, keep.sum(axis=1))
+                dsts = pruned[keep]
+                # emit BOTH edge directions here (r14): the previous
+                # ``proposed.union(proposed.select(dst, src))`` plan read
+                # the propose subtree twice — Spark evaluates each union
+                # branch independently, so every node was beam-searched
+                # and pruned TWICE per pass (guide §7.2, duplicated
+                # subtrees). Same row multiset, one Python evaluation;
+                # measured 1.5-2.3 s → 1.0-1.1 s per pass at sf0.1.
                 yield pd.DataFrame(
                     {
-                        "src": np.repeat(ords, keep.sum(axis=1)),
-                        "dst": pruned[keep],
+                        "src": np.concatenate([srcs, dsts]),
+                        "dst": np.concatenate([dsts, srcs]),
                     }
                 )
 
-        proposed = nodes.mapInPandas(propose, schema="src long, dst long")
+        undirected = nodes.mapInPandas(propose, schema="src long, dst long")
 
         # distributed reverse fix-up (SURVEY §7 M3): forward ∪ reversed
         # edges, ONE shuffle on src (collect_set dedups), lockstep
         # degree-cap re-prune over whole Arrow batches — vectors come from
-        # the per-worker points snapshot, never a join
-        undirected = proposed.union(
-            proposed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        # the per-worker points snapshot, never a join.
+        # Explicit hash repartition (r14): left to AQE, the tiny edge
+        # bytes (a few MB at toy scale) coalesce the post-shuffle stage
+        # to ~1 partition, serializing the CPU-bound re-prune Python
+        # stage — bytes are the wrong proxy for Python CPU (guide §2.5
+        # partitioning / §4 Python boundary). The explicit count is
+        # core-derived, not a constant, so cluster runs are unaffected.
+        agg = (
+            undirected.repartition(
+                spark.sparkContext.defaultParallelism, "src"
+            )
+            .groupBy("src")
+            .agg(F.collect_set("dst").alias("dsts"))
         )
-        agg = undirected.groupBy("src").agg(F.collect_set("dst").alias("dsts"))
+
+        emit_arrays = pass_no != 0
 
         def fixup_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             Pv = _load_points(points_path)
@@ -270,42 +298,70 @@ def build_bsp(
                 cand[cand == srcs[:, None]] = -1
                 pruned = kernels.robust_prune_gather(Pv, srcs, cand, a, R)
                 keep = pruned >= 0
-                yield pd.DataFrame(
-                    {
-                        "src": np.repeat(srcs, keep.sum(axis=1)),
-                        "dst": pruned[keep],
-                    }
-                )
+                if emit_arrays:
+                    # final pass (r14): each src is exactly one ``agg``
+                    # row here, so its whole adjacency is in hand —
+                    # emit it sorted as the finished array and the old
+                    # groupBy(sort_array(collect_list)) tail (one more
+                    # full shuffle + agg of the edge set) disappears.
+                    # np.sort == sort_array on distinct int64s, so the
+                    # assembled graph is bit-identical.
+                    yield pd.DataFrame(
+                        {
+                            "ordinal": srcs,
+                            "neighbors": [
+                                np.sort(row[k]) for row, k in zip(pruned, keep)
+                            ],
+                        }
+                    )
+                else:
+                    yield pd.DataFrame(
+                        {
+                            "src": np.repeat(srcs, keep.sum(axis=1)),
+                            "dst": pruned[keep],
+                        }
+                    )
 
-        fixed = agg.mapInPandas(fixup_batches, schema="src long, dst long")
         if pass_no == 0:
+            fixed = agg.mapInPandas(fixup_batches, schema="src long, dst long")
             # pass 1 re-reads this as a snapshot: write + read via scratch
             next_path = os.path.join(scratch_dir, f"edges_pass{pass_no}")
             fixed.write.mode("overwrite").parquet(next_path)
             edges_path = next_path
         else:
-            # final pass: assemble straight from the live DataFrame — no
-            # parquet round-trip, adjacency never visits the driver
-            final_agg = fixed.groupBy(F.col("src").alias("ordinal")).agg(
-                F.sort_array(F.collect_list("dst")).alias("neighbors")
+            # final pass: adjacency arrays come straight out of the
+            # re-prune — no parquet round-trip, no second shuffle,
+            # adjacency never visits the driver
+            final_agg = agg.mapInPandas(
+                fixup_batches, schema="ordinal long, neighbors array<long>"
             )
 
-    # Left join keeps isolated nodes (deg 0).
-    graph_df = (
-        pts.select("ordinal")
-        .join(final_agg, "ordinal", "left")
-        .select(
-            "ordinal",
-            F.coalesce("neighbors", F.array().cast("array<long>")).alias("neighbors"),
-        )
-    )
     # executor-side materialization (cuts lineage to the scratch files so
     # they can be deleted) — the adjacency still never visits the driver
-    graph_df = graph_df.localCheckpoint(eager=True)
+    final_agg = final_agg.localCheckpoint(eager=True)
+    # Conditional repair (r14): with bidirectional emit every node that
+    # has any candidate appears as a fix-up src, so the fix-up output
+    # normally covers all n ordinals — checking its (checkpointed, cheap)
+    # count skips the unconditional left join + its two-sided shuffle
+    # (guide §2.4). Isolated/deg-0 stragglers, if any, still get the
+    # repair join.
+    if final_agg.count() == n:
+        graph_df = final_agg
+    else:
+        graph_df = (
+            pts.select("ordinal")
+            .join(final_agg, "ordinal", "left")
+            .select(
+                "ordinal",
+                F.coalesce(
+                    "neighbors", F.array().cast("array<long>")
+                ).alias("neighbors"),
+            )
+            .localCheckpoint(eager=True)
+        )
 
     params.n = n
     params.medoid = int(medoid)
     points_df = pts.select("vec_id", "ordinal", "embedding")
-    nodes.unpersist()
     shutil.rmtree(_local_path(scratch_dir), ignore_errors=True)
     return VamanaIndex(spark, params, points_df, graph_df)

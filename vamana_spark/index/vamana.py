@@ -550,9 +550,25 @@ class VamanaIndex:
         prune_schema = "ordinal long, neighbors array<long>"
         alpha_f = float(params.alpha)
         # ONE narrow shuffle of per-node arrays; flatten+distinct merges
-        # the overlap-shard duplicates without a row-per-edge explosion
-        agg = edges.groupBy("src").agg(
-            F.array_distinct(F.flatten(F.collect_list("dsts"))).alias("dsts")
+        # the overlap-shard duplicates without a row-per-edge explosion.
+        # Explicit hash repartition (r14): left to AQE, the small edge
+        # bytes coalesce the post-shuffle stage to ~1 partition,
+        # serializing the CPU-bound Python re-prune that follows — bytes
+        # are the wrong proxy for Python CPU (guide §2.5/§4). The
+        # explicit count is core-derived, not a constant, so cluster
+        # runs scale with their parallelism; groupBy on the same key and
+        # count reuses the exchange (guide §2.4). Measured interleaved
+        # A/B at sf0.1: prune tail 3.7 s -> 1.5 s.
+        agg = (
+            edges.repartition(
+                spark.sparkContext.defaultParallelism, "src"
+            )
+            .groupBy("src")
+            .agg(
+                F.array_distinct(F.flatten(F.collect_list("dsts"))).alias(
+                    "dsts"
+                )
+            )
         )
 
         n_total = pts.count()
