@@ -103,6 +103,25 @@ def _assign_ordinals_impl(
     return part.mapInPandas(add_ordinals, schema=out_schema)
 
 
+def bytes_conf(spark, key: str, default: int) -> int:
+    """Parse a Spark size conf ("10485760", "10MB", "-1") to bytes."""
+    try:
+        raw = str(spark.conf.get(key)).strip().lower()
+    except Exception:
+        return default
+    mult = 1
+    for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                   ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                   ("b", 1)):
+        if raw.endswith(suf):
+            raw, mult = raw[: -len(suf)], m
+            break
+    try:
+        return int(float(raw) * mult)
+    except ValueError:
+        return default
+
+
 def ensure_parallelism(df: DataFrame, min_factor: float = 0.5) -> DataFrame:
     """Round-robin repartition when the input has too few partitions for
     the cluster's cores.

@@ -146,23 +146,10 @@ _RERANK_BCAST_ROWS = 1_000_000
 _RERANK_FORCE_BYTES_PER_ROW = 32
 
 
-def _bytes_conf(spark: SparkSession, key: str, default: int) -> int:
-    """Parse a Spark size conf ("10485760", "10MB", "-1") to bytes."""
-    try:
-        raw = str(spark.conf.get(key)).strip().lower()
-    except Exception:
-        return default
-    mult = 1
-    for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
-                   ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
-                   ("b", 1)):
-        if raw.endswith(suf):
-            raw, mult = raw[: -len(suf)], m
-            break
-    try:
-        return int(float(raw) * mult)
-    except ValueError:
-        return default
+# shared size-conf parser (moved to functions.util in r14 so the ADC
+# re-rank in operators.quantization can use it without importing this
+# module); the old private name stays bound for existing call sites
+from vamana_spark.functions.util import bytes_conf as _bytes_conf  # noqa: E402
 
 
 def _make_rebuild_kernel(params: VamanaParams, graph: Optional[bool]):
@@ -1823,9 +1810,30 @@ class PartitionedVamanaIndex:
         if bcast:
             cand = p.join(F.broadcast(shortlist.drop("dist")), "vec_id")
         else:
-            cand = shortlist.drop("dist").join(p, "vec_id")
-        if self._overlap() > 1:  # one vector row per (query, point)
-            cand = cand.dropDuplicates(["query_id", "vec_id"])
+            # r14: below the forced band, steer the broadcast side when
+            # the corpus projection itself fits one (Catalyst's free
+            # plan estimate — no job). Left to AQE, the SHORTLIST side
+            # gets broadcast (smaller estimate), which makes the corpus
+            # scan the streamed side and throws away the shortlist's
+            # query_id window partitioning — the rank window then pays
+            # its own Exchange. Hinting p keeps the shortlist streamed,
+            # its partitioning flows through the joins, and the rank
+            # (and overlap-dedup) windows run exchange-free (guide
+            # §2.4). Corpus-scale shards_df blows the threshold and the
+            # hint is withheld — behavior unchanged where it matters
+            # for safety.
+            try:
+                p_est = int(
+                    p._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+                )
+            except Exception:
+                p_est = None
+            p_side = (
+                F.broadcast(p)
+                if p_est is not None and 0 < p_est <= max(thresh, 0)
+                else p
+            )
+            cand = shortlist.drop("dist").join(p_side, "vec_id")
         exactd = cand.join(F.broadcast(q) if bcast else q, "query_id").select(
             "query_id",
             "vec_id",
@@ -1833,6 +1841,34 @@ class PartitionedVamanaIndex:
                 "_qv", "_pv", self.params.metric, dim=self.params.dim
             ).alias("dist"),
         )
+        if self._overlap() > 1:  # one row per (query, point)
+            # r14: the overlap dedup used to be a dropDuplicates BEFORE
+            # the distance projection — its own exchange, keyed
+            # (query_id, vec_id), carrying the full _pv vector. Dedup
+            # now rides AFTER the projection as a window that shares
+            # the rank window's query_id clustering: one exchange
+            # instead of two, and the bytes that cross it are
+            # (query_id, vec_id, dist) — the vectors never leave their
+            # map side (guide §2.3 project-before-exchange, §2.4
+            # shared exchange; plan: 2 candidate-stream Exchanges ->
+            # 1). Overlap copies tie exactly on dist, so which copy
+            # row_number keeps is indifferent — output identical
+            # (checked row-for-row against the old tail at sf0.1).
+            if bcast:
+                # broadcast joins preserve no useful partitioning —
+                # establish query_id clustering once, both windows
+                # reuse it
+                exactd = exactd.repartition("query_id")
+            # non-bcast: the q equi-join just shuffled on query_id;
+            # both windows reuse that exchange as-is
+            wdd = Window.partitionBy("query_id", "vec_id").orderBy(
+                F.col("dist").asc()
+            )
+            exactd = (
+                exactd.withColumn("_dd", F.row_number().over(wdd))
+                .where(F.col("_dd") == 1)
+                .drop("_dd")
+            )
         w = Window.partitionBy("query_id").orderBy(
             F.col("dist").asc(), F.col("vec_id").asc()
         )

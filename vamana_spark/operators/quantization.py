@@ -385,9 +385,31 @@ def _exact_rerank(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_qv")
     )
+    # r14: steer the broadcast side. Left alone, Catalyst broadcasts the
+    # MERGED shortlist (the side it estimates smaller), streaming the
+    # points scan — which throws away merged's query_id window
+    # partitioning, so the final rank window pays its own Exchange.
+    # When the points side itself fits a broadcast (Catalyst's free
+    # plan estimate, no job), hint IT instead: merged stays the
+    # streamed side, its partitioning flows through both broadcast
+    # joins, and the rank window needs NO exchange (guide §2.4; plan:
+    # 2 Exchanges -> 1, output row-identical — A/B checked at sf0.1).
+    # Past the threshold (corpus-scale points) the hint is withheld
+    # and the bounded shortlist broadcasts as before — the only
+    # possible choice at scale.
+    try:
+        est = int(p._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        est = None
+    from vamana_spark.functions.util import bytes_conf
+
+    thresh = bytes_conf(
+        points.sparkSession, "spark.sql.autoBroadcastJoinThreshold", 10 << 20
+    )
+    p_side = F.broadcast(p) if est is not None and 0 < est <= thresh else p
     exactd = (
         merged.drop("dist")
-        .join(p, "vec_id")
+        .join(p_side, "vec_id")
         .join(F.broadcast(q), "query_id")
         .select(
             "query_id",
@@ -642,30 +664,12 @@ def ivfpq_search(
         if round_digits is not None:
             out = out.withColumn("dist", F.round("dist", round_digits))
         return out
-    p = points.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_pv"))
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_qv")
+    # same exact-re-rank tail as pq_search (folded distance, candidate
+    # equi-joins only) — shared helper since r14
+    return _exact_rerank(
+        merged, points, queries, k,
+        query_id_col, query_vec_col, id_col, vec_col, round_digits,
     )
-    exactd = (
-        merged.drop("dist")
-        .join(p, "vec_id")
-        .join(F.broadcast(q), "query_id")
-        .select(
-            "query_id",
-            "vec_id",
-            # fold, not unroll — same per-call codegen argument as pq_search
-            pairwise_distance("_qv", "_pv").alias("dist"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("dist").asc(), F.col("vec_id").asc()
-    )
-    out = exactd.withColumn("rank", F.row_number().over(w2)).where(
-        F.col("rank") <= k
-    )
-    if round_digits is not None:
-        out = out.withColumn("dist", F.round("dist", round_digits))
-    return out.select("query_id", "vec_id", "dist", "rank")
 
 
 # ------------------------------------------------------------- persistence
