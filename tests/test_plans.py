@@ -210,18 +210,35 @@ def test_contamination_join_is_equijoin_on_shingle_hash(spark, sf_dir):
 
 def test_ordinal_assignment_no_global_window(spark, sf_dir):
     """assign_ordinals must not funnel all rows through one task: no
-    empty-frame global Window (r1's build-path bottleneck) — the plan
-    carries a range shuffle, never a SinglePartition exchange."""
+    empty-frame global Window (r1's build-path bottleneck) — never a
+    SinglePartition exchange. r14: contiguous unique ids (every SF's
+    shape) take the shuffle-free fast path (ordinal = id - min, proven
+    by one key-only aggregate); gapped ids still take the range
+    shuffle."""
+    from pyspark.sql import functions as F
+
     from vamana_spark.functions.util import assign_ordinals
 
     df = D._emb(spark, sf_dir).select("vec_id", "embedding")
     out = assign_ordinals(df, "vec_id", "ordinal")
     p = plan(out)
     assert "SinglePartition" not in p, p
-    assert "rangepartitioning" in p.lower(), p
+    # contiguous-id fast path: the ROWS never range-shuffle (the only
+    # allowed exchange is the local-parallelism round robin)
+    assert "rangepartitioning" not in p.lower(), p
     # and the result is the dense 0..n-1 ranking by vec_id
     rows = out.orderBy("vec_id").select("ordinal").collect()
     assert [r["ordinal"] for r in rows] == list(range(len(rows)))
+
+    # gapped ids: the distributed range path remains (and stays free of
+    # single-task funnels)
+    gapped = df.where(F.col("vec_id") % 2 == 0)
+    out2 = assign_ordinals(gapped, "vec_id", "ordinal")
+    p2 = plan(out2)
+    assert "SinglePartition" not in p2, p2
+    assert "rangepartitioning" in p2.lower(), p2
+    rows2 = out2.orderBy("vec_id").select("ordinal").collect()
+    assert [r["ordinal"] for r in rows2] == list(range(len(rows2)))
 
 
 def test_nation_trade_volume_broadcasts_dims(spark, sf_dir):

@@ -67,6 +67,36 @@ def _assign_ordinals_impl(
     counts_out: dict | None,
 ) -> DataFrame:
     spark = df.sparkSession
+    # Contiguous-id fast path (r14): when order_col is unique and
+    # contiguous ([min..max] with no gaps — the common dense-id shape of
+    # ML corpora and every test SF), the ordinal IS ``order_col - min``
+    # and no shuffle of the rows is needed at all. The proof costs one
+    # aggregate job over the key column alone (map-side partials + a
+    # narrow distinct shuffle of 8-byte ids) — the range path below
+    # costs a sampling job plus a full range SHUFFLE OF THE ROWS (the
+    # embedding payload, guide §8: decide with small rows, move heavy
+    # bytes zero times) plus the counting job. Output is identical:
+    # dense 0-based ordinals by ascending order_col.
+    probe = df.agg(
+        F.min(order_col).alias("_mn"),
+        F.max(order_col).alias("_mx"),
+        F.count(order_col).alias("_n"),
+        F.countDistinct(order_col).alias("_nd"),
+    ).first()
+    n = int(probe["_n"] or 0)
+    if n and int(probe["_nd"]) == n and (
+        int(probe["_mx"]) - int(probe["_mn"]) + 1 == n
+    ):
+        if counts_out is not None:
+            counts_out["n"] = n
+        lo = int(probe["_mn"])
+        out = df.withColumn(
+            out_col, (F.col(order_col) - F.lit(lo)).cast("long")
+        )
+        # keep the local-mode parallelism contract of the shuffle path
+        # (a single-split file must not serialize the downstream build);
+        # on multi-split layouts this is a no-op plan inspection
+        return ensure_parallelism(out)
     n_part = num_partitions or spark.sparkContext.defaultParallelism
     part = (
         df.repartitionByRange(n_part, F.col(order_col).asc())
