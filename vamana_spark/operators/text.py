@@ -42,7 +42,13 @@ def text_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Per-document stats: chars, whitespace tokens, regex tokens, avg token
-    length, punctuation / digit / whitespace ratios. All built-ins."""
+    length, punctuation / digit / whitespace ratios. All built-ins.
+
+    The token split is inlined (~4 evaluations per row); staging it as
+    a column like ``gopher_quality_filter`` does was measured a WASH
+    here (r14, 7-pair interleaved A/B) — the extra projection's array
+    materialization costs what the re-evaluation saves at this fan-out.
+    """
     toks = tokens(text_col)
     n_chars = F.length(text_col).cast("long")
     return df.select(
@@ -583,9 +589,29 @@ def gopher_quality_filter(
     Scale shape: pure Catalyst expressions over one row at a time —
     map-only, whole-stage codegen'd, zero shuffles. All ratios are
     exact-integer divisions, so any engine reproduces them bit-for-bit.
+
+    r14 (guide §1.2 don't compute twice): the word/line token arrays
+    are materialized in a STAGING projection and the signals reference
+    them as plain attributes. Inlined, the higher-order signal
+    expressions are CodegenFallback (interpreted) and subexpression
+    elimination does not reach them — the executed plan re-tokenized
+    the document ~19× for the word split and ~8× for the line split
+    (once per signal and once per gopher_pass conjunct).
+    CollapseProject keeps the two projections separate precisely
+    because the arrays are non-cheap and multiply referenced, so each
+    split now evaluates once per row. Output bit-identical (exceptAll
+    both ways = 0 at sf0.1; oracle parity green).
     """
-    ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
-    lines = F.transform(F.split(F.col(text_col), "\n"), F.trim)
+    staged = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "").alias(
+            "_gq_ws"
+        ),
+        F.transform(F.split(F.col(text_col), "\n"), F.trim).alias("_gq_lines"),
+    )
+    ws = F.col("_gq_ws")
+    lines = F.col("_gq_lines")
     n_words = F.size(ws)
     n_lines = F.greatest(F.size(lines), F.lit(1))
     dn = F.greatest(n_words, F.lit(1)).cast("double")
@@ -621,7 +647,7 @@ def gopher_quality_filter(
         & (alpha_frac > 0.8)
         & (stop_hits >= 2)
     )
-    return df.select(
+    return staged.select(
         F.col(id_col),
         n_words.cast("long").alias("n_words"),
         F.round(mean_len, 4).alias("mean_word_len"),
@@ -649,6 +675,12 @@ def c4_clean(
     Map-only Catalyst expressions (split / filter-lambda / rlike) —
     zero shuffles; the regexes stay in Java/RE2-common syntax so an
     oracle engine replicates the clean verbatim.
+
+    The ``kept`` array is inlined (~4 evaluations per row through the
+    outputs); the gopher-style staged-projection rewrite was measured
+    SLOWER here (r14, +26% on a 7-pair interleaved A/B, new lost 7/7)
+    — materializing the large line/kept arrays through chained
+    projections costs more than the re-evaluation it saves.
     """
     lines = F.transform(F.split(F.col(text_col), "\n"), F.trim)
     kept = F.filter(
