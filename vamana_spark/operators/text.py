@@ -134,6 +134,13 @@ def language_id(
     Scores each language by profile-word hits in the token set; argmax
     with deterministic lexicographic tie-break. Pure built-ins
     (array_intersect against broadcast literal arrays).
+
+    The token array is inlined (one evaluation per language profile,
+    4× today); the gopher-style staged-projection rewrite was measured
+    SLOWER here (r14, 7-pair interleaved A/B, staged lost 0/7, min
+    0.31 → 0.39 s) — at this fan-out the staged array's
+    materialization costs more than the re-evaluation it saves, the
+    same crossover ``text_stats``/``c4_clean`` measured.
     """
     toks = F.transform(tokens(text_col), lambda t: F.lower(t))
     scores = [
