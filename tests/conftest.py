@@ -8,17 +8,23 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+    # r15 (VERDICT r14 #1): the suite used to pin local[8] regardless of
+    # the box, leaving 24 of 32 cores idle for the whole 30-47 min run —
+    # part of why the driver's verification window expired. Default to
+    # every core; SPARK_GRAFT_CPUS still overrides (the bench contract
+    # env var), and results are core-count-independent (no test asserts
+    # partition counts).
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 8)
     s = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("vamana_spark_tests")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", "8g")
+        .config("spark.driver.memory", "12g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -1,9 +1,23 @@
 """Mimics the driver's t2 gate: run every declared query on Spark at
 sf0.01 AND its DuckDB oracle SQL; compare row count + order-insensitive
-values. Queries without oracle SQL get a rows-run smoke check."""
+values. Queries without oracle SQL get a rows-run smoke check.
+
+r15 (VERDICT r14 #1): the sweep used to run its 150 Spark actions
+sequentially, one per parametrized test — 30-47 min wall, which blew
+the driver's verification window (VERIFY_r14 tests_ok=false on a
+truncated-but-green tail). The queries are independent, so the Spark
+side now runs once per module through a small thread pool (guide §2.6:
+actions are only sequential because the driver calls them
+sequentially; concurrent jobs back-fill the executor tail). Every
+parametrized test and every assertion is unchanged — each test pulls
+its query's prefetched frame (or re-raises that query's own exception)
+and compares against DuckDB exactly as before. Nothing is cached
+across pytest invocations; every run recomputes from the parquet
+inputs."""
 
 import os
 import struct
+from concurrent.futures import ThreadPoolExecutor
 
 import duckdb
 import pandas as pd
@@ -15,6 +29,44 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_T2", "/root/testdata/sf0.01")
 
 _QUERIES = entry_mod.queries()
 _ORACLES = entry_mod.oracle_sql()
+
+_PARITY_THREADS = int(os.environ.get("VSP_PARITY_THREADS", "8"))
+
+
+@pytest.fixture(scope="module")
+def spark_frames(spark, request):
+    """Run every declared query's Spark action concurrently; return
+    {name: pandas frame | Exception}. Failures are captured per query
+    and re-raised inside that query's own test, so reporting (and -x
+    semantics) match the old sequential form test-for-test."""
+
+    def run(name):
+        try:
+            return name, _QUERIES[name](spark, SF_DIR).toPandas()
+        except Exception as e:  # re-raised by the owning test
+            return name, e
+
+    # prefetch only what a SELECTED test will read (-k subset runs stay
+    # subset-priced; a full run prefetches everything)
+    selected = set()
+    for item in request.session.items:
+        base, _, param = item.name.partition("[")
+        if base in ("test_oracle_match", "test_rows_only_runs") and param:
+            selected.add(param.rstrip("]"))
+    names = sorted(set(_QUERIES) & selected)
+    if os.path.basename(os.path.normpath(SF_DIR)) != "sf0.01":
+        # these tests skip at other SFs (fixture-pinned oracles) —
+        # don't run what no test will read
+        names = [n for n in names if n not in _SF001_ONLY_ORACLES]
+    with ThreadPoolExecutor(max_workers=_PARITY_THREADS) as pool:
+        return dict(pool.map(run, names))
+
+
+def _frame(spark_frames, name) -> pd.DataFrame:
+    got = spark_frames[name]
+    if isinstance(got, Exception):
+        raise got
+    return got
 
 
 @pytest.fixture(scope="module")
@@ -58,12 +110,12 @@ _SF001_ONLY_ORACLES = {
 
 
 @pytest.mark.parametrize("name", sorted(_ORACLES))
-def test_oracle_match(name, spark, ddb):
+def test_oracle_match(name, spark_frames, ddb):
     if name in _SF001_ONLY_ORACLES and os.path.basename(
         os.path.normpath(SF_DIR)
     ) != "sf0.01":
         pytest.skip("fixture-backed oracle SQL is pinned to sf0.01")
-    got = _canon(_QUERIES[name](spark, SF_DIR).toPandas())
+    got = _canon(_frame(spark_frames, name))
     want = _canon(ddb.sql(_ORACLES[name]).df())
     assert list(got.columns) == list(want.columns), (
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"
@@ -80,11 +132,11 @@ def test_oracle_match(name, spark, ddb):
 @pytest.mark.parametrize(
     "name", sorted(set(_QUERIES) - set(_ORACLES))
 )
-def test_rows_only_runs(name, spark):
+def test_rows_only_runs(name, spark_frames):
     # the driver canonicalizes (sorts) even no-oracle outputs before
     # recording the row count — an array/map column crashes its pandas
     # sort (r1: q_media_features aborted the whole gate). Mimic that.
-    pdf = _QUERIES[name](spark, SF_DIR).toPandas()
+    pdf = _frame(spark_frames, name)
     assert len(_canon(pdf)) > 0, f"{name}: rows-only query returned 0 rows"
     # Rows-only queries exist precisely because the DuckDB oracle can't
     # see their invariant (recall gate, split-fired, coverage, …) — so
@@ -158,9 +210,18 @@ def test_no_vacuous_oracles(ddb):
     q_dup_groups finding, generalized; r6 audit caught three more).
     New queries whose natural sf0.01 result is empty must plant
     deterministic in-query rows (the q_gopher_filter pattern)."""
-    empty = [
-        name
-        for name in sorted(_ORACLES)
-        if ddb.sql(f"SELECT count(*) FROM ({_ORACLES[name]})").fetchone()[0] == 0
-    ]
+    def count(name):
+        # cursor() = one connection clone per thread (duckdb connections
+        # are not shareable across threads; cursors are the sanctioned way)
+        cur = ddb.cursor()
+        try:
+            return name, cur.sql(
+                f"SELECT count(*) FROM ({_ORACLES[name]})"
+            ).fetchone()[0]
+        finally:
+            cur.close()
+
+    with ThreadPoolExecutor(max_workers=_PARITY_THREADS) as pool:
+        counts = dict(pool.map(count, sorted(_ORACLES)))
+    empty = [name for name in sorted(_ORACLES) if counts[name] == 0]
     assert not empty, f"vacuous (0-row) oracles: {empty}"

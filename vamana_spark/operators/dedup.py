@@ -228,6 +228,40 @@ def _shingle_udf(n: int):
 
 
 @lru_cache(maxsize=None)
+def _text_signature_udf(num_hashes: int, shingle_n: int):
+    """text → array<long> MinHash signature in ONE Python pass (r15).
+
+    Fuses ``_shingle_udf`` ∘ ``_signature_udf``: shingling and the
+    affine-min fold run inside the same batch loop, so the per-doc
+    shingle string arrays never cross the Arrow boundary at all (guide
+    §4.2 — the strings used to be serialized JVM→Python→JVM→Python just
+    to be consumed once). Bit-identical to the two-step form: same
+    ``_shingles_py`` normalization, same blake2b-8 base hashes, same
+    seeded affine family, same uint64 wraparound min.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    a, b = _hash_family(num_hashes)
+
+    @pandas_udf(ArrayType(LongType()))
+    def signature(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            sh = _shingles_py(t, shingle_n)
+            if len(sh) == 0:  # unreachable (shingler emits >=1) — keep
+                out.append([0] * num_hashes)  # parity with _signature_udf
+                continue
+            base = _base_hashes(sh)
+            mins = (a[:, None] * base[None, :] + b[:, None]).min(axis=1)
+            out.append(mins.view(np.int64).tolist())
+        return pd.Series(out)
+
+    return signature
+
+
+@lru_cache(maxsize=None)
 def _signature_udf(num_hashes: int):
     """array<string> shingles → array<long> MinHash signature, per row.
 
@@ -341,13 +375,18 @@ def minhash_signatures(
     carries only num_hashes longs per doc per partition).
     """
     if arrow:
-        sh = (
-            shingles
-            if shingles is not None
-            else shingle_sets(df, text_col, id_col, shingle_n, arrow=True)
-        )
-        return sh.select(
-            F.col(id_col), _signature_udf(num_hashes)("_sh").alias("minhash")
+        if shingles is not None:
+            return shingles.select(
+                F.col(id_col), _signature_udf(num_hashes)("_sh").alias("minhash")
+            )
+        # no precomputed shingle frame -> fused single-pass form (r15):
+        # shingle + hash + min in one Python crossing, nothing but the
+        # 64-long signature ever leaves the worker (guide §4.2)
+        from vamana_spark.functions.util import ensure_parallelism
+
+        return ensure_parallelism(df.select(id_col, text_col)).select(
+            F.col(id_col),
+            _text_signature_udf(num_hashes, shingle_n)(text_col).alias("minhash"),
         )
     if shingles is not None:
         ex = shingles.select(F.col(id_col), F.explode("_sh").alias("_s"))
@@ -566,14 +605,31 @@ def minhash_near_dups(
         )
     if max_bucket_size is None:
         max_bucket_size = _MINHASH_CONSUMER_CAPS[consumer]
-    # both the signature and verification paths need the shingle sets ->
-    # compute once, materialize once (localCheckpoint: spills under
-    # memory pressure, GC-owned — no CacheManager entry to leak)
-    sh = shingle_sets(df, text_col, id_col, shingle_n, arrow=arrow).localCheckpoint()
+    # r15 (VERDICT r14 #4): the candidate path used to materialize the
+    # FULL-corpus shingle stream (localCheckpoint of (id, array<string>)
+    # — at 100 TB a complete write+read of ~3x the text bytes) just so
+    # the signature pass and the verify joins could share it. Now the
+    # signatures come from the fused single-pass UDF (shingles never
+    # leave Python), and verification re-shingles ONLY the docs that
+    # appear in a candidate pair: semi-join the corpus by candidate ids
+    # (guide §3.2 — reduce the big side before shuffling it), so the
+    # two verify-side shuffles carry candidate-doc shingles, not the
+    # whole corpus. The pair list is checkpointed (it feeds the output
+    # AND both id sides); it is narrow (two longs/row) and candidate-
+    # sized — the heavy barrier is gone, not moved.
     cands = minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes, bands, shingle_n, shingles=sh,
+        df, text_col, id_col, num_hashes, bands, shingle_n,
         arrow=arrow, max_bucket_size=max_bucket_size,
+    ).localCheckpoint()
+    need = (
+        cands.select(F.col("a_id").alias(id_col))
+        .union(cands.select(F.col("b_id").alias(id_col)))
+        .distinct()
     )
+    sh = shingle_sets(
+        df.join(need, id_col, "left_semi"), text_col, id_col, shingle_n,
+        arrow=arrow,
+    ).localCheckpoint()  # candidate docs only; read by both join sides
     av = sh.select(F.col(id_col).alias("a_id"), F.col("_sh").alias("a_sh"))
     bv = sh.select(F.col(id_col).alias("b_id"), F.col("_sh").alias("b_sh"))
     inter = F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
@@ -597,6 +653,7 @@ def connected_components(
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_iter: int = 30,
+    check_every: int = 2,
 ) -> DataFrame:
     """Connected components over an undirected pair list →
     ``(node, component)`` with component = min node id in the component.
@@ -610,10 +667,23 @@ def connected_components(
     BSP connectivity recipe (same shape GraphX/Pregel CC uses). Each
     round is two self-equi-joins + a groupBy — all shuffle-partitioned
     on node id, no broadcast of anything O(n). ``localCheckpoint``
-    truncates lineage so round R doesn't replay rounds 1..R-1.
+    truncates lineage so later rounds don't replay earlier ones.
     Near-dup graphs are LSH near-cliques with tiny diameter, so
     convergence is typically 2-3 rounds.
+
+    ``check_every`` (r15, VERDICT r14 #7): the barrier cadence. The old
+    per-round localCheckpoint + convergence count cost two full
+    materializations per round; with cadence 2 the intermediate round
+    stays lazy — two propagation rounds execute inside ONE checkpoint
+    job (identical exchanges dedupe via ReusedExchange), halving the
+    barrier count on large-diameter graphs. Convergence detection is
+    unaffected: labels are monotone non-increasing, so "no change
+    across the span" ⇔ "no change in any round of the span"; at most
+    ``check_every - 1`` no-op rounds run past convergence, and post-
+    convergence rounds are identities — the output is unchanged for
+    every cadence. Cadence 1 restores the old behavior.
     """
+    check_every = max(1, int(check_every))
     sym = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
     sym = sym.union(
         sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -624,7 +694,8 @@ def connected_components(
         .select("u", F.least("u", "_mn").alias("label"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    last = labels  # last checkpointed labels: the convergence reference
+    for it in range(max_iter):
         # gather: each node takes the min of its own and neighbors' labels
         nbr = sym.join(
             labels.select(F.col("u").alias("v"), F.col("label")), "v"
@@ -639,17 +710,19 @@ def connected_components(
         new = (
             new.join(hop, new["label"] == hop["_lu"], "left")
             .select("u", F.least("label", F.coalesce("_ll", "label")).alias("label"))
-            .localCheckpoint()
-        )
-        changed = (
-            new.join(labels.withColumnRenamed("label", "_old"), "u")
-            .where(F.col("label") != F.col("_old"))
-            .limit(1)
-            .count()
         )
         labels = new
-        if changed == 0:
-            break
+        if (it + 1) % check_every == 0 or it == max_iter - 1:
+            labels = new.localCheckpoint()
+            changed = (
+                labels.join(last.withColumnRenamed("label", "_old"), "u")
+                .where(F.col("label") != F.col("_old"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                break
+            last = labels
     sym.unpersist()
     return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
 
