@@ -58,8 +58,18 @@ def spark_frames(spark, request):
         # these tests skip at other SFs (fixture-pinned oracles) —
         # don't run what no test will read
         names = [n for n in names if n not in _SF001_ONLY_ORACLES]
+    if not names:
+        return {}
+    # ship the worker package ONCE before fanning out: every query goes
+    # through entry._configure -> _ship_package -> addPyFile, which is
+    # idempotent per app but not thread-safe on FIRST call (concurrent
+    # zip writes + addFile race with "exists and does not match
+    # contents"). Run one query serially to warm it.
+    first = dict([run(names[0])])
     with ThreadPoolExecutor(max_workers=_PARITY_THREADS) as pool:
-        return dict(pool.map(run, names))
+        out = dict(pool.map(run, names[1:]))
+    out.update(first)
+    return out
 
 
 def _frame(spark_frames, name) -> pd.DataFrame:

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import SparkSession
 
@@ -50,25 +51,32 @@ def get_session(
 
 
 _SHIPPED_APPS: set = set()
+_SHIP_LOCK = threading.Lock()
 
 
 def _ship_package(spark: SparkSession) -> None:
     """Make ``vamana_spark`` importable on Python workers regardless of
     the driver's cwd: zip the installed package and addPyFile it
-    (idempotent per application). Without this, any mapInPandas closure
-    defined inside the package fails to unpickle on workers when the
-    driver runs from a foreign directory."""
+    (idempotent per application, thread-safe: a concurrent first call —
+    e.g. sessions obtained from a driver thread pool, guide §2.6 —
+    used to race the zip write + addPyFile into an 'exists and does
+    not match contents' failure). Without this, any mapInPandas
+    closure defined inside the package fails to unpickle on workers
+    when the driver runs from a foreign directory."""
     app = spark.sparkContext.applicationId
     if app in _SHIPPED_APPS:
         return
-    import shutil
-    import tempfile
+    with _SHIP_LOCK:
+        if app in _SHIPPED_APPS:
+            return
+        import shutil
+        import tempfile
 
-    pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    tmp = tempfile.mkdtemp(prefix="vamana_spark_pyfiles_")
-    base = os.path.join(tmp, "vamana_spark_pkg")
-    shutil.make_archive(
-        base, "zip", root_dir=os.path.dirname(pkg_dir), base_dir="vamana_spark"
-    )
-    spark.sparkContext.addPyFile(base + ".zip")
-    _SHIPPED_APPS.add(app)
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        tmp = tempfile.mkdtemp(prefix="vamana_spark_pyfiles_")
+        base = os.path.join(tmp, "vamana_spark_pkg")
+        shutil.make_archive(
+            base, "zip", root_dir=os.path.dirname(pkg_dir), base_dir="vamana_spark"
+        )
+        spark.sparkContext.addPyFile(base + ".zip")
+        _SHIPPED_APPS.add(app)
