@@ -18,7 +18,12 @@ def spark():
     s = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("vamana_spark_tests")
-        .config("spark.sql.shuffle.partitions", cpus)
+        # 8 shuffle partitions regardless of cores: test data is tiny, so
+        # per-task scheduling overhead dominates past a few partitions
+        # (A/B'd at 32 cores: semantic_dedup subset 193 s @ 8 vs 226 s
+        # @ 32); the wide parallelism still pays off across the many
+        # CONCURRENT jobs (parity prefetch) and multi-task stages.
+        .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
