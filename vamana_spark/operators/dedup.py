@@ -653,7 +653,7 @@ def connected_components(
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_iter: int = 30,
-    check_every: int = 2,
+    check_every: int = 1,
 ) -> DataFrame:
     """Connected components over an undirected pair list →
     ``(node, component)`` with component = min node id in the component.
@@ -671,17 +671,21 @@ def connected_components(
     Near-dup graphs are LSH near-cliques with tiny diameter, so
     convergence is typically 2-3 rounds.
 
-    ``check_every`` (r15, VERDICT r14 #7): the barrier cadence. The old
-    per-round localCheckpoint + convergence count cost two full
-    materializations per round; with cadence 2 the intermediate round
-    stays lazy — two propagation rounds execute inside ONE checkpoint
-    job (identical exchanges dedupe via ReusedExchange), halving the
-    barrier count on large-diameter graphs. Convergence detection is
-    unaffected: labels are monotone non-increasing, so "no change
-    across the span" ⇔ "no change in any round of the span"; at most
-    ``check_every - 1`` no-op rounds run past convergence, and post-
-    convergence rounds are identities — the output is unchanged for
-    every cadence. Cadence 1 restores the old behavior.
+    ``check_every`` (r15, VERDICT r14 #7): the barrier cadence —
+    convergence count + localCheckpoint every N rounds, intermediate
+    rounds lazy. Semantically exact at every cadence (labels are
+    monotone non-increasing, so span-level no-change detection is
+    equivalent, and post-convergence rounds are identities). **The
+    default stays 1 because cadence 2 measured 3.3x SLOWER** on the
+    regime it was meant to help (1M-node chains, diameter 64,
+    `tools/ab_cc_cadence.py`: 19.9 s vs 66.6 s min-of-3 interleaved,
+    Spark jobs 71 → 137): the deferred round's plan references the
+    previous round's unmaterialized result from three places (gather
+    side, union side, pointer-jump hop side), and under AQE those
+    duplicated subtrees re-execute instead of reusing exchanges — the
+    replays cost far more than the saved barrier. Kept as a parameter
+    with the measured warning rather than deleted, per guide §1.1
+    (negative results are results).
     """
     check_every = max(1, int(check_every))
     sym = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
