@@ -2643,9 +2643,18 @@ def test_incremental_dedup_hot_duplicate_key_and_plan(spark):
     )
     out = dedup.incremental_dedup(new, seen)
     assert sorted(r.doc_id for r in out.collect()) == [0, 5000]
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    # r15: the output plan starts at the verify tail's checkpoint scan,
+    # so the first-occurrence aggregation is asserted on the stage that
+    # actually runs it (same invariant: map-side partial min(struct),
+    # never a window rank funneling every hot copy through one task)
+    plan = (
+        dedup._first_occurrence(new, "text", "doc_id", dedup._content_norm)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
     assert "partial_min" in plan  # the partial stage of min(struct) exists
     assert "Window" not in plan
+    out_plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in out_plan
 
 
 def test_incremental_dedup_sharded_matches_broadcast_tier(spark):

@@ -2010,6 +2010,69 @@ def flag_bloom_membership(
     return df.mapInPandas(_maybe_seen, schema=out_schema)
 
 
+#: Maybe-hit count under which the exact-verify anti-join's right side
+#: (the hash-matched corpus texts, ≤ one row per distinct maybe-content)
+#: is explicitly broadcast: ~24-token docs frame to ~200-300 B/row, so
+#: 200k rows ≈ 40-60 MB — comfortably a broadcast, far from the 8 GB
+#: relation cap; past the bound the anti-join degrades to a
+#: candidate-bounded shuffle (measured at the 10M rung: 2.1M maybe-hits
+#: is exactly the regime where the old forced text broadcast was the
+#: whole operator's whale).
+_VERIFY_BCAST_ROWS = 200_000
+
+
+def _exact_verify_tail(
+    flagged: DataFrame, seen_norm: DataFrame, helpers: "tuple | list" = ("_n", "_maybe")
+) -> DataFrame:
+    """Exact confirmation of Bloom maybe-hits, shared by all three
+    incremental-dedup tiers.
+
+    r15 shape (guide §8.4 / §3.2 — move decisions on digests, attach
+    the payload join back carefully): broadcast the candidate DIGESTS
+    (xxhash64, 8 B per distinct maybe-content), pull only the
+    hash-matched corpus rows in one map-side semi-join (the corpus
+    STILL never shuffles on content), then make the result exact with
+    a candidate-sized text anti-join — digest collisions cannot cause
+    a false drop because the final anti-join compares the full
+    normalized text.
+
+    The previous tail broadcast the candidate and confirmed TEXTS
+    (two `F.broadcast` of full normalized documents). With a dup-heavy
+    batch that is NOT tiny: at the 10M-doc rung (2.1M maybe-hits) the
+    two string broadcasts were ~300 MB each and dominated the whole
+    operator (measured: the verify tail was ~400 of ~500 s); at 100 TB
+    it would be a driver OOM. Moved bytes now: 8 B × |candidates|
+    broadcast + one candidate-bounded movement of matched texts — as a
+    broadcast while the maybe-count stays under the bound below (the
+    bench/ingest regime; keeps the anti-join exchange-free, same
+    count()-priced steering as search_pq's re-rank), as a
+    candidate-bounded shuffle past it.
+    """
+    # batch-sized (the small side by construction); feeds the clear
+    # branch, the maybe branch AND the pricing count without replaying
+    # the Bloom probe pipeline
+    flagged = flagged.localCheckpoint()
+    maybe = flagged.where(F.col("_maybe"))
+    clear = flagged.where(~F.col("_maybe"))
+    cand_h = maybe.select(F.xxhash64("_n").alias("_h")).distinct()
+    seen_matched = (
+        seen_norm.withColumn("_h", F.xxhash64("_n"))
+        .join(F.broadcast(cand_h), "_h", "left_semi")
+        .select("_n")
+    )
+    from vamana_spark.functions.util import bytes_conf
+
+    thresh = bytes_conf(
+        flagged.sparkSession, "spark.sql.autoBroadcastJoinThreshold", 10 << 20
+    )
+    n_maybe = maybe.count()  # cheap: reads the checkpoint
+    if thresh >= 0 and n_maybe <= _VERIFY_BCAST_ROWS:
+        kept_maybe = maybe.join(F.broadcast(seen_matched), "_n", "left_anti")
+    else:  # user disabled broadcasts, or candidate set too big to hold
+        kept_maybe = maybe.join(seen_matched, "_n", "left_anti")
+    return clear.unionByName(kept_maybe).drop(*helpers)
+
+
 def incremental_dedup(
     new_df: DataFrame,
     seen_df: DataFrame,
@@ -2038,11 +2101,15 @@ def incremental_dedup(
     - The merged filter broadcasts; new rows drop map-side unless the
       Bloom says "maybe seen" (false-positive rate ``fpp``).
     - ``verify=True`` (default) makes the result EXACT: the candidate
-      hashes (|batch|·fpp + true dups — tiny) broadcast back against a
+      DIGESTS (8 B per distinct maybe-content) broadcast back against a
       second map-side pass over ``seen_df`` (broadcast semi-join; still
-      no corpus shuffle) and only confirmed hits drop. ``verify=False``
-      skips the second corpus pass and accepts dropping ~fpp of unique
-      new rows — the cheap mode for lossy ingest.
+      no corpus shuffle), the hash-matched corpus rows — candidate-
+      bounded, not corpus-bounded — join the maybe rows in a text
+      anti-join, and only exact text matches drop (digest collisions
+      cannot cause a false drop). See ``_exact_verify_tail``.
+      ``verify=False`` skips the second corpus pass and accepts
+      dropping ~fpp of unique new rows — the cheap mode for lossy
+      ingest.
     - The batch itself pays one content-keyed shuffle for its internal
       first-occurrence dedup (an associative min-struct agg with
       map-side partials — hot duplicate keys combine before the
@@ -2072,14 +2139,7 @@ def incremental_dedup(
     if not verify:
         return flagged.where(~F.col("_maybe")).drop("_n", "_maybe")
 
-    cand = flagged.where(F.col("_maybe")).select("_n").distinct()
-    confirmed = (
-        seen_norm.join(F.broadcast(cand), "_n", "left_semi").distinct()
-    )
-    return (
-        flagged.join(F.broadcast(confirmed), "_n", "left_anti")
-        .drop("_n", "_maybe")
-    )
+    return _exact_verify_tail(flagged, seen_norm)
 
 
 def incremental_dedup_ranged(
@@ -2173,14 +2233,7 @@ def incremental_dedup_ranged(
     if not verify:
         return flagged.where(~F.col("_maybe")).drop("_n", "_maybe")
 
-    cand = flagged.where(F.col("_maybe")).select("_n").distinct()
-    confirmed = (
-        seen_norm.join(F.broadcast(cand), "_n", "left_semi").distinct()
-    )
-    return (
-        flagged.join(F.broadcast(confirmed), "_n", "left_anti")
-        .drop("_n", "_maybe")
-    )
+    return _exact_verify_tail(flagged, seen_norm)
 
 
 def _struct_orderable(dt) -> bool:
@@ -2398,9 +2451,7 @@ def incremental_dedup_sharded(
     if not verify:
         return flagged.where(~F.col("_maybe")).drop(*helpers)
 
-    cand = flagged.where(F.col("_maybe")).select("_n").distinct()
-    confirmed = seen_norm.join(F.broadcast(cand), "_n", "left_semi").distinct()
-    return flagged.join(F.broadcast(confirmed), "_n", "left_anti").drop(*helpers)
+    return _exact_verify_tail(flagged, seen_norm, helpers)
 
 
 def incremental_near_dups(
